@@ -1,0 +1,24 @@
+"""Operator modules; importing this package registers every harness query.
+
+Module map (SURVEY.md §2 categories):
+- ``flagship``            — end-to-end anomaly slice (§7 step 1)
+- ``relational``          — joins/aggs/sorts/sets addendum (§2.3/2.4/2.6/2.7)
+- ``timeseries_filters``  — O9–O14 time-range / DSL / buffer / gate
+- ``timeseries_aggs``     — O18–O21 resample & stats & quantile thresholds
+- ``alignment``           — O15–O17 multi-tag alignment / as-of ffill
+- ``windows``             — O22–O25 + rank/lag/range-frame addendum
+- ``scalars``             — O28–O32 scalar function surface
+- ``streaming_batch``     — O33–O37 batch-expressible streaming analogs
+- ``model_sql``           — SQL-expressible faces of the model plane (O40/O44–O46)
+- ``providers``           — O1–O5 scan/provider surface
+- ``extensions_dedup``    — E1/E2 + SimHash/Jaccard dedup family
+- ``extensions_similarity`` — E3/E6 vector search & centroids
+- ``extensions_text``     — E4 text analysis (lang-id, quality, tokens)
+- ``extensions_multimodal`` — E5 + binary-column decode plumbing
+- ``ml_islands``          — O38–O45 pandas-UDF model islands (rows-only)
+"""
+
+from gordo_components_spark.operators import (  # noqa: F401
+    flagship,
+    relational,
+)

@@ -1,0 +1,329 @@
+"""Relational addendum operators (SURVEY §2.3/2.4/2.6/2.7).
+
+The reference's only join family is time-index alignment (``alignment.py``);
+the harness additionally requires general relational coverage over the
+TPC-H-ish fixtures.  Everything here is a Spark built-in — the work is in
+oracle parity (decimal-exact sums, deterministic LIMIT tiebreaks).
+
+Scale notes: dimension joins broadcast explicitly; fact-fact joins are
+left to AQE (sort-merge w/ skew split); aggregates rely on partial
+(map-side) aggregation, which Catalyst applies automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gordo_components_spark.registry import register
+from gordo_components_spark.sources.tables import load_table
+
+
+def _dsum(expr: str, alias: str, scale: int = 8) -> "F.Column":
+    """Exact cross-engine SUM: per-row double arithmetic is bit-identical
+    across engines; route the accumulation through DECIMAL so summation
+    order can't change the result, then back to DOUBLE."""
+    return F.expr(f"CAST(SUM(CAST({expr} AS DECIMAL(30,{scale}))) AS DOUBLE)").alias(alias)
+
+
+def _osum(expr: str, alias: str, scale: int = 8) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,{scale}))) AS DOUBLE) AS {alias}"
+
+
+# --- 2.4 aggregations ------------------------------------------------------
+
+@register(
+    "agg_groupby_sum",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_osum('l_quantity', 'sum_qty')},
+           {_osum('l_extendedprice', 'sum_base_price')},
+           {_osum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("bench",),
+)
+def agg_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style hash aggregate (map-side partial agg, one shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum("l_quantity", "sum_qty"),
+        _dsum("l_extendedprice", "sum_base_price"),
+        _dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase agg under AQE)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "agg_approx_cd",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality estimation surface; declared with *exact* distinct on
+    both sides per SURVEY §2.4 (approx_count_distinct isn't oracle-stable).
+    The 100 TB path swaps in approx_count_distinct(rsd) — same plan shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           {_osum('l_quantity', 'sum_qty')},
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (Expand operator; single shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        _dsum("l_quantity", "sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- 2.3 joins -------------------------------------------------------------
+
+@register(
+    "join_equi_inner",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           {_osum('o_totalprice', 'revenue')}
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("bench",),
+)
+def join_equi_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim equi join; dim side broadcast (no fact shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), _dsum("o_totalprice", "revenue"))
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with any big order."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    c = load_table(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no urgent orders."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    c = load_table(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_range_theta",
+    oracle="""
+    SELECT o_orderkey, COUNT(*) AS n_late
+    FROM orders JOIN lineitem
+      ON l_orderkey = o_orderkey
+     AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+    GROUP BY o_orderkey
+    """,
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + non-equi range residual (ship >30 days after order).
+    The equi conjunct keeps it a hash/sort-merge join — never a cartesian."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")
+    )
+    return o.join(li, cond).groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_late"))
+
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n_cust
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    tags=("bench",),
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O17 tag→asset dimension lookup restated: snowflake dims broadcast
+    (reference ``dataset/sensor_tag.py::normalize_sensor_tags``)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+
+
+# --- 2.6 sorts / limits ----------------------------------------------------
+
+@register(
+    "sort_by_ts",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq
+    FROM events
+    """,
+)
+def sort_by_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O26 timestamp-ordered sequencing. Partitioned by machine (user_id)
+    so the sort is shuffle-parallel — a single global ORDER BY would
+    serialize on one partition at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr(
+            "CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)"
+        ).alias("seq"),
+    )
+
+
+@register(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O27 top-k: TakeOrderedAndProject (per-partition heap + driver merge,
+    no full sort). Unique o_orderkey tiebreak makes the k-set deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(25)
+    )
+
+
+# --- 2.7 set operations ----------------------------------------------------
+
+@register(
+    "set_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL via unionByName (no shuffle — pure concatenation)."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    return c.select(F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")).unionByName(
+        s.select(F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side"))
+    )
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics on both engines)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customers with open but no finished orders."""
+    o = load_table(spark, sf_dir, "orders")
+    open_ = o.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    fin = o.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return open_.subtract(fin)

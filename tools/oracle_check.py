@@ -1,0 +1,125 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs each registered query's Spark fn and DuckDB oracle side-by-side and
+compares row count, column names, and values (order-insensitive, exact
+equality after canonicalization).  Use while iterating:
+
+    python tools/oracle_check.py [--sf /root/testdata/sf0.01] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+import traceback
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _canon_cell(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    if isinstance(v, float):
+        return float(v)
+    if hasattr(v, "to_pydatetime"):  # pandas Timestamp
+        v = v.to_pydatetime()
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(_canon_cell(x) for x in v)
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+    except Exception:
+        pass
+    return v
+
+
+def canon_rows(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [tuple(_canon_cell(v) for v in row) for row in df[cols].itertuples(index=False, name=None)]
+    return sorted(rows, key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+
+
+def check_one(spark, con, name, spec, sf_dir):
+    t0 = time.time()
+    sdf = spec.fn(spark, sf_dir)
+    spark_pd = sdf.toPandas()
+    t_spark = time.time() - t0
+    if spec.oracle is None:
+        return {
+            "name": name, "status": "ROWS_ONLY", "rows": len(spark_pd),
+            "ok": len(spark_pd) >= 0, "t_spark": t_spark,
+        }
+    t0 = time.time()
+    duck_pd = con.execute(spec.oracle).fetch_df()
+    t_duck = time.time() - t0
+    res = {"name": name, "t_spark": t_spark, "t_duck": t_duck,
+           "rows": len(spark_pd), "oracle_rows": len(duck_pd)}
+    if sorted(spark_pd.columns) != sorted(duck_pd.columns):
+        res.update(status="SCHEMA_MISMATCH", ok=False,
+                   spark_cols=sorted(spark_pd.columns), duck_cols=sorted(duck_pd.columns))
+        return res
+    if len(spark_pd) != len(duck_pd):
+        res.update(status="ROWCOUNT_MISMATCH", ok=False)
+        return res
+    a, b = canon_rows(spark_pd), canon_rows(duck_pd)
+    diffs = [(i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y]
+    if diffs:
+        res.update(status="VALUE_MISMATCH", ok=False, n_diffs=len(diffs),
+                   sample=diffs[:3], cols=sorted(spark_pd.columns))
+    else:
+        res.update(status="OK", ok=True)
+    return res
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    from gordo_components_spark.registry import load_all
+    from gordo_components_spark.session import get_spark
+
+    registry = load_all()
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')")
+
+    names = args.names or sorted(registry)
+    n_ok = 0
+    failed = []
+    for name in names:
+        if name not in registry:
+            print(f"{name:32s} UNKNOWN")
+            continue
+        try:
+            res = check_one(spark, con, name, registry[name], args.sf)
+        except Exception as e:
+            res = {"name": name, "status": "ERROR", "ok": False, "err": f"{type(e).__name__}: {e}"}
+            if "-v" in sys.argv or True:
+                traceback.print_exc(limit=3)
+        mark = "PASS" if res.get("ok") else "FAIL"
+        if res.get("ok"):
+            n_ok += 1
+        else:
+            failed.append(name)
+        extra = {k: v for k, v in res.items() if k not in ("name", "ok")}
+        print(f"{name:32s} {mark}  {extra}")
+    print(f"\n{n_ok}/{len(names)} ok; failed: {failed}")
+    return 0 if not failed else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
