@@ -19,6 +19,10 @@ Module map (SURVEY.md §2 categories):
 """
 
 from gordo_components_spark.operators import (  # noqa: F401
+    alignment,
     flagship,
     relational,
+    timeseries_aggs,
+    timeseries_filters,
+    windows,
 )

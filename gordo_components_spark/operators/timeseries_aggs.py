@@ -1,0 +1,150 @@
+"""Time-series aggregation operators O18–O21 (SURVEY §2.4).
+
+Reference: resample-aggregate inside ``dataset/datasets.py``'s join loop,
+dataset-stats metadata, CV score summaries (``builder/build_model.py``)
+and the error-percentile threshold (``model/anomaly/diff.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gordo_components_spark.functions.timeseries import resample
+from gordo_components_spark.registry import register
+from gordo_components_spark.sources.tables import load_table
+
+
+@register(
+    "agg_resample_mean",
+    oracle="""
+    SELECT user_id, event_type,
+           time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS bucket,
+           round(avg(value), 9) AS value__avg
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("bench",),
+)
+def agg_resample_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O18 default resample: per-(machine, tag) 10-minute mean buckets.
+    One shuffle, map-side partial agg; window() start is epoch-aligned in
+    both engines so buckets agree bit-for-bit."""
+    return resample(load_table(spark, sf_dir, "events"), "10 minutes", ("avg",))
+
+
+@register(
+    "agg_resample_multi",
+    oracle="""
+    SELECT user_id, event_type,
+           time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS bucket,
+           round(avg(value), 9) AS value__avg,
+           max(value) AS value__max,
+           min(value) AS value__min,
+           count(value) AS value__count
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def agg_resample_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O18 multi-method resample: ``aggregation_methods=[mean,max,min,count]``
+    flattens MultiIndex (tag, method) → ``value__method`` columns
+    (SURVEY §1.2); min/max/count are exact so no rounding."""
+    return resample(
+        load_table(spark, sf_dir, "events"), "30 minutes", ("avg", "max", "min", "count")
+    )
+
+
+@register(
+    "agg_tag_stats",
+    oracle="""
+    SELECT user_id, event_type,
+           COUNT(*) AS n_rows,
+           CAST(MIN(ts) AS TIMESTAMP) AS first_ts,
+           CAST(MAX(ts) AS TIMESTAMP) AS last_ts,
+           round(avg(value), 9) AS mean_value
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def agg_tag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O19 dataset-stats metadata: per-tag row counts and coverage recorded
+    into build metadata (reference assembles this inside ``get_data``).
+    min/max commute with the ns→µs truncation, so CAST(MIN(ts)) matches."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.round(F.avg("value"), 9).alias("mean_value"),
+    )
+
+
+@register(
+    "agg_cv_scores",
+    oracle="""
+    WITH folds AS (
+      SELECT event_type, event_id % 3 AS fold,
+             round(avg(abs(value - 100.0)), 9) AS mae
+      FROM events
+      GROUP BY event_type, event_id % 3
+    )
+    SELECT event_type,
+           round(avg(mae), 9) AS mae_mean,
+           min(mae) AS mae_min,
+           max(mae) AS mae_max,
+           round(stddev_samp(mae), 9) AS mae_std
+    FROM folds
+    GROUP BY event_type
+    """,
+)
+def agg_cv_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O20 CV score aggregation: per-fold metric values summarized to
+    mean/min/max/std per metric (reference ``builder/build_model.py`` +
+    ``model/utils.py::metric_wrapper``).  Fold assignment here is the
+    deterministic stand-in ``event_id % 3``; the real TimeSeriesSplit
+    fold map lives in ``ml/`` (O45)."""
+    ev = load_table(spark, sf_dir, "events")
+    folds = (
+        ev.withColumn("fold", F.col("event_id") % 3)
+        .groupBy("event_type", "fold")
+        .agg(F.round(F.avg(F.abs(F.col("value") - 100.0)), 9).alias("mae"))
+    )
+    return folds.groupBy("event_type").agg(
+        F.round(F.avg("mae"), 9).alias("mae_mean"),
+        F.min("mae").alias("mae_min"),
+        F.max("mae").alias("mae_max"),
+        F.round(F.stddev_samp("mae"), 9).alias("mae_std"),
+    )
+
+
+@register(
+    "agg_error_quantile",
+    oracle="""
+    WITH mu AS (
+      SELECT user_id, round(avg(value), 9) AS mean_v
+      FROM events GROUP BY user_id
+    ), err AS (
+      SELECT e.user_id, round(abs(e.value - mu.mean_v), 9) AS err
+      FROM events e JOIN mu USING (user_id)
+    )
+    SELECT user_id,
+           round(quantile_cont(err, 0.99), 6) AS threshold_p99,
+           round(quantile_cont(err, 0.50), 6) AS err_median
+    FROM err GROUP BY user_id
+    """,
+)
+def agg_error_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O21 anomaly threshold = high quantile of reconstruction errors per
+    machine (reference ``DiffBasedAnomalyDetector.cross_validate``; pinned
+    statistic per FIXTURES B4).  Exact ``percentile`` matches DuckDB's
+    ``quantile_cont``; the 100 TB path swaps in ``percentile_approx``
+    (single-pass sketch) at a documented tolerance."""
+    ev = load_table(spark, sf_dir, "events")
+    mu = ev.groupBy("user_id").agg(F.round(F.avg("value"), 9).alias("mean_v"))
+    err = ev.join(F.broadcast(mu), "user_id").select(
+        "user_id", F.round(F.abs(F.col("value") - F.col("mean_v")), 9).alias("err")
+    )
+    return err.groupBy("user_id").agg(
+        F.round(F.expr("percentile(err, 0.99)"), 6).alias("threshold_p99"),
+        F.round(F.expr("percentile(err, 0.50)"), 6).alias("err_median"),
+    )

@@ -1,0 +1,166 @@
+"""Window-function operators O22–O25 + relational addendum (SURVEY §2.5).
+
+Reference: lookback tensorization for LSTM models
+(``model/utils.py::create_keras_timeseriesgenerator``), the forecast
+shift (``model/models.py::KerasLSTMForecast``) and score smoothing
+(``model/anomaly/diff.py``).  Every window partitions by machine
+(user_id) — the 100 TB invariant that keeps frames inside a partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gordo_components_spark.registry import register
+from gordo_components_spark.sources.tables import load_table
+
+_ORDER = "PARTITION BY user_id ORDER BY ts, event_id"
+
+
+@register(
+    "window_lookback_collect",
+    oracle=f"""
+    SELECT event_id, user_id,
+           array_to_string(list(event_id) OVER (
+             {_ORDER} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), ',') AS lookback_ids,
+           CAST(count(*) OVER (
+             {_ORDER} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS lookback_n
+    FROM events
+    """,
+)
+def window_lookback_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O23 lookback tensorization: each row carries its trailing
+    ``lookback_window`` rows (LSTM input tensors).  The real 3-D tensor is
+    ``collect_list(struct(*cols))`` feeding the model island (ml/); for
+    oracle parity the collected ids are canonicalized to a CSV string
+    (identical int formatting in both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    frame = f"{_ORDER} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW"
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.expr(
+            f"array_join(transform(collect_list(event_id) OVER ({frame}), x -> CAST(x AS STRING)), ',')"
+        ).alias("lookback_ids"),
+        F.expr(f"CAST(count(*) OVER ({frame}) AS BIGINT)").alias("lookback_n"),
+    )
+
+
+@register(
+    "window_lead_target",
+    oracle=f"""
+    SELECT event_id, user_id, value,
+           lead(value, 1) OVER ({_ORDER}) AS target_next
+    FROM events
+    """,
+)
+def window_lead_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O24 forecast shift: y = value at t+lookahead (KerasLSTMForecast,
+    lookahead=1).  lead() copies the double bit-exactly — no rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.expr(f"lead(value, 1) OVER ({_ORDER})").alias("target_next"),
+    )
+
+
+@register(
+    "window_rolling_avg",
+    oracle=f"""
+    SELECT event_id, user_id,
+           round(avg(value) OVER ({_ORDER}
+             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 9) AS value_smooth
+    FROM events
+    """,
+    tags=("bench",),
+)
+def window_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O25 score smoothing: rolling mean over the trailing window
+    (anomaly-score smoothing in later DiffBased revisions)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.expr(f"avg(value) OVER ({_ORDER} ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)"), 9
+        ).alias("value_smooth"),
+    )
+
+
+@register(
+    "window_rank",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+             CAST(RANK() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Addendum ranking: top-3 orders per customer (row_number + rank with
+    a unique tiebreak so the selected set is deterministic)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey"
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.expr(f"CAST(ROW_NUMBER() OVER ({w}) AS BIGINT)").alias("rn"),
+            F.expr(f"CAST(RANK() OVER ({w}) AS BIGINT)").alias("rnk"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_lag",
+    oracle=f"""
+    SELECT event_id, user_id, value,
+           round(value - lag(value, 1) OVER ({_ORDER}), 9) AS delta_prev
+    FROM events
+    """,
+)
+def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Addendum analytic lag: per-machine first difference of the series
+    (the diff in DiffBasedAnomalyDetector)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(F.col("value") - F.expr(f"lag(value, 1) OVER ({_ORDER})"), 9).alias("delta_prev"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 9) AS sum_1h,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS n_1h
+    FROM events
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Addendum RANGE frame: trailing 1-hour aggregate by actual event
+    time (irregular series — rows frames can't express this)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        "PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW"
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.expr(f"sum(value) OVER ({w})"), 9).alias("sum_1h"),
+        F.expr(f"CAST(count(*) OVER ({w}) AS BIGINT)").alias("n_1h"),
+    )
