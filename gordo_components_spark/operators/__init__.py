@@ -21,7 +21,11 @@ Module map (SURVEY.md §2 categories):
 from gordo_components_spark.operators import (  # noqa: F401
     alignment,
     flagship,
+    model_sql,
+    providers,
     relational,
+    scalars,
+    streaming_batch,
     timeseries_aggs,
     timeseries_filters,
     windows,

@@ -1,0 +1,149 @@
+"""Source/provider scan operators O1–O5 (SURVEY §2.1).
+
+Reference: ``gordo_components/dataset/data_provider/`` — provider
+dispatch (``base.py::GordoBaseDataProvider``), the NCS per-tag/per-year
+ADLS reader (``ncs_reader.py``), the IROC CSV reader
+(``iroc_reader.py``) and the deterministic RandomDataProvider
+(``providers.py``).
+
+Spark-first: a provider is just a declarative scan; dispatch is a union
+of scans; the per-year layout + time filter is partition pruning +
+predicate pushdown (free from Catalyst, SURVEY §4 P1/P2); the reference's
+per-tag ThreadPool download fan-out is Spark task parallelism.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from gordo_components_spark.registry import register
+from gordo_components_spark.sources.tables import load_table
+
+
+@register(
+    "scan_union_sources",
+    oracle="""
+    WITH unioned AS (
+      SELECT event_type, value FROM events WHERE event_type IN ('click','view','purchase')
+      UNION ALL
+      SELECT event_type, value FROM events WHERE event_type IN ('error','signup')
+    )
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value
+    FROM unioned GROUP BY event_type
+    """,
+)
+def scan_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 provider dispatch: each tag routes to the provider that
+    ``can_handle_tag``s it; the merged lazy stream is a union of scans.
+    Here: two disjoint tag partitions scanned separately, unionByName'd."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    provider_a = ev.where(F.col("event_type").isin("click", "view", "purchase"))
+    provider_b = ev.where(F.col("event_type").isin("error", "signup"))
+    return (
+        provider_a.unionByName(provider_b)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE)").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "scan_pruned_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+    """,
+)
+def scan_pruned_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 NCS per-year scan: the reference lists only the year-directories
+    overlapping [from_ts, to_ts); on Spark the same layout is hive
+    ``year=`` partition pruning + parquet min/max row-group skipping —
+    this query's filter and 4-column projection both reach the scan
+    (verify with .explain: PushedFilters + ReadSchema)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+
+
+_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "scan_csv_events",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value,
+           CAST(MIN(ts) AS TIMESTAMP) AS first_ts
+    FROM events GROUP BY event_type
+    """,
+)
+def scan_csv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 IROC CSV scan: multi-tag CSV exports parsed with an explicit
+    schema (``iroc_reader.py::read_iroc_file``).  The fixture ships
+    parquet only, so the CSV leg is materialized once to scratch (exact:
+    timestamps as epoch-micros ints; Java double formatting round-trips),
+    then read back via ``spark.read.csv(schema=...)``."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    csv_dir = f"/tmp/gordo_spark_csv/{sf_tag}/events"
+    ev = load_table(spark, sf_dir, "events")
+    if not os.path.exists(csv_dir):
+        (
+            ev.select(
+                "event_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "user_id",
+                "event_type",
+                "value",
+            )
+            .write.mode("overwrite")
+            .option("header", "true")
+            .csv(csv_dir)
+        )
+    back = spark.read.csv(csv_dir, schema=_CSV_SCHEMA, header=True)
+    return (
+        back.withColumn("ts", F.timestamp_micros("ts_us"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE)").alias("total_value"),
+            F.min("ts").alias("first_ts"),
+        )
+    )
+
+
+@register(
+    "gen_synthetic_series",
+    oracle="""
+    SELECT 'TAG-' || CAST(i % 5 AS VARCHAR) AS tag,
+           TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 1 MINUTE AS ts,
+           round(sin(i * 0.01) * 50.0 + 100.0, 6) AS value
+    FROM range(5000) t(i)
+    """,
+)
+def gen_synthetic_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 RandomDataProvider: deterministic synthetic per-tag series for
+    tests/demos.  Pure arithmetic of the row index — no engine RNG, so
+    the oracle reproduces it exactly (sin rounded: transcendentals are
+    not correctly-rounded across libm implementations)."""
+    return spark.range(0, 5000).select(
+        F.concat(F.lit("TAG-"), (F.col("id") % 5).cast("string")).alias("tag"),
+        F.expr("TIMESTAMP '2024-01-01 00:00:00' + id * INTERVAL 1 MINUTE").alias("ts"),
+        F.round(F.sin(F.col("id") * 0.01) * 50.0 + 100.0, 6).alias("value"),
+    )

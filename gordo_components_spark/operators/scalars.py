@@ -1,0 +1,209 @@
+"""Scalar-function operators O28–O32 (SURVEY §2.8).
+
+Reference: tag-name normalization/DNS-1035 validation
+(``sensor_tag.py``, ``workflow/config_elements/``), timestamp arithmetic
+(``server/views/*``), anomaly column math (``model/anomaly/diff.py``),
+InfImputer (``model/transformers/imputer.py``) and the canonical-JSON
+model key (``builder/build_model.py::calculate_model_key``).
+
+Cross-engine determinism notes: per-row IEEE +-*/ and sqrt are
+correctly-rounded (bit-identical); transcendental pow/exp/ln are not —
+avoided or rounded.  JSON is canonicalized by explicit concatenation,
+not engine ``to_json`` (number formatting differs across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gordo_components_spark.registry import register
+from gordo_components_spark.sources.tables import load_table
+
+_DNS1035 = "^[a-z]([-a-z0-9]*[a-z0-9])?$"
+
+
+@register(
+    "scalar_string_ops",
+    oracle=f"""
+    SELECT c_custkey,
+           lower(c_name) AS name_lc,
+           CAST(length(c_name) AS INT) AS name_len,
+           regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+           replace(lower(c_name), 'customer#', 'machine-') AS machine_name,
+           regexp_matches(replace(lower(c_name), 'customer#', 'machine-'), '{_DNS1035}') AS dns1035_ok
+    FROM customer
+    """,
+)
+def scalar_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O28 tag/machine-name string surface: normalize, measure, extract,
+    DNS-1035-validate (lowercase, ≤63, letter start — the reference's
+    machine-name rule)."""
+    c = load_table(spark, sf_dir, "customer")
+    machine = F.replace(F.lower("c_name"), F.lit("customer#"), F.lit("machine-"))
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lc"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
+        machine.alias("machine_name"),
+        machine.rlike(_DNS1035).alias("dns1035_ok"),
+    )
+
+
+@register(
+    "scalar_ts_ops",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(day(o_orderdate) AS INT) AS dom,
+           date_trunc('month', o_orderdate) AS month_start,
+           o_orderdate + INTERVAL 7 DAY AS due_date,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+)
+def scalar_ts_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O29 timestamp arithmetic: calendar parts, bucket start, offsets,
+    epoch (response ``start``/``end`` columns are bucket ± resolution)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dom"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("due_date"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@register(
+    "scalar_math_anomaly",
+    oracle="""
+    SELECT event_id,
+           abs(value - 100.0) AS abs_dev,
+           sqrt(abs(value)) AS sqrt_v,
+           value * value AS v_sq,
+           greatest(value, 50.0) AS clamp_lo,
+           least(value, 450.0) AS clamp_hi,
+           CAST(sign(value - 100.0) AS DOUBLE) AS dev_sign
+    FROM events
+    """,
+)
+def scalar_math_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O30 elementwise anomaly math: |y−ŷ|, norms, clamps — all
+    correctly-rounded IEEE ops, so no rounding needed for parity."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.abs(F.col("value") - 100.0).alias("abs_dev"),
+        F.sqrt(F.abs("value")).alias("sqrt_v"),
+        (F.col("value") * F.col("value")).alias("v_sq"),
+        F.greatest("value", F.lit(50.0)).alias("clamp_lo"),
+        F.least("value", F.lit(450.0)).alias("clamp_hi"),
+        F.signum(F.col("value") - 100.0).cast("double").alias("dev_sign"),
+    )
+
+
+@register(
+    "scalar_imputer",
+    oracle="""
+    WITH injected AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_type = 'error'  THEN CAST('Infinity' AS DOUBLE)
+                  WHEN event_type = 'signup' THEN CAST('-Infinity' AS DOUBLE)
+                  ELSE value END AS v
+      FROM events
+    ), stats AS (
+      SELECT *,
+             max(CASE WHEN NOT isinf(v) THEN v END) OVER (PARTITION BY event_type) AS fin_max,
+             min(CASE WHEN NOT isinf(v) THEN v END) OVER (PARTITION BY event_type) AS fin_min
+      FROM injected
+    )
+    SELECT event_id, event_type,
+           CASE WHEN v = CAST('Infinity' AS DOUBLE)  THEN fin_max + 1.0
+                WHEN v = CAST('-Infinity' AS DOUBLE) THEN fin_min - 1.0
+                ELSE v END AS v_imputed
+    FROM stats
+    """,
+)
+def scalar_imputer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O31 InfImputer: ±inf replaced by per-column finite max/min ± delta
+    (reference ``model/transformers/imputer.py::InfImputer``).  Fixture
+    has no inf, so ±inf is injected on two tags first."""
+    ev = load_table(spark, sf_dir, "events")
+    inf, ninf = F.lit(float("inf")), F.lit(float("-inf"))
+    injected = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "error", inf)
+        .when(F.col("event_type") == "signup", ninf)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    stats = injected.select(
+        "*",
+        F.expr(
+            "max(CASE WHEN v NOT IN (CAST('Infinity' AS DOUBLE), CAST('-Infinity' AS DOUBLE)) THEN v END) "
+            "OVER (PARTITION BY event_type)"
+        ).alias("fin_max"),
+        F.expr(
+            "min(CASE WHEN v NOT IN (CAST('Infinity' AS DOUBLE), CAST('-Infinity' AS DOUBLE)) THEN v END) "
+            "OVER (PARTITION BY event_type)"
+        ).alias("fin_min"),
+    )
+    return stats.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("v") == inf, F.col("fin_max") + 1.0)
+        .when(F.col("v") == ninf, F.col("fin_min") - 1.0)
+        .otherwise(F.col("v"))
+        .alias("v_imputed"),
+    )
+
+
+@register(
+    "scalar_json_hash",
+    oracle="""
+    SELECT c_custkey,
+           '{"name":"' || c_name || '","nationkey":' || CAST(c_nationkey AS VARCHAR)
+             || ',"segment":"' || c_mktsegment || '"}' AS config_json,
+           sha256('{"name":"' || c_name || '","nationkey":' || CAST(c_nationkey AS VARCHAR)
+             || ',"segment":"' || c_mktsegment || '"}') AS model_key
+    FROM customer
+    """,
+)
+def scalar_json_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O32 model key = sha256 of the canonical-JSON machine config
+    (reference ``calculate_model_key``; drives the O39 rebuild cache).
+    Canonicalization is explicit concatenation — engine to_json() differs
+    in number formatting across implementations."""
+    c = load_table(spark, sf_dir, "customer")
+    js = F.concat(
+        F.lit('{"name":"'),
+        F.col("c_name"),
+        F.lit('","nationkey":'),
+        F.col("c_nationkey").cast("string"),
+        F.lit(',"segment":"'),
+        F.col("c_mktsegment"),
+        F.lit('"}'),
+    )
+    return c.select("c_custkey", js.alias("config_json"), F.sha2(js, 256).alias("model_key"))
+
+
+@register(
+    "scalar_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) % 2 = 0
+    """,
+)
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Testdata addendum: JSON property extraction from ``events.props``
+    with a predicate over the extracted value."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select("event_id", k.alias("k")).where(k % 2 == 0)

@@ -1,0 +1,158 @@
+"""Streaming surface, batch-expressible faces O33–O37 (SURVEY §2.9).
+
+The reference has no streaming engine — "streaming" is the client's
+chunked re-scoring loop (``client/client.py``) plus Influx writes.  Per
+BASELINE.json the serving path maps to Spark micro-batches: the *same*
+windowing expressions below run under Structured Streaming in
+``streaming/micro_batch.py`` (watermarks, availableNow triggers); here
+they're declared over the batch table so the DuckDB oracle can check
+semantics.  Stream↔batch parity is asserted in tests (FIXTURES B5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gordo_components_spark.registry import register
+from gordo_components_spark.sources.tables import load_table
+
+
+@register(
+    "stream_tumbling_agg",
+    oracle="""
+    SELECT event_type,
+           time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+           COUNT(*) AS n,
+           round(avg(value), 9) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("bench",),
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O33 micro-batch scoring cadence: tumbling 10-minute windows per tag
+    (readStream→window→agg in the streaming twin)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 9).alias("avg_value"))
+        .select("event_type", F.col("w.start").alias("window_start"), "n", "avg_value")
+    )
+
+
+@register(
+    "stream_sliding_agg",
+    oracle="""
+    WITH assigned AS (
+      SELECT event_type, value,
+             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS w0
+      FROM events
+    ), exploded AS (
+      SELECT event_type, value, w0 AS window_start FROM assigned
+      UNION ALL
+      SELECT event_type, value, w0 - INTERVAL 5 MINUTE FROM assigned
+    )
+    SELECT event_type, window_start, COUNT(*) AS n,
+           round(avg(value), 9) AS avg_value
+    FROM exploded
+    GROUP BY event_type, window_start
+    """,
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O34 sliding windows (10-minute length, 5-minute slide): each event
+    lands in exactly two windows; Spark's window() explodes the
+    assignment, the oracle reproduces it with a two-way union."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 9).alias("avg_value"))
+        .select("event_type", F.col("w.start").alias("window_start"), "n", "avg_value")
+    )
+
+
+@register(
+    "stream_sessionize",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM ordered
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O35 session/gap detection: 30-minute-gap sessions per machine
+    (data-gap handling; reference answer is dropna on missing buckets).
+    Spark ``session_window`` in batch mode; the oracle rebuilds sessions
+    with the lag-gap + running-sum idiom.  session_end = last event + gap
+    (Spark's session close semantics: window end is exclusive, so an
+    event at exactly prev+gap starts a new session)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE)").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@register(
+    "stream_dedup_ids",
+    oracle="""
+    SELECT DISTINCT event_id, user_id, value
+    FROM (
+      SELECT event_id, user_id, value FROM events
+      UNION ALL
+      SELECT event_id, user_id, value FROM events
+    )
+    """,
+)
+def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O37 stateful dedup (client retry idempotence): at-least-once input
+    (the union doubles every event) deduplicated on the event key —
+    ``dropDuplicates`` in batch, ``dropDuplicatesWithinWatermark`` in the
+    streaming twin."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return ev.unionByName(ev).dropDuplicates(["event_id"])
+
+
+@register("stream_watermark_agg", oracle=None)
+def stream_watermark_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O36 late data / watermark (rows-only: watermark semantics aren't
+    SQL-expressible): a genuine Structured Streaming query — file-replay
+    source, 1h event-time watermark, availableNow trigger, memory sink.
+    Batch parity is asserted in tests/test_streaming.py."""
+    from gordo_components_spark.streaming.micro_batch import run_streaming_tumbling_agg
+
+    return run_streaming_tumbling_agg(spark, sf_dir)
+
+
+@register("stream_watermark_dedup", oracle=None)
+def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O37 streaming-native dedup within the watermark horizon (rows-only):
+    ``dropDuplicatesWithinWatermark`` bounds state on unbounded streams."""
+    from gordo_components_spark.streaming.micro_batch import run_streaming_watermark_dedup
+
+    return run_streaming_watermark_dedup(spark, sf_dir)

@@ -1,0 +1,110 @@
+"""Structured Streaming micro-batch scoring path (SURVEY §2.9, §3.2).
+
+Reference restatement: the Flask ``/anomaly/prediction`` serving loop and
+the client's chunked predict (``client/client.py``) become a
+``readStream → window/score → sink`` pipeline.  Real-time serving does
+not fit Spark (BASELINE.json); micro-batch is the stated approach.
+
+These helpers run a *real* streaming query (file source, event-time
+watermark, availableNow trigger, memory sink) over the events fixture,
+replayed as a multi-file directory so several micro-batches occur.
+``stream_watermark_latedrop`` in the registry wraps them rows-only; the
+batch-parity assertion (FIXTURES B5: streaming result == batch window())
+lives in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from gordo_components_spark.session import prepare
+from gordo_components_spark.sources.tables import load_table
+
+_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:
+    """Materialize events as an n-file parquet directory (micro-batch
+    replay source, FIXTURES B5).  Timestamps land as µs TimestampType so
+    the streaming source needs no ns workaround."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/gordo_spark_stream/{sf_tag}/events_replay"
+    if not os.path.exists(out):
+        (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .repartition(n_files)
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    return out
+
+
+def _run_to_memory(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Execute an availableNow streaming query into a memory sink and
+    return the materialized result table."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append" if stream_df.isStreaming and _is_append_safe(stream_df) else "complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/gordo_spark_stream/chk/{query_name}-{uuid.uuid4().hex}")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def _is_append_safe(df: DataFrame) -> bool:
+    # aggregations without watermark can't append; callers pass
+    # watermarked aggs (append) or dedup (append) here.
+    return True
+
+
+def run_streaming_tumbling_agg(
+    spark: SparkSession, sf_dir: str, duration: str = "10 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """O33/O36: event-time tumbling aggregation with a late-data watermark,
+    executed as a genuine streaming query over the replayed file source."""
+    prepare(spark)
+    src = _replay_dir(spark, sf_dir)
+    stream = spark.readStream.schema(_RAW_SCHEMA).parquet(src)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy("event_type", F.window("ts", duration).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 9).alias("avg_value"))
+        .select("event_type", F.col("w.start").alias("window_start"), "n", "avg_value")
+    )
+    name = f"stream_agg_{uuid.uuid4().hex[:8]}"
+    return _run_to_memory(agg, name)
+
+
+def run_streaming_watermark_dedup(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """O37 streaming dedup keyed on event_id within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — state is bounded by the watermark,
+    which is what makes this viable on an unbounded 100 TB/day stream)."""
+    prepare(spark)
+    src = _replay_dir(spark, sf_dir)
+    stream = spark.readStream.schema(_RAW_SCHEMA).parquet(src)
+    deduped = (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "ts", "event_type", "value")
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    return _run_to_memory(deduped, name)
