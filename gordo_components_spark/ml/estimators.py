@@ -1,0 +1,249 @@
+"""Executor-side estimators for the model islands (SURVEY §2.10).
+
+Reference: ``gordo_components/model/`` — Keras autoencoder factories
+(``model/factories/feedforward_autoencoder.py::feedforward_hourglass``),
+``model/models.py::KerasAutoEncoder`` and
+``model/anomaly/diff.py::DiffBasedAnomalyDetector``.
+
+This container ships neither TensorFlow nor scikit-learn, so the
+estimator backend is pure numpy with the sklearn fit/predict/get_params
+protocol:
+
+- ``PCAAutoEncoder`` — a *linear* autoencoder.  A linear AE's optimal
+  bottleneck spans the top-k principal components (Baldi & Hornik 1989),
+  so truncated SVD gives the closed-form optimum of what
+  ``feedforward_hourglass(func="linear")`` trains toward — deterministic,
+  no epochs, ideal for a distributed train-per-machine island.  The
+  ``kind='feedforward_hourglass'`` config surface is preserved;
+  ``compression_factor`` sets the bottleneck k = ceil(n_features · cf).
+- ``DiffBasedAnomalyDetector`` — reproduces the reference's scheme:
+  time-ordered CV folds, per-tag |y−ŷ| thresholds at the 99th percentile,
+  max across folds (pinned statistic, FIXTURES B4), aggregate threshold
+  on the L2 norm across tags.
+
+Everything here runs inside one pandas-UDF group (one machine's data);
+nothing in this file touches the SparkSession.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class _Base:
+    """Minimal sklearn protocol (get_params/set_params) for the compiler."""
+
+    _params: tuple[str, ...] = ()
+
+    def get_params(self, deep: bool = False) -> dict:
+        return {p: getattr(self, p) for p in self._params}
+
+    def set_params(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+        return self
+
+
+class MinMaxScaler(_Base):
+    """(x−min)/(max−min) per column; reference uses sklearn's via O38."""
+
+    _params = ("feature_range",)
+
+    def __init__(self, feature_range: tuple[float, float] = (0.0, 1.0)):
+        self.feature_range = tuple(feature_range)
+
+    def fit(self, X: np.ndarray, y=None):
+        X = np.asarray(X, dtype=np.float64)
+        self.data_min_ = np.nanmin(X, axis=0)
+        self.data_max_ = np.nanmax(X, axis=0)
+        span = self.data_max_ - self.data_min_
+        span[span == 0.0] = 1.0
+        self.scale_ = (self.feature_range[1] - self.feature_range[0]) / span
+        self.min_ = self.feature_range[0] - self.data_min_ * self.scale_
+        return self
+
+    def transform(self, X: np.ndarray) -> np.ndarray:
+        return np.asarray(X, dtype=np.float64) * self.scale_ + self.min_
+
+    def inverse_transform(self, X: np.ndarray) -> np.ndarray:
+        return (np.asarray(X, dtype=np.float64) - self.min_) / self.scale_
+
+    def fit_transform(self, X, y=None):
+        return self.fit(X).transform(X)
+
+
+class StandardScaler(_Base):
+    """(x−μ)/σ per column."""
+
+    _params = ()
+
+    def fit(self, X: np.ndarray, y=None):
+        X = np.asarray(X, dtype=np.float64)
+        self.mean_ = X.mean(axis=0)
+        sd = X.std(axis=0, ddof=0)
+        sd[sd == 0.0] = 1.0
+        self.scale_ = sd
+        return self
+
+    def transform(self, X: np.ndarray) -> np.ndarray:
+        return (np.asarray(X, dtype=np.float64) - self.mean_) / self.scale_
+
+    def inverse_transform(self, X: np.ndarray) -> np.ndarray:
+        return np.asarray(X, dtype=np.float64) * self.scale_ + self.mean_
+
+    def fit_transform(self, X, y=None):
+        return self.fit(X).transform(X)
+
+
+class PCAAutoEncoder(_Base):
+    """Linear autoencoder via truncated SVD (closed-form optimum).
+
+    Config surface mirrors the reference factory kwargs
+    (``feedforward_hourglass(n_features, encoding_layers,
+    compression_factor, func)``); only ``compression_factor`` affects a
+    linear model — the others are accepted for YAML compatibility.
+    """
+
+    _params = ("kind", "compression_factor", "encoding_layers", "func")
+
+    def __init__(
+        self,
+        kind: str = "feedforward_hourglass",
+        compression_factor: float = 0.5,
+        encoding_layers: int = 3,
+        func: str = "linear",
+    ):
+        self.kind = kind
+        self.compression_factor = compression_factor
+        self.encoding_layers = encoding_layers
+        self.func = func
+
+    def fit(self, X: np.ndarray, y: np.ndarray | None = None):
+        X = np.asarray(X, dtype=np.float64)
+        if y is not None and np.asarray(y).shape != X.shape:
+            raise ValueError("autoencoder requires y is None or y == X")
+        self.n_features_ = X.shape[1]
+        k = max(1, int(np.ceil(self.n_features_ * float(self.compression_factor))))
+        self.k_ = min(k, self.n_features_)
+        self.mean_ = X.mean(axis=0)
+        Xc = X - self.mean_
+        # full_matrices=False keeps this O(n·d·min(n,d)); deterministic.
+        _, _, vt = np.linalg.svd(Xc, full_matrices=False)
+        self.components_ = vt[: self.k_]
+        return self
+
+    def encode(self, X: np.ndarray) -> np.ndarray:
+        return (np.asarray(X, dtype=np.float64) - self.mean_) @ self.components_.T
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        return self.encode(X) @ self.components_ + self.mean_
+
+    def score(self, X: np.ndarray, y: np.ndarray | None = None) -> float:
+        """Explained variance of the reconstruction (reference
+        ``KerasBaseEstimator.score`` uses explained_variance_score)."""
+        X = np.asarray(X, dtype=np.float64)
+        err = X - self.predict(X)
+        denom = X.var(axis=0).sum()
+        return float(1.0 - err.var(axis=0).sum() / denom) if denom else 0.0
+
+
+class Pipeline(_Base):
+    """scaler → estimator chain (the reference nests sklearn Pipelines)."""
+
+    _params = ("steps",)
+
+    def __init__(self, steps: list):
+        self.steps = steps  # list[(name, obj)] or list[obj]
+
+    def _pairs(self):
+        return [s if isinstance(s, tuple) else (type(s).__name__, s) for s in self.steps]
+
+    def fit(self, X: np.ndarray, y: np.ndarray | None = None):
+        pairs = self._pairs()
+        for _, step in pairs[:-1]:
+            X = step.fit_transform(X)
+        pairs[-1][1].fit(X, X if y is None else y)
+        return self
+
+    def transform_input(self, X: np.ndarray) -> np.ndarray:
+        for _, step in self._pairs()[:-1]:
+            X = step.transform(X)
+        return X
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        return self._pairs()[-1][1].predict(self.transform_input(X))
+
+    @property
+    def final_estimator(self):
+        return self._pairs()[-1][1]
+
+
+def time_series_folds(n: int, n_splits: int = 3):
+    """sklearn ``TimeSeriesSplit`` semantics: test size = n//(n_splits+1),
+    train = everything before the test block (expanding window)."""
+    test_size = n // (n_splits + 1)
+    if test_size < 1:
+        raise ValueError(f"too few samples ({n}) for {n_splits} time-series folds")
+    for i in range(1, n_splits + 1):
+        train_end = n - (n_splits - i + 1) * test_size
+        yield np.arange(0, train_end), np.arange(train_end, train_end + test_size)
+
+
+class DiffBasedAnomalyDetector(_Base):
+    """Reference ``model/anomaly/diff.py::DiffBasedAnomalyDetector``.
+
+    fit: fit base estimator on all data.
+    cross_validate: expanding-window folds; per fold fit a clone and take
+    the 99th percentile of validation |y−ŷ| per tag (and of the L2 norm
+    across tags); thresholds = max across folds (pinned, FIXTURES B4).
+    anomaly(X): per-tag scaled error + total L2 + threshold comparison.
+    """
+
+    _params = ("base_estimator", "quantile", "n_splits")
+
+    def __init__(self, base_estimator=None, quantile: float = 0.99, n_splits: int = 3):
+        self.base_estimator = base_estimator
+        self.quantile = quantile
+        self.n_splits = n_splits
+
+    def _clone(self):
+        import copy
+
+        return copy.deepcopy(self.base_estimator)
+
+    def fit(self, X: np.ndarray, y: np.ndarray | None = None):
+        X = np.asarray(X, dtype=np.float64)
+        self.base_estimator.fit(X, y)
+        return self
+
+    def cross_validate(self, X: np.ndarray):
+        X = np.asarray(X, dtype=np.float64)
+        tag_thresholds, total_thresholds, fold_scores = [], [], []
+        for train_idx, val_idx in time_series_folds(len(X), self.n_splits):
+            model = self._clone()
+            model.fit(X[train_idx])
+            err = np.abs(X[val_idx] - model.predict(X[val_idx]))
+            tag_thresholds.append(np.quantile(err, self.quantile, axis=0))
+            total_thresholds.append(np.quantile(np.linalg.norm(err, axis=1), self.quantile))
+            fold_scores.append(float(err.mean()))
+        self.tag_thresholds_ = np.max(np.vstack(tag_thresholds), axis=0)
+        self.total_threshold_ = float(np.max(total_thresholds))
+        self.fold_mae_ = fold_scores
+        return self
+
+    def anomaly(self, X: np.ndarray) -> dict[str, np.ndarray]:
+        """Flattened D6 prediction frame (SURVEY §1.2): ``model_output``,
+        per-tag anomaly, total L2 anomaly, + fitted thresholds."""
+        X = np.asarray(X, dtype=np.float64)
+        yhat = self.base_estimator.predict(X)
+        err = np.abs(X - yhat)
+        out = {
+            "model_output": yhat,
+            "tag_anomaly": err,
+            "total_anomaly": np.linalg.norm(err, axis=1),
+        }
+        if hasattr(self, "total_threshold_"):
+            out["tag_thresholds"] = self.tag_thresholds_
+            out["total_threshold"] = self.total_threshold_
+            out["is_anomaly"] = out["total_anomaly"] > self.total_threshold_
+        return out

@@ -20,7 +20,12 @@ Module map (SURVEY.md §2 categories):
 
 from gordo_components_spark.operators import (  # noqa: F401
     alignment,
+    extensions_dedup,
+    extensions_multimodal,
+    extensions_similarity,
+    extensions_text,
     flagship,
+    ml_islands,
     model_sql,
     providers,
     relational,

@@ -1,0 +1,238 @@
+"""Deduplication extension operators (SURVEY §2.11 E1/E2 + BASELINE.json
+mandate: exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine).
+
+These are the LLM-training-pipeline operators the north star adds beyond
+the reference.  Scale design: every candidate-pair generator BLOCKS
+before it joins — exact dedup blocks on the content hash, Jaccard on
+(source, length-bucket), MinHash on LSH band buckets, embedding near-dup
+on LSH-ish sign buckets — so no self-join is ever O(n²) over the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gordo_components_spark.registry import register
+from gordo_components_spark.sources.tables import load_table
+
+
+@register(
+    "ext_dedup_exact",
+    oracle="""
+    WITH doubled AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    )
+    SELECT md5(text) AS text_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM doubled
+    GROUP BY md5(text)
+    """,
+)
+def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 exact dedup: hash-groupBy on content digest, keep the lowest id
+    (deterministic survivor).  The fixture corpus is duplicate-free, so an
+    offset copy is unioned in to make every group size 2.  At 100 TB this
+    is one shuffle on the digest — the digest (not the text) is the
+    shuffle key, so wide rows don't inflate the exchange."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return (
+        doubled.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+_SHINGLES = (
+    "array_distinct(transform(sequence(0, size(split(text, ' ')) - 3), "
+    "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))))"
+)
+
+
+@register(
+    "ext_dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, source, CAST(n_chars // 100 AS INT) AS len_bucket,
+             list_distinct([array_to_string(string_split(text,' ')[i:i+2], ' ')
+                            FOR i IN range(1, len(string_split(text,' ')) - 1)]) AS shingles
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.source = b.source AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) > 0.01
+    """,
+)
+def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup with blocking: pairs only form inside
+    a (source, length-bucket) block, so candidate generation stays linear
+    in block sizes instead of O(n²) over the corpus — the blocking key is
+    the shuffle key.  Shingling is native (split/sequence/slice), no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        (F.col("n_chars") / 100).cast("int").alias("len_bucket"),
+        F.expr(_SHINGLES).alias("shingles"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double")
+    union = F.size(F.array_union("a.shingles", "b.shingles"))
+    jac = inter / union
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(jac, 6).alias("jaccard"),
+    ).where(jac > 0.01)
+
+
+_N_HASHES = 16
+_BAND_SIZE = 4
+
+
+@register("ext_dedup_minhash", oracle=None)
+def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 MinHash+LSH near-dup (rows-only: hash permutations aren't
+    reproducible in the oracle).  Pipeline: shingle → 16 xxhash64
+    "permutations" → min per permutation → 4 bands of 4 → band-bucket
+    join → verified Jaccard on candidates.  This is the 100 TB near-dup
+    path: the only join is on (band, bucket-signature), candidates are a
+    vanishing fraction of all pairs.  MLlib's MinHashLSH/approxSimilarityJoin
+    is the library form; this stays in native exprs (no vector UDT).
+
+    Determinism: xxhash64 is a fixed function of (shingle, seed), so the
+    whole plan is reproducible run-to-run — asserted in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.expr(_SHINGLES).alias("shingles")).where(F.size("shingles") > 0)
+    minhash_cols = [
+        F.expr(
+            f"array_min(transform(shingles, s -> xxhash64(s, {i})))"
+        ).alias(f"mh{i}")
+        for i in range(_N_HASHES)
+    ]
+    sigs = sh.select("doc_id", "shingles", *minhash_cols)
+    bands = []
+    for band in range(_N_HASHES // _BAND_SIZE):
+        cols = ", ".join(f"mh{band * _BAND_SIZE + j}" for j in range(_BAND_SIZE))
+        bands.append(
+            sigs.select(
+                "doc_id",
+                "shingles",
+                F.lit(band).alias("band"),
+                F.expr(f"xxhash64({cols})").alias("bucket"),
+            )
+        )
+    exploded = bands[0]
+    for bdf in bands[1:]:
+        exploded = exploded.unionByName(bdf)
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return cand.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+
+
+_SIMHASH_BITS = 32
+
+
+@register("ext_dedup_simhash", oracle=None)
+def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprints (rows-only): per token a 32-bit
+    xxhash64-derived hash votes ±1 on each bit position; the sign vector
+    is the fingerprint.  Near-dups differ in few bits (Hamming ≤ 3 via
+    a 4-block exact-match index at scale — Manku et al., WWW'07).
+    Emitted: doc_id, simhash as bigint, plus its 4 sub-bands (the
+    block-permuted index keys)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("tokens"))
+    # per-bit vote: sum over tokens of (bit set ? 1 : -1); bit = 1 if sum > 0
+    bit_exprs = [
+        f"(CASE WHEN aggregate(tokens, 0L, (acc, t) -> acc + "
+        f"CASE WHEN (xxhash64(t) >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << {i}"
+        for i in range(_SIMHASH_BITS)
+    ]
+    sim = toks.select(
+        "doc_id", F.expr(" + ".join(f"({e})" for e in bit_exprs)).alias("simhash")
+    )
+    return sim.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.expr(f"(simhash >> {8 * j}) & 255").alias(f"band{j}")
+            for j in range(4)
+        ],
+    )
+
+
+@register(
+    "ext_dedup_embed_cos",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.30
+    """,
+)
+def ext_dedup_embed_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (stand-in for an
+    ANN/LSH bucket at scale; the fixture's labels are the partition key).
+    Dot products fold left-to-right in both engines; output rounded."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dot = "aggregate(zip_with(a_v, b_v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("v"),
+        F.sqrt(
+            F.expr(
+                "aggregate(zip_with(embedding, embedding, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+        ).alias("nrm"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.v").alias("a_v"),
+        F.col("b.v").alias("b_v"),
+        (F.col("a.nrm") * F.col("b.nrm")).alias("nn"),
+    )
+    cos = F.round(F.expr(dot) / F.col("nn"), 6)
+    return pairs.select("vec_a", "vec_b", cos.alias("cosine")).where(F.col("cosine") >= 0.30)

@@ -1,0 +1,122 @@
+"""Multimodal-column extension operators (SURVEY §2.11 E5 + BASELINE.json
+mandate: image/audio/video as opaque binary columns with typed metadata).
+
+The container has no image/audio codecs, so the decode kernel is a
+clearly-marked deterministic fake (`_fake_decode`) — but everything
+Spark-side is real and load-bearing: the binary column, the metadata
+struct, the Arrow batch shape through ``mapInPandas``, and the output
+schema contract.  Swapping `_fake_decode` for PIL/torchaudio is a
+one-function change that alters no plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from gordo_components_spark.registry import register
+from gordo_components_spark.session import prepare
+from gordo_components_spark.sources.tables import load_table
+
+
+@register(
+    "ext_struct_project",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             struct_pack(lang := lang, source := source, n_chars := n_chars) AS meta,
+             encode(text) AS payload
+      FROM documents
+    )
+    SELECT doc_id,
+           meta.lang AS lang,
+           meta.n_chars AS n_chars,
+           CAST(octet_length(payload) AS BIGINT) AS n_bytes
+    FROM m
+    WHERE meta.source = 'src3' AND meta.n_chars > 200
+    """,
+)
+def ext_struct_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 multimodal column shape: opaque binary payload + typed metadata
+    struct; filters and projections address struct fields directly and
+    still prune/push down (Catalyst resolves nested fields)."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        F.struct(
+            F.col("lang").alias("lang"),
+            F.col("source").alias("source"),
+            F.col("n_chars").alias("n_chars"),
+        ).alias("meta"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return m.where(
+        (F.col("meta.source") == "src3") & (F.col("meta.n_chars") > 200)
+    ).select(
+        "doc_id",
+        F.col("meta.lang").alias("lang"),
+        F.col("meta.n_chars").alias("n_chars"),
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+    )
+
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("feat_mean", T.DoubleType()),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
+    """STUB decode kernel — the real container lacks PIL/ffmpeg.  A real
+    deployment replaces this body with e.g. ``PIL.Image.open(BytesIO(p))``;
+    deterministic fake: dimensions derived from the payload digest, a
+    "feature" from the byte mean.  Raising NotImplementedError here would
+    also be legitimate; a deterministic fake keeps the pipeline testable."""
+    import hashlib
+
+    h = hashlib.md5(payload).digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    n_frames = 1 + h[2] % 8
+    feat_mean = (sum(payload) / len(payload)) if payload else 0.0
+    return width, height, n_frames, feat_mean
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+            }
+        )
+        decoded = pdf["payload"].map(_fake_decode)
+        out["width"] = decoded.map(lambda t: t[0]).astype("int32")
+        out["height"] = decoded.map(lambda t: t[1]).astype("int32")
+        out["n_frames"] = decoded.map(lambda t: t[2]).astype("int32")
+        out["feat_mean"] = decoded.map(lambda t: t[3]).astype("float64")
+        yield out
+
+
+@register("multimodal_decode_stub", oracle=None)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 decode/feature-extract plumbing (rows-only): binary payloads
+    stream through ``mapInPandas`` in Arrow batches; the decode kernel is
+    a deterministic stub (no codecs in this container).  Partitioning,
+    UDF signature, batch shape and output schema are the real contract —
+    at 100 TB the only knobs are maxRecordsPerBatch (bound batch memory
+    by payload size) and input-split sizing."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return payloads.mapInPandas(_decode_batches, schema=_DECODE_SCHEMA)

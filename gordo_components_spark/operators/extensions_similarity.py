@@ -1,0 +1,165 @@
+"""Similarity-search extension operators (SURVEY §2.11 E3/E6).
+
+Vector search over the ``embeddings`` table (``array<float>`` column):
+brute-force cosine top-k as the exact baseline, an IVF (inverted-file)
+two-stage variant as the scale path, and element-wise centroid
+aggregation.  All dot products are native lambda-expression folds
+(``zip_with`` + ``aggregate``) — JVM-side, no Python in the hot path.
+
+100 TB posture: brute-force is one broadcast (the query vector) + one
+map + a TakeOrdered top-k — embarrassingly parallel; IVF prunes the
+scan to nprobe partitions when the corpus is bucketed by centroid id
+(partition pruning does the skipping).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gordo_components_spark.registry import register
+from gordo_components_spark.sources.tables import load_table
+
+_QUERY_ID = 0  # the fixture row serving as the query vector
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+
+
+def _norm(col: str) -> str:
+    return f"sqrt({_DOT.format(a=col, b=col)})"
+
+
+@register(
+    "ext_cosine_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT v AS qv, sqrt(list_inner_product(v, v)) AS qn FROM e WHERE vec_id = {_QUERY_ID}
+    )
+    SELECT e.vec_id,
+           round(list_inner_product(e.v, q.qv)
+                 / (sqrt(list_inner_product(e.v, e.v)) * q.qn), 6) AS cosine
+    FROM e, q
+    WHERE e.vec_id <> {_QUERY_ID}
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 10
+    """,
+    tags=("bench",),
+)
+def ext_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 exact brute-force cosine top-k: query vector broadcast, one pass
+    over the corpus, TakeOrderedAndProject for the limit.  The rounded
+    score is the sort key on both engines so tie-breaking (by vec_id) is
+    deterministic."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", F.col("embedding").alias("v"))
+    q = emb.where(F.col("vec_id") == _QUERY_ID).select(
+        F.col("v").alias("qv"), F.expr(_norm("v")).alias("qn")
+    )
+    scored = (
+        emb.where(F.col("vec_id") != _QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                F.expr(_DOT.format(a="v", b="qv")) / (F.expr(_norm("v")) * F.col("qn")), 6
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), "vec_id").limit(10)
+
+
+@register(
+    "ext_embed_centroid",
+    oracle="""
+    SELECT label, CAST(t.i AS INT) AS pos,
+           round(avg(CAST(embedding[t.i + 1] AS DOUBLE)), 6) AS centroid_val
+    FROM embeddings, range(64) t(i)
+    GROUP BY label, t.i
+    """,
+)
+def ext_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 per-label centroid, element-wise: posexplode → groupBy(label,
+    pos) → avg.  Long-format output (label, pos, value) instead of an
+    array column — array hashing is engine-specific, scalars aren't; the
+    array form is one ``array_agg(... ORDER BY pos)`` away."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", F.col("pos").cast("int").alias("pos"))
+        .agg(F.round(F.avg("val"), 6).alias("centroid_val"))
+    )
+
+
+_NPROBE = 3
+_IVF_QUERY = 7
+
+
+@register(
+    "ext_ann_ivf",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cent AS (
+      SELECT label, CAST(t.i AS INT) AS pos,
+             round(avg(v[t.i + 1]), 9) AS c
+      FROM e, range(64) t(i)
+      GROUP BY label, t.i
+    ), q AS (
+      SELECT v AS qv FROM e WHERE vec_id = {_IVF_QUERY}
+    ), qdist AS (
+      SELECT cent.label,
+             round(sum((cent.c - q.qv[cent.pos + 1]) * (cent.c - q.qv[cent.pos + 1])), 9) AS d2
+      FROM cent, q
+      GROUP BY cent.label
+    ), probes AS (
+      SELECT label FROM qdist ORDER BY d2, label LIMIT {_NPROBE}
+    ), cand AS (
+      SELECT e.vec_id, e.v FROM e JOIN probes USING (label)
+      WHERE e.vec_id <> {_IVF_QUERY}
+    )
+    SELECT cand.vec_id,
+           round(list_inner_product(cand.v, q.qv)
+                 / (sqrt(list_inner_product(cand.v, cand.v))
+                    * sqrt(list_inner_product(q.qv, q.qv))), 6) AS cosine
+    FROM cand, q
+    ORDER BY cosine DESC, cand.vec_id
+    LIMIT 10
+    """,
+)
+def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 scale path — IVF two-stage ANN: (1) coarse quantizer = per-label
+    centroids; pick the nprobe nearest cells to the query; (2) exact
+    re-rank inside those cells only.  With the corpus written bucketed/
+    partitioned by cell id, stage 2 scans nprobe/ncells of the data
+    (partition pruning) — that asymmetry is the entire point of IVF."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").alias("v")
+    )
+    cent = (
+        emb.select("label", F.posexplode("v").alias("pos", "cval"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("cval"), 9).alias("c"))
+    )
+    q = emb.where(F.col("vec_id") == _IVF_QUERY).select(F.col("v").alias("qv"))
+    diff = F.col("c") - F.expr("qv[pos]")
+    qdist = (
+        cent.crossJoin(F.broadcast(q))
+        .select("label", (diff * diff).alias("sq"))
+        .groupBy("label")
+        .agg(F.round(F.sum("sq"), 9).alias("d2"))
+    )
+    probes = qdist.orderBy("d2", "label").limit(_NPROBE).select("label")
+    cand = emb.join(F.broadcast(probes), "label").where(F.col("vec_id") != _IVF_QUERY)
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                F.expr(_DOT.format(a="v", b="qv"))
+                / (F.expr(_norm("v")) * F.expr(_norm("qv"))),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )

@@ -1,0 +1,169 @@
+"""Text-analysis extension operators (SURVEY §2.11 E4 + BASELINE.json
+mandate: language-ID, quality scoring, token counting, fingerprinting).
+
+All native column expressions over ``documents`` — lambda functions
+(``transform``/``filter``/``aggregate``) keep the token loops inside
+whole-stage codegen; there is no Python UDF in any of these paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gordo_components_spark.registry import register
+from gordo_components_spark.sources.tables import load_table
+
+
+@register(
+    "ext_text_tokens",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS avg_tokens,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def ext_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 corpus token statistics per language (whitespace tokenization —
+    the fixture corpus is single-space word salad)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntok).cast("bigint").alias("n_tokens"),
+        F.round(F.avg(ntok.cast("double")), 6).alias("avg_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "ext_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens_ws,
+           CAST(ceil(n_chars / 4.0) AS BIGINT) AS tokens_bpe_est,
+           CAST(greatest(len(string_split(text, ' ')),
+                         ceil(n_chars / 4.0)) AS BIGINT) AS tokens_budget
+    FROM documents
+    """,
+)
+def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for training-budget accounting: whitespace count +
+    the chars/4 BPE estimate (the standard budgeting heuristic when the
+    real tokenizer isn't on the cluster), budget = max of both."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split("text", " ")).cast("bigint")
+    bpe = F.ceil(F.col("n_chars") / 4.0).cast("bigint")
+    return docs.select(
+        "doc_id",
+        ws.alias("tokens_ws"),
+        bpe.alias("tokens_bpe_est"),
+        F.greatest(ws, bpe).alias("tokens_budget"),
+    )
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+_SW_LIST = "array(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+
+@register(
+    "ext_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(CAST(n_chars AS DOUBLE) / len(toks), 6) AS avg_token_len,
+           round(CAST(len(list_filter(toks, w -> list_contains({_SW_SQL}, w))) AS DOUBLE)
+                 / len(toks), 6) AS stopword_ratio,
+           round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio
+    FROM t
+    """,
+)
+def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals (C4/Gopher-style gates): token count,
+    mean token length, stopword ratio, lexical diversity.  Downstream, a
+    single ``WHERE`` over these columns is the quality filter; each
+    signal is a codegen'd expression, so the gate costs one scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    sw = F.size(F.expr(f"filter(split(text, ' '), w -> array_contains({_SW_LIST}, w))"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        n.cast("bigint").alias("n_tokens"),
+        F.round(F.col("n_chars").cast("double") / n, 6).alias("avg_token_len"),
+        F.round(sw.cast("double") / n, 6).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / n, 6).alias("distinct_ratio"),
+    )
+
+
+@register(
+    "ext_lang_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ), scores AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(toks, w -> list_contains({_SW_SQL}, w))) AS DOUBLE)
+               / len(toks) AS en_score,
+             CAST(len(list_filter(toks, w -> length(w) >= 7)) AS DOUBLE)
+               / len(toks) AS long_score
+    FROM t
+    )
+    SELECT doc_id, lang,
+           CASE WHEN en_score >= 0.08 THEN 'en'
+                WHEN long_score >= 0.35 THEN 'de'
+                ELSE 'other' END AS lang_pred
+    FROM scores
+    """,
+)
+def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-density vs long-token-density
+    decision list (the classic n-gram/profile approach compressed to two
+    features).  The fixture corpus shares one vocabulary across langs, so
+    accuracy is not meaningful here — the operator contract (deterministic
+    per-doc prediction, native exprs) is what's exercised; swap the
+    decision list for per-language character-n-gram profiles in a real
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    en = F.size(F.expr(f"filter(split(text, ' '), w -> array_contains({_SW_LIST}, w))")).cast(
+        "double"
+    ) / n
+    lng = F.size(F.expr("filter(split(text, ' '), w -> length(w) >= 7)")).cast("double") / n
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(en >= 0.08, "en").when(lng >= 0.35, "de").otherwise("other").alias("lang_pred"),
+    )
+
+
+@register(
+    "ext_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS prefix_fp,
+           md5(lower(text)) AS full_fp,
+           CAST(length(text) AS BIGINT) AS fp_len
+    FROM documents
+    """,
+)
+def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: content digest + prefix digest (the
+    rolling-hash family's first window) for fast candidate lookup keyed
+    on either."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8))).alias("prefix_fp"),
+        F.md5(F.lower("text")).alias("full_fp"),
+        F.length("text").cast("bigint").alias("fp_len"),
+    )

@@ -1,0 +1,102 @@
+"""Declarative pipeline compiler O38 (SURVEY §2.10).
+
+Reference: ``gordo_components/serializer/__init__.py::from_definition`` /
+``into_definition`` — a YAML/dict definition compiles to an estimator
+object graph and back.  The grammar is the reference's: a definition node
+is either a bare dotted class name (no kwargs), or a single-key dict
+``{dotted.ClassName: {kwargs}}``; kwarg values recurse (so pipelines nest
+estimators, detectors nest pipelines).
+
+The class table maps the reference's sklearn/Keras names onto this
+engine's numpy estimators — the YAML surface is unchanged, so a machine
+config written for the reference compiles here verbatim.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from gordo_components_spark.ml.estimators import (
+    DiffBasedAnomalyDetector,
+    MinMaxScaler,
+    PCAAutoEncoder,
+    Pipeline,
+    StandardScaler,
+)
+
+
+class DefinitionError(ValueError):
+    """Malformed pipeline definition."""
+
+
+#: dotted-name → class; both reference-style and short names accepted.
+CLASS_TABLE: dict[str, type] = {
+    "pipeline.Pipeline": Pipeline,
+    "sklearn.pipeline.Pipeline": Pipeline,
+    "preprocessing.MinMaxScaler": MinMaxScaler,
+    "sklearn.preprocessing.MinMaxScaler": MinMaxScaler,
+    "preprocessing.StandardScaler": StandardScaler,
+    "sklearn.preprocessing.StandardScaler": StandardScaler,
+    "models.AutoEncoder": PCAAutoEncoder,
+    "gordo_components.model.models.KerasAutoEncoder": PCAAutoEncoder,
+    "anomaly.DiffBasedAnomalyDetector": DiffBasedAnomalyDetector,
+    "gordo_components.model.anomaly.diff.DiffBasedAnomalyDetector": DiffBasedAnomalyDetector,
+}
+
+_REVERSE = {cls: name for name, cls in CLASS_TABLE.items()}  # first name wins on dups
+
+
+def from_definition(definition: Any):
+    """Compile a definition node into an estimator object."""
+    if isinstance(definition, str):
+        return _lookup(definition)()
+    if isinstance(definition, dict):
+        if len(definition) != 1:
+            raise DefinitionError(
+                f"definition node must have exactly one key, got {sorted(definition)}"
+            )
+        (name, kwargs), = definition.items()
+        cls = _lookup(name)
+        if kwargs is None:
+            return cls()
+        if not isinstance(kwargs, dict):
+            raise DefinitionError(f"kwargs for {name} must be a mapping, got {type(kwargs)}")
+        return cls(**{k: _compile_value(v) for k, v in kwargs.items()})
+    raise DefinitionError(f"cannot compile definition of type {type(definition)}")
+
+
+def _compile_value(value: Any):
+    if isinstance(value, str) and value in CLASS_TABLE:
+        return _lookup(value)()
+    if isinstance(value, dict) and len(value) == 1 and next(iter(value)) in CLASS_TABLE:
+        return from_definition(value)
+    if isinstance(value, list):
+        return [_compile_value(v) for v in value]
+    return value
+
+
+def _lookup(name: str) -> type:
+    if name not in CLASS_TABLE:
+        raise DefinitionError(f"unknown estimator {name!r}; known: {sorted(CLASS_TABLE)}")
+    return CLASS_TABLE[name]
+
+
+def into_definition(obj: Any) -> Any:
+    """Serialize an estimator object graph back to definition form
+    (roundtrip partner of :func:`from_definition`)."""
+    cls = type(obj)
+    if cls not in _REVERSE:
+        return obj  # plain value
+    params = {k: _serialize_value(v) for k, v in obj.get_params().items()}
+    params = {k: v for k, v in params.items() if v is not None}
+    return {_REVERSE[cls]: params} if params else _REVERSE[cls]
+
+
+def _serialize_value(value: Any) -> Any:
+    if type(value) in _REVERSE:
+        return into_definition(value)
+    if isinstance(value, list):
+        return [_serialize_value(v) for v in value]
+    if isinstance(value, tuple):
+        return list(value)
+    return value

@@ -1,0 +1,94 @@
+"""Estimator unit tests (reference ``tests/.../model/test_model.py``,
+``test_anomaly_detectors.py`` semantics, numpy backend)."""
+
+import numpy as np
+import pytest
+
+from gordo_components_spark.ml.estimators import (
+    DiffBasedAnomalyDetector,
+    MinMaxScaler,
+    PCAAutoEncoder,
+    Pipeline,
+    StandardScaler,
+    time_series_folds,
+)
+
+rng = np.random.default_rng(42)
+
+
+def _toy(n=200, d=4):
+    # rank-2 signal + small noise: a k=2 linear AE should reconstruct well
+    latent = rng.normal(size=(n, 2))
+    mix = rng.normal(size=(2, d))
+    return latent @ mix + 0.01 * rng.normal(size=(n, d))
+
+
+def test_minmax_scaler_roundtrip():
+    X = _toy()
+    s = MinMaxScaler()
+    Z = s.fit_transform(X)
+    assert Z.min() >= -1e-12 and Z.max() <= 1 + 1e-12
+    np.testing.assert_allclose(s.inverse_transform(Z), X, atol=1e-10)
+
+
+def test_standard_scaler():
+    X = _toy()
+    Z = StandardScaler().fit_transform(X)
+    np.testing.assert_allclose(Z.mean(axis=0), 0, atol=1e-10)
+    np.testing.assert_allclose(Z.std(axis=0), 1, atol=1e-10)
+
+
+def test_pca_autoencoder_shapes_and_quality():
+    X = _toy()
+    ae = PCAAutoEncoder(compression_factor=0.5)  # k=2 of d=4
+    ae.fit(X)
+    assert ae.k_ == 2
+    yhat = ae.predict(X)
+    assert yhat.shape == X.shape
+    assert ae.score(X) > 0.99  # rank-2 data → near-perfect reconstruction
+
+
+def test_autoencoder_rejects_mismatched_y():
+    X = _toy()
+    with pytest.raises(ValueError):
+        PCAAutoEncoder().fit(X, y=X[:, :2])
+
+
+def test_time_series_folds_expanding():
+    folds = list(time_series_folds(100, 3))
+    assert len(folds) == 3
+    for train, test in folds:
+        assert train.max() < test.min()  # no leakage
+        assert len(test) == 25
+    assert len(folds[0][0]) < len(folds[1][0]) < len(folds[2][0])
+
+
+def test_diff_detector_thresholds_and_anomaly():
+    X = _toy(400)
+    det = DiffBasedAnomalyDetector(
+        base_estimator=Pipeline(steps=[MinMaxScaler(), PCAAutoEncoder(compression_factor=0.5)])
+    )
+    det.fit(X)
+    det.cross_validate(X)
+    assert det.total_threshold_ > 0
+    assert det.tag_thresholds_.shape == (4,)
+    out = det.anomaly(X)
+    assert (out["total_anomaly"] >= 0).all()
+    # clean validation data: the vast majority under threshold
+    assert out["is_anomaly"].mean() < 0.05
+    # an injected 10σ spike must flag
+    spike = X.copy()
+    spike[0] += 10 * X.std(axis=0)
+    assert det.anomaly(spike)["is_anomaly"][0]
+
+
+def test_detector_deterministic():
+    X = _toy()
+    def build():
+        d = DiffBasedAnomalyDetector(
+            base_estimator=Pipeline(steps=[MinMaxScaler(), PCAAutoEncoder()])
+        )
+        d.fit(X)
+        d.cross_validate(X)
+        return d
+    assert build().total_threshold_ == build().total_threshold_

@@ -1,0 +1,103 @@
+"""Operator-semantics unit ring (reference dataset-layer test cases
+restated; FIXTURES B1/B2 expectations)."""
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from gordo_components_spark.functions.timeseries import EVENT_TYPES, pivot_wide, resample
+from gordo_components_spark.registry import load_all
+from gordo_components_spark.sources.tables import load_table
+
+
+def test_alignment_drops_incomplete_buckets(spark):
+    # inner alignment: any bucket missing ≥1 tag is dropped (reference
+    # _join_timeseries dropna semantics)
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:05", "2024-01-01 00:07", "2024-01-01 01:05"]
+            ),
+            "event_type": ["click", "view", "click"],  # hour 0 has 2 tags, hour 1 only 1
+            "value": [1.0, 2.0, 3.0],
+        }
+    )
+    wide = pivot_wide(spark.createDataFrame(pdf), "60 minutes")
+    complete = wide.dropna(subset=["evt_click", "evt_view"]).collect()
+    assert len(complete) == 1
+    assert complete[0]["evt_click"] == 1.0 and complete[0]["evt_view"] == 2.0
+
+
+def test_resample_buckets_and_multi_agg(spark):
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "ts": pd.to_datetime(["2024-01-01 00:01", "2024-01-01 00:09", "2024-01-01 00:11"]),
+            "event_type": ["click"] * 3,
+            "value": [1.0, 3.0, 10.0],
+        }
+    )
+    out = resample(spark.createDataFrame(pdf), "10 minutes", ("avg", "max", "count")).collect()
+    by_bucket = {r["bucket"].minute: r for r in out}
+    assert by_bucket[0]["value__avg"] == 2.0 and by_bucket[0]["value__max"] == 3.0
+    assert by_bucket[0]["value__count"] == 2
+    assert by_bucket[10]["value__avg"] == 10.0
+
+
+def test_buffer_dilation_drops_neighbors(spark):
+    # FIXTURES B2: a single isolated False with buffer 2 ⇒ 2·2+1 rows dropped
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1] * 9,
+            "event_id": range(9),
+            "ts": pd.date_range("2024-01-01", periods=9, freq="1min"),
+            "value": [10.0] * 4 + [999.0] + [10.0] * 4,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    kept = (
+        df.withColumn("ok", F.when(F.col("value") < 300, 1).otherwise(0))
+        .withColumn(
+            "keep",
+            F.expr(
+                "MIN(ok) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+                "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)"
+            ),
+        )
+        .where("keep = 1")
+        .collect()
+    )
+    assert len(kept) == 9 - 5
+    assert {r["event_id"] for r in kept} == {0, 1, 7, 8}
+
+
+def test_event_types_vocabulary_matches_fixture(spark, sf_dir):
+    actual = {
+        r[0] for r in load_table(spark, sf_dir, "events").select("event_type").distinct().collect()
+    }
+    assert actual == set(EVENT_TYPES)
+
+
+def test_registry_complete_and_consistent():
+    reg = load_all()
+    # every §2 harness ID present (spot-check the inventory backbone)
+    must_have = {
+        "flagship_anomaly", "scan_union_sources", "scan_pruned_range", "scan_csv_events",
+        "gen_synthetic_series", "filter_time_range", "filter_dsl_compound",
+        "filter_buffer_window", "filter_known_periods", "gate_min_samples",
+        "project_xy_split", "join_align_inner", "join_asof_ffill", "join_broadcast_dim",
+        "join_equi_inner", "join_left_outer", "join_semi", "join_anti", "join_range_theta",
+        "agg_resample_mean", "agg_resample_multi", "agg_tag_stats", "agg_cv_scores",
+        "agg_error_quantile", "agg_groupby_sum", "agg_distinct", "agg_approx_cd",
+        "agg_rollup", "window_lookback_collect", "window_lead_target", "window_rolling_avg",
+        "window_rank", "window_lag", "window_range_frame", "sort_by_ts", "sort_limit_topk",
+        "set_union", "set_intersect", "set_except", "scalar_string_ops", "scalar_ts_ops",
+        "scalar_math_anomaly", "scalar_imputer", "scalar_json_hash", "scalar_json_extract",
+        "stream_tumbling_agg", "stream_sliding_agg", "stream_sessionize", "stream_dedup_ids",
+        "udf_minmax_scale", "udf_group_normalize", "udaf_anomaly_score", "udaf_ts_cv_metrics",
+        "ext_dedup_exact", "ext_cosine_topk", "ext_text_tokens", "ext_struct_project",
+        "ext_embed_centroid", "ml_train_autoencoder", "ml_anomaly_batch",
+    }
+    missing = must_have - set(reg)
+    assert not missing, f"missing harness IDs: {sorted(missing)}"

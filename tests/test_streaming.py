@@ -1,0 +1,58 @@
+"""Streaming ring tests (FIXTURES B5): stream-batch parity — the
+Structured Streaming tumbling aggregation over the replayed events source
+must equal the batch window() aggregation on the same data."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gordo_components_spark.sources.tables import load_table
+from gordo_components_spark.streaming.micro_batch import (
+    run_streaming_tumbling_agg,
+    run_streaming_watermark_dedup,
+)
+
+
+def test_stream_batch_parity(spark, sf_dir):
+    streamed = run_streaming_tumbling_agg(spark, sf_dir).toPandas()
+    events = load_table(spark, sf_dir, "events")
+    batch = (
+        events.groupBy("event_type", F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 9).alias("avg_value"))
+        .select(
+            "event_type",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+            "avg_value",
+        )
+        .toPandas()
+    )
+    # append mode emits a window only once the watermark (max event time −
+    # 1h) passes its end; later windows are held in state — that IS the
+    # O36 semantic under test, so compare the finalized prefix.
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    import pandas as pd
+
+    finalized = batch[batch["window_end"] <= max_ts - pd.Timedelta(hours=1)]
+    key = ["event_type", "window_start"]
+    s = streamed.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(finalized) <= len(s) <= len(b)
+    merged = s.merge(
+        b, on=key, how="left", suffixes=("_s", "_b"), validate="one_to_one", indicator=True
+    )
+    assert (merged["_merge"] == "both").all()  # streamed ⊆ batch
+    assert (merged["n_s"].to_numpy() == merged["n_b"].to_numpy()).all()
+    assert (merged["avg_value_s"].to_numpy() == merged["avg_value_b"].to_numpy()).all()
+    # and every finalized window made it out
+    got = set(zip(s["event_type"], s["window_start"]))
+    want = set(zip(finalized["event_type"], finalized["window_start"]))
+    assert want <= got
+
+
+def test_stream_dedup_complete(spark, sf_dir):
+    deduped = run_streaming_watermark_dedup(spark, sf_dir)
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert deduped.count() == n_events
+    assert deduped.select("event_id").distinct().count() == n_events
