@@ -35,15 +35,16 @@ WITH b AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY bucket
                ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
 ), t AS (
-  SELECT user_id, round(quantile_cont(score, 0.99), 9) AS threshold
-  FROM s GROUP BY user_id
+  SELECT user_id, bucket, v, score,
+         round(quantile_cont(score, 0.99) OVER (PARTITION BY user_id), 9) AS threshold
+  FROM s
 )
-SELECT s.user_id, s.bucket,
-       round(s.v, 6) AS v,
-       round(s.score, 6) AS score,
-       round(t.threshold, 6) AS threshold
-FROM s JOIN t USING (user_id)
-WHERE s.score > t.threshold
+SELECT user_id, bucket,
+       round(v, 6) AS v,
+       round(score, 6) AS score,
+       round(threshold, 6) AS threshold
+FROM t
+WHERE score > threshold
 """
 
 
@@ -60,17 +61,19 @@ def flagship_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = buckets.withColumn(
         "score", F.round(F.abs(F.col("v") - F.avg("v").over(w)), 9)
     )
-    thresholds = scored.groupBy("user_id").agg(
-        F.round(F.expr("percentile(score, 0.99)"), 9).alias("threshold")
+    # threshold as an unbounded window aggregate over the SAME user_id
+    # partitioning the rolling window just established: one events scan,
+    # no self-join, zero additional shuffles.
+    thresholded = scored.withColumn(
+        "threshold",
+        F.round(
+            F.expr("percentile(score, 0.99)").over(Window.partitionBy("user_id")), 9
+        ),
     )
-    return (
-        scored.join(F.broadcast(thresholds), "user_id")
-        .where(F.col("score") > F.col("threshold"))
-        .select(
-            "user_id",
-            "bucket",
-            F.round("v", 6).alias("v"),
-            F.round("score", 6).alias("score"),
-            F.round("threshold", 6).alias("threshold"),
-        )
+    return thresholded.where(F.col("score") > F.col("threshold")).select(
+        "user_id",
+        "bucket",
+        F.round("v", 6).alias("v"),
+        F.round("score", 6).alias("score"),
+        F.round("threshold", 6).alias("threshold"),
     )

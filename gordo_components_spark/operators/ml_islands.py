@@ -55,6 +55,80 @@ def ml_predict_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return predict_batch(feats, models)
 
 
+@register("stream_score_foreachbatch", oracle=None)
+def stream_score_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O33 / §3.2: the serving path as Structured Streaming micro-batch
+    scoring (rows-only) — batch-trained models broadcast into a
+    ``foreachBatch`` loop that reuses the exact batch scoring island."""
+    from gordo_components_spark.streaming.micro_batch import run_streaming_scoring
+
+    return run_streaming_scoring(spark, sf_dir)
+
+
+@register("sink_predictions_parquet", oracle=None)
+def sink_predictions_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 prediction sink (reference ``client/forwarders.py`` forwards
+    prediction frames to InfluxDB; the Spark-native sink is partitioned
+    parquet — rows-only: returns the re-read sink contents)."""
+    import os
+
+    from gordo_components_spark.ml.islands import machine_features, score_models, train_models
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/gordo_spark_sink/{sf_tag}/predictions"
+    feats = machine_features(spark, sf_dir)
+    scored = score_models(feats, train_models(feats))
+    scored.withColumn("is_anomaly", F.col("is_anomaly").cast("string")).write.mode(
+        "overwrite"
+    ).partitionBy("is_anomaly").parquet(out)
+    return spark.read.parquet(out)
+
+
+@register("codec_roundtrip", oracle=None)
+def codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8 wire codecs (reference ``server/utils.py``): DataFrame ⇄ JSON
+    dict and ⇄ parquet bytes roundtrips, verified cell-exact (rows-only;
+    returns a one-row status frame)."""
+    from gordo_components_spark.functions.codecs import (
+        dataframe_from_dict,
+        dataframe_from_parquet_bytes,
+        dataframe_into_parquet_bytes,
+        dataframe_to_dict,
+    )
+    from gordo_components_spark.sources.tables import load_table
+
+    df = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value").limit(200)
+    via_json = dataframe_from_dict(spark, dataframe_to_dict(df), schema=df.schema)
+    blob = dataframe_into_parquet_bytes(df)
+    via_parquet = dataframe_from_parquet_bytes(spark, blob)
+    json_ok = via_json.exceptAll(df).count() == 0 and df.exceptAll(via_json).count() == 0
+    pq_ok = via_parquet.exceptAll(df).count() == 0 and df.exceptAll(via_parquet).count() == 0
+    return spark.createDataFrame(
+        [(json_ok, pq_ok, len(blob))], "json_roundtrip boolean, parquet_roundtrip boolean, parquet_bytes bigint"
+    )
+
+
+@register("window_lookback_tensor", oracle=None)
+def window_lookback_tensor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O23 lookback tensorization, tensor form (rows-only; the CSV-id form
+    is oracle-checked as ``window_lookback_collect``): each row carries
+    the trailing ``lookback_window`` feature structs — the 3-D LSTM input
+    (reference ``model/utils.py::create_keras_timeseriesgenerator``)."""
+    from gordo_components_spark.ml.islands import machine_features
+
+    feats = machine_features(spark, sf_dir)
+    frame = (
+        "PARTITION BY user_id ORDER BY bucket ROWS BETWEEN 4 PRECEDING AND CURRENT ROW"
+    )
+    return feats.select(
+        "user_id",
+        "bucket",
+        F.expr(
+            f"collect_list(struct(value__avg, value__max, value__min, value__count)) OVER ({frame})"
+        ).alias("lookback"),
+    ).where(F.size("lookback") == 5)
+
+
 @register("ml_model_registry", oracle=None)
 def ml_model_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O38/O39/O32: compile the YAML definition, train one machine, dump

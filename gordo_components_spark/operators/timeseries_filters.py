@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from gordo_components_spark.functions.filter_dsl import compile_filter
 from gordo_components_spark.functions.timeseries import EVENT_TYPES, pivot_wide, pivot_wide_sql
 from gordo_components_spark.registry import register
-from gordo_components_spark.sources.tables import load_table
+from gordo_components_spark.sources.tables import load_events_in_range, load_table
 
 _FROM_TS = "2024-01-05 00:00:00"
 _TO_TS = "2024-01-20 00:00:00"
@@ -29,14 +29,12 @@ _TO_TS = "2024-01-20 00:00:00"
     """,
 )
 def filter_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O9 ``[from_ts, to_ts)`` predicate, pushed to the parquet scan
-    (reference validates tz-awareness at the TimeSeriesDataset ctor; here
-    the session tz is pinned UTC so naive fixture stamps are unambiguous)."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.where(
-        (F.col("ts") >= F.lit(_FROM_TS).cast("timestamp"))
-        & (F.col("ts") < F.lit(_TO_TS).cast("timestamp"))
-    ).select("event_id", "user_id", "ts", "event_type", "value")
+    """O9 ``[from_ts, to_ts)`` predicate, pushed to the parquet scan as a
+    raw-long range so row-group skipping works (see
+    ``load_events_in_range``; reference validates tz-awareness at the
+    TimeSeriesDataset ctor — the session tz is pinned UTC here)."""
+    ev = load_events_in_range(spark, sf_dir, _FROM_TS, _TO_TS)
+    return ev.select("event_id", "user_id", "ts", "event_type", "value")
 
 
 _DSL = "(`evt_click` > 50) & ((`evt_view` < 450) | ~(`evt_error` == 0))"
@@ -109,16 +107,10 @@ _PERIODS = (("2024-01-05 00:00:00", "2024-01-07 00:00:00"), ("2024-01-20 00:00:0
 def filter_known_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O12 configured blackout windows dropped (reference
     ``known_filter_periods``).  Compiled as a conjunction of NOT-BETWEEN
-    predicates → still scan-pushdown-eligible; an anti-join against a
-    periods table is the shape for thousands of periods."""
-    ev = load_table(spark, sf_dir, "events")
-    cond = F.lit(True)
-    for start, end in _PERIODS:
-        cond = cond & ~(
-            (F.col("ts") >= F.lit(start).cast("timestamp"))
-            & (F.col("ts") < F.lit(end).cast("timestamp"))
-        )
-    return ev.where(cond).select("event_id", "user_id", "ts", "value")
+    predicates over the raw scan column (pushdown-eligible); an anti-join
+    against a periods table is the shape for thousands of periods."""
+    ev = load_events_in_range(spark, sf_dir, exclude=_PERIODS)
+    return ev.select("event_id", "user_id", "ts", "value")
 
 
 @register(

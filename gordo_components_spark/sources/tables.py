@@ -51,3 +51,49 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def _epoch_us(ts: str) -> int:
+    from datetime import datetime, timezone
+
+    return int(
+        datetime.fromisoformat(ts).replace(tzinfo=timezone.utc).timestamp() * 1_000_000
+    )
+
+
+def load_events_in_range(
+    spark: SparkSession,
+    sf_dir: str,
+    from_ts: str | None = None,
+    to_ts: str | None = None,
+    exclude: tuple[tuple[str, str], ...] = (),
+) -> DataFrame:
+    """O9/O12 pushdown-preserving events scan.
+
+    The µs timestamp is derived from the raw ns long, so a filter on the
+    *converted* column can't reach the parquet scan.  Truncation is
+    monotonic, so ``[from_ts, to_ts)`` on the converted column is exactly
+    ``[from_us·1000, to_us·1000)`` on the raw long — filter raw first
+    (PushedFilters + row-group min/max skipping), convert after.  At
+    100 TB this is the difference between a pruned scan and a full one.
+    """
+    prepare(spark)
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw_is_long = dict(df.dtypes).get("ts") == "bigint"
+    scale = 1000 if raw_is_long else 1  # raw ns vs already-µs timestamp
+
+    def bound(ts_str: str) -> "F.Column":
+        v = _epoch_us(ts_str) * scale
+        return F.lit(v) if raw_is_long else F.lit(ts_str).cast("timestamp")
+
+    cond = F.lit(True)
+    if from_ts is not None:
+        cond = cond & (F.col("ts") >= bound(from_ts))
+    if to_ts is not None:
+        cond = cond & (F.col("ts") < bound(to_ts))
+    for lo, hi in exclude:
+        cond = cond & ~((F.col("ts") >= bound(lo)) & (F.col("ts") < bound(hi)))
+    df = df.where(cond)
+    if raw_is_long:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

@@ -92,6 +92,53 @@ def run_streaming_tumbling_agg(
     return _run_to_memory(agg, name)
 
 
+def run_streaming_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 restated: the reference's ``POST /anomaly/prediction`` serving
+    loop as micro-batch scoring — ``readStream → foreachBatch(score)``.
+
+    Models train once in batch (the builder path), broadcast via their
+    blob frame; each micro-batch joins the stream slice to its machine's
+    model and emits the anomaly frame.  The scoring expressions are the
+    SAME code as batch (``ml/islands.py::score_models``) — that reuse is
+    the point of building scoring as column algebra."""
+    from gordo_components_spark.ml.islands import machine_features, score_models, train_models
+
+    prepare(spark)
+    models = train_models(machine_features(spark, sf_dir)).where("status = 'ok'").cache()
+    models.count()  # materialize once; broadcast into every micro-batch
+
+    src = _replay_dir(spark, sf_dir)
+    stream = spark.readStream.schema(_RAW_SCHEMA).parquet(src)
+    sink_rows: list = []
+
+    def score_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as FF
+
+        feats = (
+            batch_df.groupBy("user_id", FF.window("ts", "60 minutes").alias("w"))
+            .agg(
+                FF.round(FF.avg("value"), 9).alias("value__avg"),
+                FF.max("value").alias("value__max"),
+                FF.min("value").alias("value__min"),
+                FF.count("value").cast("double").alias("value__count"),
+            )
+            .select("user_id", FF.col("w.start").alias("bucket"),
+                    "value__avg", "value__max", "value__min", "value__count")
+        )
+        sink_rows.extend(score_models(feats, models).collect())
+
+    q = (
+        stream.writeStream.foreachBatch(score_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/gordo_spark_stream/chk/score-{uuid.uuid4().hex}")
+        .start()
+    )
+    q.awaitTermination()
+    from gordo_components_spark.ml.islands import SCORE_SCHEMA
+
+    return spark.createDataFrame(sink_rows, SCORE_SCHEMA)
+
+
 def run_streaming_watermark_dedup(
     spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
 ) -> DataFrame:
