@@ -129,6 +129,38 @@ def window_lookback_tensor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.size("lookback") == 5)
 
 
+@register("mllib_pipeline_anomaly", oracle=None)
+def mllib_pipeline_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O38/O40/O6 on MLlib (BASELINE.json approach): VectorAssembler →
+    MinMaxScaler → PCA pipeline, reconstruction-residual anomaly score as
+    column algebra, PipelineModel save/load roundtrip (rows-only; scores
+    from the *loaded* model are returned, proving persistence)."""
+    import os
+    import tempfile
+
+    from gordo_components_spark.ml.islands import machine_features
+    from gordo_components_spark.ml.mllib_pipeline import fit_and_score, save_load_roundtrip
+
+    feats = machine_features(spark, sf_dir)
+    model, _ = fit_and_score(feats)
+    path = os.path.join(tempfile.mkdtemp(prefix="gordo_mllib_"), "pipeline_model")
+    loaded = save_load_roundtrip(model, path)
+    from pyspark.ml.functions import vector_to_array
+
+    scored = loaded.transform(feats).withColumn(
+        "x", vector_to_array("features")
+    ).withColumn("z", vector_to_array("pca"))
+    sq = "aggregate(zip_with({c}, {c}, (a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    return scored.select(
+        "user_id",
+        "bucket",
+        F.round(
+            F.sqrt(F.greatest(F.expr(sq.format(c="x")) - F.expr(sq.format(c="z")), F.lit(0.0))),
+            9,
+        ).alias("recon_error"),
+    )
+
+
 @register("ml_model_registry", oracle=None)
 def ml_model_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O38/O39/O32: compile the YAML definition, train one machine, dump

@@ -129,6 +129,43 @@ def scan_csv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_partition_pruned",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+      AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-13 00:00:00'
+    GROUP BY user_id
+    """,
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/P2 hive-layout partition pruning: the reference lays tags out
+    per-year and lists only matching years; the Spark-native equivalent
+    is a ``date=``-partitioned layout where a date predicate prunes whole
+    directories (PartitionFilters in .explain — zero IO for other days).
+    The fixture ships one file, so the partitioned layout is materialized
+    once to scratch — at 100 TB the data is *born* partitioned like this."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    part_dir = f"/tmp/gordo_spark_part/{sf_tag}/events_by_date"
+    if not os.path.exists(part_dir):
+        (
+            load_table(spark, sf_dir, "events")
+            .withColumn("date", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("date")
+            .parquet(part_dir)
+        )
+    ev = spark.read.parquet(part_dir).where(
+        (F.col("date") >= F.lit("2024-01-10")) & (F.col("date") < F.lit("2024-01-13"))
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE)").alias("total_value"),
+    )
+
+
+@register(
     "gen_synthetic_series",
     oracle="""
     SELECT 'TAG-' || CAST(i % 5 AS VARCHAR) AS tag,
