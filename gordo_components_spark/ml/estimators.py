@@ -189,6 +189,59 @@ def time_series_folds(n: int, n_splits: int = 3):
         yield np.arange(0, train_end), np.arange(train_end, train_end + test_size)
 
 
+class ARForecaster(_Base):
+    """O42 forecast-model analog (reference
+    ``model/models.py::KerasLSTMForecast``): predict x[t+lookahead] from
+    the trailing ``lookback_window`` rows.  The LSTM's job on these
+    feature matrices is learnable here in closed form: ridge-regularized
+    least squares over flattened lookback windows — deterministic, one
+    ``lstsq`` per machine, no epochs.  ``lookback_window``/``lookahead``
+    mirror the reference's ``create_keras_timeseriesgenerator`` kwargs.
+    """
+
+    _params = ("lookback_window", "lookahead", "ridge")
+
+    def __init__(self, lookback_window: int = 4, lookahead: int = 1, ridge: float = 1e-6):
+        self.lookback_window = lookback_window
+        self.lookahead = lookahead
+        self.ridge = ridge
+
+    def _windows(self, X: np.ndarray):
+        n, d = X.shape
+        lb, la = self.lookback_window, self.lookahead
+        m = n - lb - la + 1
+        if m < 1:
+            raise ValueError(f"need ≥ {lb + la} rows, got {n}")
+        idx = np.arange(lb)[None, :] + np.arange(m)[:, None]
+        feats = X[idx].reshape(m, lb * d)
+        targets = X[np.arange(m) + lb + la - 1]
+        return np.hstack([feats, np.ones((m, 1))]), targets  # bias column
+
+    def fit(self, X: np.ndarray, y=None):
+        X = np.asarray(X, dtype=np.float64)
+        self.n_features_ = X.shape[1]
+        A, Y = self._windows(X)
+        # ridge-regularized normal equations — deterministic and stable
+        reg = self.ridge * np.eye(A.shape[1])
+        reg[-1, -1] = 0.0  # don't penalize the bias
+        self.coef_ = np.linalg.solve(A.T @ A + reg, A.T @ Y)
+        return self
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        """Forecast for each complete lookback window; output row i is the
+        prediction for input row i+lookback+lookahead-1 (the reference's
+        generator alignment)."""
+        A, _ = self._windows(np.asarray(X, dtype=np.float64))
+        return A @ self.coef_
+
+    def score(self, X: np.ndarray, y=None) -> float:
+        X = np.asarray(X, dtype=np.float64)
+        _, Y = self._windows(X)
+        err = Y - self.predict(X)
+        denom = Y.var(axis=0).sum()
+        return float(1.0 - err.var(axis=0).sum() / denom) if denom else 0.0
+
+
 class DiffBasedAnomalyDetector(_Base):
     """Reference ``model/anomaly/diff.py::DiffBasedAnomalyDetector``.
 

@@ -72,6 +72,19 @@ def machine_features(spark: SparkSession, sf_dir: str, duration: str = "60 minut
     return feats
 
 
+def _spread(df: DataFrame, cols: tuple[str, ...] = ("user_id",)) -> DataFrame:
+    """Explicitly hash-partition by machine before a pandas island.
+
+    AQE's coalescing targets ~64MB partitions — right for JVM operators,
+    wrong for Python-bound stages: a 5MB feature frame coalesces to ONE
+    partition and 1500 model fits run single-threaded.  An explicit
+    ``repartition(n, keys)`` is exempt from AQE coalescing AND satisfies
+    the grouped-map's required clustering, so no extra exchange appears.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols)
+
+
 def _train_one(pdf: pd.DataFrame, definition: dict) -> pd.DataFrame:
     machine = str(pdf["user_id"].iloc[0])
     pdf = pdf.sort_values("bucket")
@@ -110,7 +123,27 @@ def train_models(features: DataFrame, definition: dict | None = None) -> DataFra
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return _train_one(pdf, definition)
 
-    return features.groupBy("user_id").applyInPandas(fn, TRAIN_META_SCHEMA)
+    return _spread(features).groupBy("user_id").applyInPandas(fn, TRAIN_META_SCHEMA)
+
+
+#: O39 model-cache restated (reference ``builder/build_model.py::check_cache``):
+#: same (data window, config) ⇒ reuse the trained models instead of
+#: rebuilding.  Keyed process-locally; the durable form is
+#: ``plans/model_registry.py``.  Cached as collected rows (a few KB per
+#: machine — blobs are linear-AE weights), session-independent.
+_TRAIN_CACHE: dict[tuple, list] = {}
+
+
+def trained_models(
+    spark: SparkSession, sf_dir: str, duration: str = "60 minutes", definition: dict | None = None
+) -> DataFrame:
+    import json
+
+    key = (sf_dir, duration, json.dumps(definition, sort_keys=True, default=str))
+    if key not in _TRAIN_CACHE:
+        feats = machine_features(spark, sf_dir, duration)
+        _TRAIN_CACHE[key] = train_models(feats, definition).collect()
+    return spark.createDataFrame(_TRAIN_CACHE[key], TRAIN_META_SCHEMA)
 
 
 SCORE_SCHEMA = (
@@ -119,26 +152,49 @@ SCORE_SCHEMA = (
 )
 
 
-def score_models(features: DataFrame, models: DataFrame) -> DataFrame:
-    """O43/O44: batch inference + anomaly frame.  Trained detectors join
-    the feature stream as base64 blobs on the machine key (broadcast —
-    one small row per machine), then one grouped island unpickles its
-    machine's model once and scores the whole partition vectorized."""
-    blobs = models.where(F.col("status") == "ok").select(
-        F.col("machine"), F.col("model_pkl_b64")
-    )
-    joined = features.join(
-        F.broadcast(blobs), features["user_id"].cast("string") == blobs["machine"]
-    )
+def _blob_broadcast(features: DataFrame, models: DataFrame):
+    """Ship the machine→model map as a Spark broadcast variable: one copy
+    per executor.  Joining blobs onto the feature stream instead would
+    duplicate each model onto every row — hundreds of MB through the
+    shuffle and Arrow boundary for what is a few MB of weights."""
+    blob_map = {
+        r["machine"]: r["model_pkl_b64"]
+        for r in models.where(F.col("status") == "ok")
+        .select("machine", "model_pkl_b64")
+        .collect()
+    }
+    return features.sparkSession.sparkContext.broadcast(blob_map)
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        detector = pickle.loads(base64.b64decode(pdf["model_pkl_b64"].iloc[0]))
+
+_EMPTY_SCORE = pd.DataFrame(
+    {
+        "machine": pd.Series(dtype="object"),
+        "bucket": pd.Series(dtype="datetime64[us]"),
+        "total_anomaly": pd.Series(dtype="float64"),
+        "total_threshold": pd.Series(dtype="float64"),
+        "is_anomaly": pd.Series(dtype="bool"),
+    }
+)
+
+
+def score_models(features: DataFrame, models: DataFrame) -> DataFrame:
+    """O43/O44: batch inference + anomaly frame.  One grouped island per
+    machine unpickles its model (from the executor-local broadcast) once
+    and scores the whole group vectorized."""
+    bc = _blob_broadcast(features, models)
+
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        machine = str(key[0])
+        blob = bc.value.get(machine)
+        if blob is None:  # machine gated out at train time (O13)
+            return _EMPTY_SCORE
+        detector = pickle.loads(base64.b64decode(blob))
         pdf = pdf.sort_values("bucket")
         X = pdf[list(FEATURES)].to_numpy(dtype=np.float64)
         out = detector.anomaly(X)
         return pd.DataFrame(
             {
-                "machine": pdf["machine"],
+                "machine": machine,
                 "bucket": pdf["bucket"],
                 "total_anomaly": out["total_anomaly"],
                 "total_threshold": out["total_threshold"],
@@ -146,39 +202,41 @@ def score_models(features: DataFrame, models: DataFrame) -> DataFrame:
             }
         )
 
-    return joined.groupBy("machine").applyInPandas(fn, SCORE_SCHEMA)
+    return _spread(features).groupBy("user_id").applyInPandas(fn, SCORE_SCHEMA)
 
 
 def predict_batch(features: DataFrame, models: DataFrame) -> DataFrame:
     """O43 pure inference via ``mapInPandas``: reconstruction columns only
-    (the ``model-output`` group of the D6 frame).  Streams Arrow batches;
-    each batch unpickles at most the models it references (executor-local
-    LRU would cache them in a long-lived service)."""
-    blobs = models.where(F.col("status") == "ok").select("machine", "model_pkl_b64")
-    joined = features.join(
-        F.broadcast(blobs), features["user_id"].cast("string") == blobs["machine"]
-    ).select("machine", "bucket", *FEATURES, "model_pkl_b64")
-
+    (the ``model-output`` group of the D6 frame).  Streams Arrow batches
+    of *features only* — models come from the executor-local broadcast
+    with a per-task unpickle cache (the long-lived-service pattern the
+    reference gets from its hot Flask process, §4 P10)."""
+    bc = _blob_broadcast(features, models)
     out_schema = "machine string, bucket timestamp, " + ", ".join(
         f"model_output__{f} double" for f in FEATURES
     )
+    in_cols = ["user_id", "bucket", *FEATURES]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[str, object] = {}
         for pdf in batches:
             outs = []
-            for machine, grp in pdf.groupby("machine", sort=False):
+            for machine, grp in pdf.groupby("user_id", sort=False):
+                machine = str(machine)
                 det = cache.get(machine)
                 if det is None:
-                    det = pickle.loads(base64.b64decode(grp["model_pkl_b64"].iloc[0]))
-                    cache[machine] = det
+                    blob = bc.value.get(machine)
+                    if blob is None:
+                        continue
+                    det = cache[machine] = pickle.loads(base64.b64decode(blob))
                 yhat = det.base_estimator.predict(
                     grp[list(FEATURES)].to_numpy(dtype=np.float64)
                 )
-                out = pd.DataFrame({"machine": grp["machine"], "bucket": grp["bucket"]})
+                out = pd.DataFrame({"machine": machine, "bucket": grp["bucket"]})
                 for i, f in enumerate(FEATURES):
                     out[f"model_output__{f}"] = yhat[:, i]
                 outs.append(out)
-            yield pd.concat(outs) if outs else pd.DataFrame()
+            if outs:
+                yield pd.concat(outs)
 
-    return joined.mapInPandas(fn, out_schema)
+    return _spread(features.select(*in_cols)).mapInPandas(fn, out_schema)

@@ -16,6 +16,7 @@ from gordo_components_spark.ml.islands import (
     predict_batch,
     score_models,
     train_models,
+    trained_models,
 )
 from gordo_components_spark.registry import register
 
@@ -25,8 +26,7 @@ def ml_train_autoencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O41/O45 per-machine autoencoder train + CV thresholds (grouped-map
     island).  Output: one metadata row per machine (D7) — the model blob
     column is dropped from the harness result for readability."""
-    feats = machine_features(spark, sf_dir)
-    return train_models(feats).select(
+    return trained_models(spark, sf_dir).select(
         "machine",
         "n_samples",
         "n_features",
@@ -42,7 +42,7 @@ def ml_anomaly_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O44 end-to-end anomaly batch: train per machine, broadcast models,
     score the same feature stream, emit the flattened D6 frame."""
     feats = machine_features(spark, sf_dir)
-    models = train_models(feats)
+    models = trained_models(spark, sf_dir)  # O39 cache: no rebuild per query
     return score_models(feats, models)
 
 
@@ -51,7 +51,7 @@ def ml_predict_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O43 pure batch inference through ``mapInPandas`` with per-executor
     model caching (the serving path's batch face)."""
     feats = machine_features(spark, sf_dir)
-    models = train_models(feats)
+    models = trained_models(spark, sf_dir)
     return predict_batch(feats, models)
 
 
@@ -77,7 +77,7 @@ def sink_predictions_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     out = f"/tmp/gordo_spark_sink/{sf_tag}/predictions"
     feats = machine_features(spark, sf_dir)
-    scored = score_models(feats, train_models(feats))
+    scored = score_models(feats, trained_models(spark, sf_dir))
     scored.withColumn("is_anomaly", F.col("is_anomaly").cast("string")).write.mode(
         "overwrite"
     ).partitionBy("is_anomaly").parquet(out)
@@ -127,6 +127,42 @@ def window_lookback_tensor(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"collect_list(struct(value__avg, value__max, value__min, value__count)) OVER ({frame})"
         ).alias("lookback"),
     ).where(F.size("lookback") == 5)
+
+
+@register("ml_forecast_ar", oracle=None)
+def ml_forecast_ar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O42 forecast model per machine (rows-only): AR least-squares over
+    lookback windows (the KerasLSTMForecast analog; lookback tensorization
+    O23 + forecast shift O24 live inside the island).  Emits per-machine
+    forecast skill and the forecast-error anomaly threshold."""
+    import numpy as np
+    import pandas as pd
+
+    from gordo_components_spark.ml.estimators import ARForecaster
+    from gordo_components_spark.ml.islands import FEATURES, machine_features
+
+    feats = machine_features(spark, sf_dir)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        machine = str(pdf["user_id"].iloc[0])
+        pdf = pdf.sort_values("bucket")
+        X = pdf[list(FEATURES)].to_numpy(dtype=np.float64)
+        if len(X) < 12:
+            return pd.DataFrame(
+                [{"machine": machine, "n_samples": len(X), "status": "insufficient_data",
+                  "forecast_r2": None, "err_p99": None}]
+            )
+        model = ARForecaster(lookback_window=4, lookahead=1)
+        model.fit(X)
+        _, targets = model._windows(X)
+        err = np.abs(targets - model.predict(X)).mean(axis=1)
+        return pd.DataFrame(
+            [{"machine": machine, "n_samples": len(X), "status": "ok",
+              "forecast_r2": model.score(X), "err_p99": float(np.quantile(err, 0.99))}]
+        )
+
+    schema = "machine string, n_samples bigint, status string, forecast_r2 double, err_p99 double"
+    return feats.groupBy("user_id").applyInPandas(fn, schema)
 
 
 @register("mllib_pipeline_anomaly", oracle=None)

@@ -101,10 +101,10 @@ def run_streaming_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     model and emits the anomaly frame.  The scoring expressions are the
     SAME code as batch (``ml/islands.py::score_models``) — that reuse is
     the point of building scoring as column algebra."""
-    from gordo_components_spark.ml.islands import machine_features, score_models, train_models
+    from gordo_components_spark.ml.islands import score_models, trained_models
 
     prepare(spark)
-    models = train_models(machine_features(spark, sf_dir)).where("status = 'ok'").cache()
+    models = trained_models(spark, sf_dir).where("status = 'ok'").cache()
     models.count()  # materialize once; broadcast into every micro-batch
 
     src = _replay_dir(spark, sf_dir)

@@ -1,0 +1,41 @@
+"""ARForecaster unit tests (O42 forecast-shift semantics)."""
+
+import numpy as np
+import pytest
+
+from gordo_components_spark.ml.estimators import ARForecaster
+
+
+def test_learns_linear_dynamics():
+    # x[t] = 0.9·x[t−1] + c: an AR model must capture this near-perfectly
+    rng = np.random.default_rng(0)
+    n = 300
+    x = np.zeros((n, 2))
+    x[0] = (1.0, 5.0)
+    for t in range(1, n):
+        x[t] = 0.9 * x[t - 1] + np.array([0.5, 0.1]) + 0.001 * rng.normal(size=2)
+    m = ARForecaster(lookback_window=3, lookahead=1)
+    m.fit(x)
+    assert m.score(x) > 0.999
+
+
+def test_window_alignment():
+    # predict(X)[i] targets X[i + lookback + lookahead − 1]
+    X = np.arange(20, dtype=float).reshape(10, 2)
+    m = ARForecaster(lookback_window=4, lookahead=2)
+    m.fit(X)
+    A, Y = m._windows(X)
+    assert A.shape == (10 - 4 - 2 + 1, 4 * 2 + 1)
+    np.testing.assert_array_equal(Y[0], X[4 + 2 - 1])
+
+
+def test_too_few_rows_raises():
+    with pytest.raises(ValueError, match="need"):
+        ARForecaster(lookback_window=8).fit(np.ones((5, 2)))
+
+
+def test_deterministic():
+    X = np.random.default_rng(3).normal(size=(50, 3))
+    a = ARForecaster().fit(X).predict(X)
+    b = ARForecaster().fit(X).predict(X)
+    np.testing.assert_array_equal(a, b)
