@@ -20,6 +20,7 @@ Module map (SURVEY.md §2 categories):
 
 from gordo_components_spark.operators import (  # noqa: F401
     alignment,
+    dataset_api,
     extensions_dedup,
     extensions_multimodal,
     extensions_similarity,

@@ -1,0 +1,90 @@
+"""Harness entries for the user-facing API layer (dataset/builder/workflow
+— the reference's public surface, SURVEY §3.1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gordo_components_spark.registry import register
+
+_START, _END = "2024-01-01T00:00:00Z", "2024-01-20T00:00:00Z"
+_TAGS = ["click", "purchase", "view"]
+
+
+@register(
+    "dataset_get_data",
+    oracle="""
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '1440 minutes', CAST(ts AS TIMESTAMP)) AS ts,
+             round(avg(CASE WHEN event_type = 'click'    THEN value END), 9) AS click,
+             round(avg(CASE WHEN event_type = 'purchase' THEN value END), 9) AS purchase,
+             round(avg(CASE WHEN event_type = 'view'     THEN value END), 9) AS view
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+      GROUP BY 1
+    )
+    SELECT ts, click, purchase, view FROM w
+    WHERE click IS NOT NULL AND purchase IS NOT NULL AND view IS NOT NULL
+    """,
+)
+def dataset_get_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``TimeSeriesDataset.get_data`` X-side through the public API:
+    time-range scan → resample → align → dropna → projection, exactly the
+    reference's dataset contract (here pooled across machines; per-asset
+    adds ``asset_id=``)."""
+    from gordo_components_spark.dataset import TimeSeriesDataset
+
+    X, _ = TimeSeriesDataset(_START, _END, _TAGS, resolution="1D").get_data(spark, sf_dir)
+    return X
+
+
+@register("api_model_builder", oracle=None)
+def api_model_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 ModelBuilder end-to-end through the public API (rows-only):
+    config → dataset → compile → fit → CV thresholds → registry dump +
+    cache-hit check.  Returns the build metadata as a one-row frame."""
+    import tempfile
+
+    from gordo_components_spark.builder import ModelBuilder
+    from gordo_components_spark.plans.model_registry import ModelRegistry
+
+    config = {
+        "name": "machine-harness",
+        "dataset": {
+            "tags": _TAGS,
+            "train_start_date": _START,
+            "train_end_date": _END,
+            "resolution": "1D",
+        },
+        "model": {
+            "anomaly.DiffBasedAnomalyDetector": {
+                "base_estimator": {
+                    "pipeline.Pipeline": {
+                        "steps": [
+                            "preprocessing.MinMaxScaler",
+                            {"models.AutoEncoder": {"compression_factor": 0.5}},
+                        ]
+                    }
+                }
+            }
+        },
+    }
+    with tempfile.TemporaryDirectory() as d:
+        reg = ModelRegistry(d)
+        builder = ModelBuilder(config, registry=reg)
+        _, meta = builder.build(spark, sf_dir)
+        cache_hit = reg.check_cache(config) is not None
+    return spark.createDataFrame(
+        [
+            (
+                meta["machine_name"],
+                meta["model_key"],
+                meta["dataset"]["n_samples"],
+                meta["dataset"]["n_features"],
+                float(meta["cv_scores"]["total_threshold"]),
+                cache_hit,
+            )
+        ],
+        "machine string, model_key string, n_samples bigint, n_features int, "
+        "total_threshold double, cache_hit boolean",
+    )
