@@ -100,6 +100,90 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(jac > 0.01)
 
 
+@register(
+    "ext_dedup_components",
+    oracle="""
+    WITH RECURSIVE doubled AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM doubled a JOIN doubled b
+        ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT u AS a, v AS b FROM pairs
+      UNION ALL
+      SELECT v AS a, u AS b FROM pairs
+    ), reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM doubled
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS doc_id,
+           MIN(dst) AS component,
+           CAST(src = MIN(dst) AS BOOLEAN) AS is_survivor
+    FROM reach GROUP BY src
+    """,
+)
+def ext_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: candidate pairs (here: exact-hash
+    matches over the union-doubled corpus) become an undirected graph;
+    connected components assign every doc its cluster's minimum id and
+    one survivor per cluster — the final step of every corpus-scale
+    dedup pipeline (pairs alone don't dedup transitive chains a~b~c).
+
+    Spark: iterative min-label propagation to fixpoint (components here
+    have tiny diameter, so 2–3 joins; the billion-edge form is the same
+    loop with checkpointing — GraphFrames/Pregel in library form).
+    Oracle: recursive-CTE transitive closure, same fixpoint.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    hashed = doubled.select("doc_id", F.md5("text").alias("h"))
+    a, b = hashed.alias("a"), hashed.alias("b")
+    pairs = a.join(
+        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("a"), F.col("v").alias("b"))
+
+    labels = doubled.select("doc_id", F.col("doc_id").alias("component"))
+    edges = edges.persist()
+    for _ in range(10):  # diameter bound; fixture converges in ≤2
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["doc_id"])
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "component", F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            updated.join(labels.withColumnRenamed("component", "old"), "doc_id")
+            .where(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("is_survivor"),
+    )
+
+
 _N_HASHES = 16
 _BAND_SIZE = 4
 

@@ -1,0 +1,75 @@
+"""Physical-plan property ring: the scale-critical plan shapes
+(SURVEY §4, docs/SCALE.md) are asserted, not assumed — a refactor that
+silently drops pushdown or broadcasts fails here, not at 100 TB."""
+
+import io
+import contextlib
+
+import pytest
+
+from gordo_components_spark.registry import load_all
+
+
+def plan_of(spark, name, sf_dir) -> str:
+    df = load_all()[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_lineitem_range_pushdown(spark, sf_dir):
+    plan = plan_of(spark, "scan_pruned_range", sf_dir)
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    # projection pruned to the 4 selected columns
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_extendedprice" not in read
+
+
+def test_events_ns_range_pushdown(spark, sf_dir):
+    # time bounds must reach the raw int64 ns column (load_events_in_range)
+    plan = plan_of(spark, "filter_time_range", sf_dir)
+    assert "GreaterThanOrEqual(ts,17" in plan  # epoch-ns literal pushed
+    assert "LessThan(ts,17" in plan
+
+
+def test_blackout_periods_pushdown(spark, sf_dir):
+    plan = plan_of(spark, "filter_known_periods", sf_dir)
+    assert "PushedFilters: [Or(LessThan(ts" in plan
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    for name in ("join_equi_inner", "join_broadcast_dim"):
+        assert "BroadcastHashJoin" in plan_of(spark, name, sf_dir), name
+
+
+def test_flagship_single_scan_no_join(spark, sf_dir):
+    # threshold is a window aggregate over the same partitioning — the
+    # plan must contain no join (and therefore no second events scan)
+    plan = plan_of(spark, "flagship_anomaly", sf_dir)
+    assert "Join" not in plan
+    # formatted explain lists each node twice (tree + details): one scan ⇒ 2
+    assert plan.count("Scan parquet") == 2
+
+
+def test_partition_pruning(spark, sf_dir):
+    plan = plan_of(spark, "scan_partition_pruned", sf_dir)
+    assert "PartitionFilters" in plan and "date" in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, "sort_limit_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_cartesian_in_range_theta(spark, sf_dir):
+    plan = plan_of(spark, "join_range_theta", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_windows_partition_by_machine(spark, sf_dir):
+    # per-machine windows must not collapse to a single partition
+    plan = plan_of(spark, "window_rolling_avg", sf_dir)
+    assert "SinglePartition" not in plan
