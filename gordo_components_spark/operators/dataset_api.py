@@ -38,6 +38,18 @@ def dataset_get_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X
 
 
+@register("api_client_predict", oracle=None)
+def api_client_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 client bulk-prediction path (rows-only): the reference's
+    chunked async predict collapses to one Spark job — pushdown range
+    scan → features → broadcast models → anomaly frame."""
+    from gordo_components_spark.client import predict_date_range
+
+    return predict_date_range(
+        spark, sf_dir, "2024-01-08T00:00:00", "2024-01-15T00:00:00"
+    )
+
+
 @register("api_model_builder", oracle=None)
 def api_model_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.1 ModelBuilder end-to-end through the public API (rows-only):

@@ -116,6 +116,33 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_salted_skew",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation pattern: salt the hot key into 8 sub-keys, partial
+    aggregate per (key, salt), then merge — the manual form of what AQE's
+    skew handling does for joins, needed for aggregations when one key
+    holds a large share of a 100 TB table.  Decimal partials make the
+    two-stage result bit-identical to the direct aggregation (the
+    oracle is the UNsalted query — same answer is the point)."""
+    ev = load_table(spark, sf_dir, "events")
+    partial = ev.groupBy("event_type", (F.col("event_id") % 8).alias("salt")).agg(
+        F.expr("SUM(CAST(value AS DECIMAL(30,8)))").alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.expr("CAST(SUM(s) AS DOUBLE)").alias("total_value"),
+    )
+
+
 # --- 2.3 joins -------------------------------------------------------------
 
 @register(

@@ -46,6 +46,8 @@ def get_spark(app_name: str = "gordo-components-spark", cpus: int | None = None)
         .config("spark.sql.shuffle.partitions", str(max(8, n)))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # bucketed-table home (co-located joins; see tests/test_bucketed_join.py)
+        .config("spark.sql.warehouse.dir", "/tmp/gordo_spark_warehouse")
     )
     for k, v in _RUNTIME_CONFS.items():
         b = b.config(k, v)
