@@ -30,10 +30,13 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        df = registry[name].fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 4)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: measure the plan, not JVM warm-up
+            t0 = time.time()
+            df = registry[name].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -1,0 +1,140 @@
+"""Relational breadth addendum: correlated subqueries, grouping sets,
+cube, unpivot/reshape, and three-valued-logic null operators — the SQL
+surface a reference user's ad-hoc queries hit beyond the §2 core.
+Spark side deliberately goes through ``spark.sql`` on temp views for the
+subquery/grouping entries, exercising the SQL front-end, not just the
+DataFrame API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gordo_components_spark.registry import register
+from gordo_components_spark.sources.tables import load_table
+
+
+@register(
+    "join_correlated_scalar",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def join_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (decorrelates to an aggregate + join in
+    Catalyst — verify no per-row re-execution survives in the plan)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer_v c
+        WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer_v c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL front-end."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping combinations in one Expand pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "reshape_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    """,
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot via ``stack`` (the melt of the reference's
+    MultiIndex→long conversions); oracle is the explicit UNION ALL form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax) AS (measure, val)"
+        ),
+    )
+
+
+@register(
+    "scalar_null_ops",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, value,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id,
+           COALESCE(v, -1.0) AS v_filled,
+           NULLIF(value, 0.0) AS v_nullif,
+           (v IS NULL) AS v_missing,
+           (v IS DISTINCT FROM value) AS v_differs
+    FROM t
+    """,
+)
+def scalar_null_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic surface: COALESCE / NULLIF / IS [NOT] NULL /
+    IS DISTINCT FROM — identical semantics both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    t = ev.select("event_id", "value", v.alias("v"))
+    return t.select(
+        "event_id",
+        F.coalesce("v", F.lit(-1.0)).alias("v_filled"),
+        F.nullif(F.col("value"), F.lit(0.0)).alias("v_nullif"),
+        F.col("v").isNull().alias("v_missing"),
+        F.expr("v IS DISTINCT FROM value").alias("v_differs"),
+    )

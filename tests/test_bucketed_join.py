@@ -22,10 +22,15 @@ def no_broadcast(spark):
 
 
 def test_bucketed_join_has_no_exchange(spark, sf_dir, no_broadcast):
+    import shutil
+
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    # the in-memory catalog forgets tables between sessions but their
+    # warehouse directories persist — clear both catalog and location
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"/tmp/gordo_spark_warehouse/{t}", ignore_errors=True)
     (orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
      .sortBy("o_orderkey").saveAsTable("b_orders"))
     (lineitem.write.mode("overwrite").bucketBy(8, "l_orderkey")
