@@ -37,5 +37,6 @@ from gordo_components_spark.operators import (  # noqa: F401
     streaming_batch,
     timeseries_aggs,
     timeseries_filters,
+    tpch,
     windows,
 )
