@@ -25,6 +25,7 @@ from gordo_components_spark.operators import (  # noqa: F401
     dataset_api,
     extensions_dedup,
     extensions_multimodal,
+    extensions_pipeline,
     extensions_similarity,
     extensions_text,
     flagship,

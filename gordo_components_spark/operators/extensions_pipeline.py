@@ -1,0 +1,159 @@
+"""Training-data pipeline utilities (BASELINE.json mandate, beyond E1–E6):
+latest-wins upsert compaction, data-quality expectations, deterministic
+stratified sampling, and reproducible train/val/test splits.
+
+Cross-engine determinism trick used for sampling/splits: engine hash
+functions differ (murmur3 vs duckdb's), but ``md5`` hex is identical —
+decoding its first 4 hex digits (position-in-alphabet arithmetic, no
+engine-specific hex cast) yields a uniform 0..65535 bucket computable
+bit-identically in both engines (and on any cluster size, which is the
+actual point: membership is a pure function of the key, never of
+partitioning or RNG state).  NB: ``ascii()`` of hex chars is NOT
+uniform (digit and letter codepoints are disjoint bands) — decode
+positions, don't use codepoints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gordo_components_spark.registry import register
+from gordo_components_spark.sources.tables import load_table
+
+
+def _bucket(key: str, strpos_fn: str) -> str:
+    """0..9999 deterministic bucket: first 4 md5 hex digits decoded via
+    position in the hex alphabet (strpos/instr are 1-based in both)."""
+    digit = "({f}('0123456789abcdef', substr(md5({k}), {i}, 1)) - 1)"
+    val = " + ".join(
+        digit.format(f=strpos_fn, k=key, i=i) + f" * {16 ** (3 - n)}"
+        for n, i in enumerate(range(1, 5))
+    )
+    return f"(({val}) % 10000)"
+
+
+_BUCKET_SPARK = _bucket("{key}", "instr")
+_BUCKET_DUCK = _bucket("{key}", "strpos")
+
+
+@register(
+    "pipe_upsert_latest",
+    oracle="""
+    WITH updates AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+      UNION ALL
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS ts,
+             value + 1000.0 AS value
+      FROM events WHERE event_id % 10 = 0
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                                   ORDER BY ts DESC, value DESC) AS rn
+      FROM updates
+    )
+    SELECT event_id, user_id, ts, value FROM ranked WHERE rn = 1
+    """,
+)
+def pipe_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style latest-wins upsert compaction: base ∪ updates, keep the
+    newest record per key (row_number over event-time desc).  This is the
+    batch MERGE for append-only lakes; at 100 TB it's one shuffle on the
+    key, and with the base bucketed by key the shuffle disappears."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    updates = (
+        ev.where(F.col("event_id") % 10 == 0)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        .withColumn("value", F.col("value") + 1000.0)
+    )
+    merged = ev.unionByName(updates)
+    return (
+        merged.withColumn(
+            "rn",
+            F.expr("ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts DESC, value DESC)"),
+        )
+        .where("rn = 1")
+        .drop("rn")
+    )
+
+
+@register(
+    "pipe_data_quality",
+    oracle="""
+    SELECT
+      COUNT(*) AS n_rows,
+      CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_values,
+      CAST(SUM(CASE WHEN value < 0.0 OR value > 1000.0 THEN 1 ELSE 0 END) AS BIGINT) AS out_of_range,
+      CAST(SUM(CASE WHEN event_type NOT IN ('click','error','purchase','signup','view')
+               THEN 1 ELSE 0 END) AS BIGINT) AS bad_enum,
+      COUNT(*) - COUNT(DISTINCT event_id) AS dup_keys,
+      CAST(SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS BIGINT) AS bad_json
+    FROM events
+    """,
+)
+def pipe_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations in one scan: null fraction, range
+    violations, enum violations, key duplication, JSON validity — the
+    gate a training pipeline runs before ingesting a partition (fail the
+    partition, not the job)."""
+    ev = load_table(spark, sf_dir, "events")
+    valid_types = ("click", "error", "purchase", "signup", "view")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).cast("bigint").alias("null_values"),
+        F.sum(F.when((F.col("value") < 0.0) | (F.col("value") > 1000.0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("out_of_range"),
+        F.sum(F.when(~F.col("event_type").isin(*valid_types), 1).otherwise(0))
+        .cast("bigint")
+        .alias("bad_enum"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("dup_keys"),
+        F.sum(F.when(F.expr("get_json_object(props, '$') IS NULL"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("bad_json"),
+    )
+
+
+_RATES = {"en": 5000, "es": 1000, "de": 1000, "fr": 1000, "zh": 1000}  # per-10000
+_RATE_CASE_SQL = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _RATES.items()
+) + " ELSE 0 END"
+
+
+@register(
+    "pipe_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_BUCKET_DUCK.format(key="CAST(doc_id AS VARCHAR)")} < {_RATE_CASE_SQL}
+    """,
+)
+def pipe_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-language rates (en 50%, others 10%)
+    via the deterministic md5 bucket: reproducible on any cluster, no RNG
+    state, membership stable under re-partitioning — unlike
+    ``df.sample`` whose output depends on partition layout."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_BUCKET_SPARK.format(key="CAST(doc_id AS STRING)"))
+    rate = F.expr(_RATE_CASE_SQL)
+    return docs.where(bucket < rate).select("doc_id", "lang")
+
+
+@register(
+    "pipe_train_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_BUCKET_DUCK.format(key="CAST(doc_id AS VARCHAR)")} < 8000 THEN 'train'
+                WHEN {_BUCKET_DUCK.format(key="CAST(doc_id AS VARCHAR)")} < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def pipe_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 train/val/test assignment from the key hash
+    — the canonical leak-free split (same doc always lands in the same
+    set, across runs, engines and cluster sizes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_BUCKET_SPARK.format(key="CAST(doc_id AS STRING)"))
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 8000, "train").when(bucket < 9000, "val").otherwise("test").alias("split"),
+    )
