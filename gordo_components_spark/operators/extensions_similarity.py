@@ -90,6 +90,118 @@ def ext_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ext_embed_quantize",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             list_min(CAST(embedding AS DOUBLE[])) AS lo,
+             list_max(CAST(embedding AS DOUBLE[])) AS hi
+      FROM embeddings
+    )
+    SELECT vec_id, CAST(t.i AS INT) AS pos,
+           CAST(floor((v[t.i + 1] - lo) / NULLIF(hi - lo, 0.0) * 255.0 + 0.5) AS INT) AS q,
+           round(lo, 9) AS scale_lo,
+           round(hi, 9) AS scale_hi
+    FROM b, range(64) t(i)
+    """,
+)
+def ext_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8-style scale quantization (the storage format for
+    100 TB vector corpora — 4× smaller than float32, 8× than float64):
+    q = round((x−lo)/(hi−lo)·255) with the (lo, hi) scale stored for
+    dequantization.  ``floor(x+0.5)`` not ``round`` — engines disagree on
+    round-half ties, floor is bit-identical.  Long-format output (vec_id,
+    pos, q) keeps the oracle hash on scalars."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.array_min("embedding").alias("lo"),
+        F.array_max("embedding").alias("hi"),
+    )
+    exploded = b.select("vec_id", "lo", "hi", F.posexplode("v").alias("pos", "x"))
+    q = F.floor(
+        (F.col("x") - F.col("lo")) / F.nullif(F.col("hi") - F.col("lo"), F.lit(0.0)) * 255.0
+        + 0.5
+    ).cast("int")
+    return exploded.select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        q.alias("q"),
+        F.round("lo", 9).alias("scale_lo"),
+        F.round("hi", 9).alias("scale_hi"),
+    )
+
+
+@register(
+    "ext_tfidf_similar",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, t.token, COUNT(*) AS tf
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+      GROUP BY doc_id, source, t.token
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), idf AS (
+      SELECT token, round(ln((n.n_docs + 1.0) / (COUNT(*) + 1.0)), 9) AS idf
+      FROM tok, n GROUP BY token, n.n_docs
+    ), w AS (
+      SELECT tok.doc_id, tok.source, tok.token, tok.tf * idf.idf AS w
+      FROM tok JOIN idf USING (token)
+    ), norms AS (
+      SELECT doc_id, round(sqrt(SUM(w * w)), 9) AS nrm FROM w GROUP BY doc_id
+    ), wn AS (
+      SELECT w.doc_id, w.source, w.token, round(w.w / norms.nrm, 9) AS wn
+      FROM w JOIN norms USING (doc_id)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(SUM(a.wn * b.wn), 6) AS cosine
+    FROM wn a JOIN wn b
+      ON a.token = b.token AND a.source = b.source AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING round(SUM(a.wn * b.wn), 6) > 0.3
+    """,
+)
+def ext_tfidf_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 TF-IDF cosine similarity as a sparse inverted-index join — the
+    shape that scales: long-format (doc, token, weight) postings self-join
+    on (token, source-block), dot products accumulate per pair.  No dense
+    vectors ever materialize; volume is Σ posting-list², bounded by the
+    blocking key.  (MLlib HashingTF+IDF produces the same features as a
+    pipeline stage — ``mllib_pipeline_anomaly`` covers that surface;
+    VectorUDT can't cross Arrow, so similarity stays native.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", "source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "source", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.count()
+    idf = tok.groupBy("token").agg(
+        F.round(F.log((n_docs + 1.0) / (F.count(F.lit(1)) + 1.0)), 9).alias("idf")
+    )
+    w = tok.join(idf, "token").select(
+        "doc_id", "source", "token", (F.col("tf") * F.col("idf")).alias("w")
+    )
+    norms = w.groupBy("doc_id").agg(F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), 9).alias("nrm"))
+    wn = w.join(norms, "doc_id").select(
+        "doc_id", "source", "token", F.round(F.col("w") / F.col("nrm"), 9).alias("wn")
+    )
+    a, b = wn.alias("a"), wn.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.round(F.sum(F.col("a.wn") * F.col("b.wn")), 6).alias("cosine"))
+    )
+    return dots.where(F.col("cosine") > 0.3)
+
+
 _NPROBE = 3
 _IVF_QUERY = 7
 
