@@ -138,27 +138,29 @@ def ext_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_tfidf_similar",
     oracle="""
     WITH tok AS (
-      SELECT doc_id, source, t.token, COUNT(*) AS tf
+      SELECT doc_id, source, CAST(n_chars // 100 AS INT) AS len_bucket,
+             t.token, COUNT(*) AS tf
       FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
-      GROUP BY doc_id, source, t.token
+      GROUP BY doc_id, source, n_chars, t.token
     ), n AS (
       SELECT COUNT(*) AS n_docs FROM documents
     ), idf AS (
       SELECT token, round(ln((n.n_docs + 1.0) / (COUNT(*) + 1.0)), 9) AS idf
       FROM tok, n GROUP BY token, n.n_docs
     ), w AS (
-      SELECT tok.doc_id, tok.source, tok.token, tok.tf * idf.idf AS w
+      SELECT tok.doc_id, tok.source, tok.len_bucket, tok.token, tok.tf * idf.idf AS w
       FROM tok JOIN idf USING (token)
     ), norms AS (
       SELECT doc_id, round(sqrt(SUM(w * w)), 9) AS nrm FROM w GROUP BY doc_id
     ), wn AS (
-      SELECT w.doc_id, w.source, w.token, round(w.w / norms.nrm, 9) AS wn
+      SELECT w.doc_id, w.source, w.len_bucket, w.token, round(w.w / norms.nrm, 9) AS wn
       FROM w JOIN norms USING (doc_id)
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            round(SUM(a.wn * b.wn), 6) AS cosine
     FROM wn a JOIN wn b
-      ON a.token = b.token AND a.source = b.source AND a.doc_id < b.doc_id
+      ON a.token = b.token AND a.source = b.source
+     AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
     HAVING round(SUM(a.wn * b.wn), 6) > 0.3
     """,
@@ -166,15 +168,23 @@ def ext_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_tfidf_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 TF-IDF cosine similarity as a sparse inverted-index join — the
     shape that scales: long-format (doc, token, weight) postings self-join
-    on (token, source-block), dot products accumulate per pair.  No dense
+    on (token, source, length-bucket) blocks, dot products accumulate per
+    pair.  The fixture's 31-word vocabulary makes every token hot, so the
+    block key (not DF pruning, which would erase this corpus) bounds the
+    posting-list join volume.  No dense
     vectors ever materialize; volume is Σ posting-list², bounded by the
     blocking key.  (MLlib HashingTF+IDF produces the same features as a
     pipeline stage — ``mllib_pipeline_anomaly`` covers that surface;
     VectorUDT can't cross Arrow, so similarity stays native.)"""
     docs = load_table(spark, sf_dir, "documents")
     tok = (
-        docs.select("doc_id", "source", F.explode(F.split("text", " ")).alias("token"))
-        .groupBy("doc_id", "source", "token")
+        docs.select(
+            "doc_id",
+            "source",
+            (F.col("n_chars") / 100).cast("int").alias("len_bucket"),
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .groupBy("doc_id", "source", "len_bucket", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     n_docs = docs.count()
@@ -182,11 +192,12 @@ def ext_tfidf_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log((n_docs + 1.0) / (F.count(F.lit(1)) + 1.0)), 9).alias("idf")
     )
     w = tok.join(idf, "token").select(
-        "doc_id", "source", "token", (F.col("tf") * F.col("idf")).alias("w")
+        "doc_id", "source", "len_bucket", "token", (F.col("tf") * F.col("idf")).alias("w")
     )
     norms = w.groupBy("doc_id").agg(F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), 9).alias("nrm"))
     wn = w.join(norms, "doc_id").select(
-        "doc_id", "source", "token", F.round(F.col("w") / F.col("nrm"), 9).alias("wn")
+        "doc_id", "source", "len_bucket", "token",
+        F.round(F.col("w") / F.col("nrm"), 9).alias("wn"),
     )
     a, b = wn.alias("a"), wn.alias("b")
     dots = (
@@ -194,6 +205,7 @@ def ext_tfidf_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.token") == F.col("b.token"))
             & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))

@@ -128,6 +128,55 @@ def scan_csv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _format_scan(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    """Materialize events once in ``fmt`` (ts as epoch-micros long so no
+    format-specific timestamp semantics leak in), read back with explicit
+    schema, aggregate — exercising the format's reader end-to-end."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/gordo_spark_fmt/{sf_tag}/events_{fmt}"
+    ev = load_table(spark, sf_dir, "events")
+    if not os.path.exists(out):
+        (
+            ev.select("event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "event_type", "value")
+            .write.mode("overwrite")
+            .format(fmt)
+            .save(out)
+        )
+    schema = "event_id long, ts_us long, user_id long, event_type string, value double"
+    back = spark.read.format(fmt).schema(schema).load(out)
+    return (
+        back.withColumn("ts", F.timestamp_micros("ts_us"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE)").alias("total_value"),
+            F.min("ts").alias("first_ts"),
+        )
+    )
+
+
+_FMT_ORACLE = """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value,
+           CAST(MIN(ts) AS TIMESTAMP) AS first_ts
+    FROM events GROUP BY event_type
+    """
+
+
+@register("scan_jsonl_events", oracle=_FMT_ORACLE)
+def scan_jsonl_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3-adjacent source-format breadth: JSON-lines scan with explicit
+    schema (the interchange format half of ingestion pipelines)."""
+    return _format_scan(spark, sf_dir, "json")
+
+
+@register("scan_orc_events", oracle=_FMT_ORACLE)
+def scan_orc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format breadth: ORC scan (the other columnar at-rest format
+    Spark ships a vectorized reader for)."""
+    return _format_scan(spark, sf_dir, "orc")
+
+
 @register(
     "scan_partition_pruned",
     oracle="""

@@ -149,6 +149,17 @@ def stream_watermark_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_tumbling_agg(spark, sf_dir)
 
 
+@register("stream_stateful_ewma", oracle=None)
+def stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O35/O25 custom stateful streaming operator (rows-only):
+    ``applyInPandasWithState`` EWMA per machine with state carried across
+    three forced micro-batches; count/total parity vs batch is asserted
+    in tests/test_streaming.py."""
+    from gordo_components_spark.streaming.micro_batch import run_streaming_stateful_ewma
+
+    return run_streaming_stateful_ewma(spark, sf_dir)
+
+
 @register("stream_watermark_dedup", oracle=None)
 def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O37 streaming-native dedup within the watermark horizon (rows-only):

@@ -139,6 +139,74 @@ def run_streaming_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(sink_rows, SCORE_SCHEMA)
 
 
+def run_streaming_stateful_ewma(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.2
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (the
+    Structured Streaming escape hatch for per-key state Spark's built-ins
+    can't express): a per-machine EWMA + running count that SURVIVES
+    across micro-batches (state store).  ``maxFilesPerTrigger=1`` forces
+    3 micro-batches over the replay files, so state carry is actually
+    exercised — each machine's final row aggregates all three.
+
+    State is (ewma, n, total); n/total are order-independent and testable
+    against batch; the EWMA is the serving-side smoothing (O25) face."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    prepare(spark)
+    src = _replay_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            ewma, n, total = state.get
+        else:
+            ewma, n, total = None, 0, 0.0
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for v in pdf["value"]:
+                ewma = v if ewma is None else alpha * v + (1 - alpha) * ewma
+                n += 1
+                total += v
+        state.update((float(ewma) if ewma is not None else 0.0, int(n), float(total)))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "ewma": ewma, "n": n, "total": total}]
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, ewma double, n bigint, total double",
+        stateStructType="ewma double, n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stream_ewma_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/gordo_spark_stream/chk/{name}")
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode memory sink holds one row per (key, batch); the final
+    # state per machine is the last emitted row
+    full = spark.table(name)
+    w = "PARTITION BY user_id ORDER BY n DESC"
+    return (
+        full.withColumn("rn", F.expr(f"ROW_NUMBER() OVER ({w})"))
+        .where("rn = 1")
+        .drop("rn")
+    )
+
+
 def run_streaming_watermark_dedup(
     spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
 ) -> DataFrame:

@@ -51,6 +51,26 @@ def test_stream_batch_parity(spark, sf_dir):
     assert want <= got
 
 
+def test_stateful_ewma_state_carries_across_batches(spark, sf_dir):
+    from gordo_components_spark.streaming.micro_batch import run_streaming_stateful_ewma
+
+    out = run_streaming_stateful_ewma(spark, sf_dir).toPandas().set_index("user_id")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(out) == len(batch)
+    # state accumulated across ALL micro-batches: final per-machine count
+    # and (order-independent) total match the batch aggregation
+    joined = out.join(batch, lsuffix="_s")
+    assert (joined["n_s"] == joined["n"]).all()
+    assert (abs(joined["total_s"] - joined["total"]) < 1e-6).all()
+    assert out["ewma"].notna().all()
+
+
 def test_stream_dedup_complete(spark, sf_dir):
     deduped = run_streaming_watermark_dedup(spark, sf_dir)
     n_events = load_table(spark, sf_dir, "events").count()
