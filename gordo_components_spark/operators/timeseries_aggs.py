@@ -118,6 +118,75 @@ def agg_cv_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_rollup_hierarchy",
+    oracle="""
+    SELECT user_id,
+           time_bucket(INTERVAL '1440 minutes', CAST(ts AS TIMESTAMP)) AS day,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS day_avg,
+           MAX(value) AS day_max,
+           MIN(value) AS day_min
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def agg_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: 10-minute → hourly → daily
+    continuous aggregates, each level composed from the one below
+    (sum/count/max/min compose; avg = sum/count at read time).  The
+    oracle aggregates the raw table directly — composed results must be
+    identical, which the DECIMAL sums guarantee regardless of grouping
+    order.  At 100 TB each level is a materialized table ~100-1000×
+    smaller than the last; dashboards hit the coarse level and never
+    touch raw (the reference's resample is the finest level of exactly
+    this hierarchy)."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = "CAST(value AS DECIMAL(30,8))"
+    ten_min = (
+        ev.groupBy("user_id", F.window("ts", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(f"SUM({dec})").alias("total"),
+            F.max("value").alias("mx"),
+            F.min("value").alias("mn"),
+        )
+        .select("user_id", F.col("w.start").alias("bucket"), "n", "total", "mx", "mn")
+    )
+    hourly = (
+        ten_min.groupBy("user_id", F.window("bucket", "60 minutes").alias("w"))
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("total").alias("total"),
+            F.max("mx").alias("mx"),
+            F.min("mn").alias("mn"),
+        )
+        .select("user_id", F.col("w.start").alias("bucket"), "n", "total", "mx", "mn")
+    )
+    daily = (
+        hourly.groupBy("user_id", F.window("bucket", "1 day").alias("w"))
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("total").alias("total"),
+            F.max("mx").alias("mx"),
+            F.min("mn").alias("mn"),
+        )
+        .select("user_id", F.col("w.start").alias("day"), "n", "total", "mx", "mn")
+    )
+    total_dbl = F.expr("CAST(total AS DOUBLE)")
+    return daily.select(
+        "user_id",
+        "day",
+        F.col("n").alias("n"),
+        total_dbl.alias("total"),
+        (total_dbl / F.col("n")).cast("double").alias("day_avg"),
+        F.col("mx").alias("day_max"),
+        F.col("mn").alias("day_min"),
+    )
+
+
+@register(
     "agg_error_quantile",
     oracle="""
     WITH mu AS (
