@@ -103,7 +103,7 @@ def scan_csv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     csv_dir = f"/tmp/gordo_spark_csv/{sf_tag}/events"
     ev = load_table(spark, sf_dir, "events")
-    if not os.path.exists(csv_dir):
+    if not os.path.exists(os.path.join(csv_dir, "_SUCCESS")):
         (
             ev.select(
                 "event_id",
@@ -135,7 +135,8 @@ def _format_scan(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     out = f"/tmp/gordo_spark_fmt/{sf_tag}/events_{fmt}"
     ev = load_table(spark, sf_dir, "events")
-    if not os.path.exists(out):
+    # _SUCCESS marker, not dir-exists: a killed partial write must rebuild
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
         (
             ev.select("event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "event_type", "value")
             .write.mode("overwrite")
@@ -197,7 +198,7 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     once to scratch — at 100 TB the data is *born* partitioned like this."""
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     part_dir = f"/tmp/gordo_spark_part/{sf_tag}/events_by_date"
-    if not os.path.exists(part_dir):
+    if not os.path.exists(os.path.join(part_dir, "_SUCCESS")):
         (
             load_table(spark, sf_dir, "events")
             .withColumn("date", F.to_date("ts"))

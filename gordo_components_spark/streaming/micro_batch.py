@@ -41,7 +41,7 @@ def _replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:
     the streaming source needs no ns workaround."""
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     out = f"/tmp/gordo_spark_stream/{sf_tag}/events_replay"
-    if not os.path.exists(out):
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
         (
             load_table(spark, sf_dir, "events")
             .select("event_id", "ts", "user_id", "event_type", "value")
