@@ -48,6 +48,11 @@ def get_spark(app_name: str = "gordo-components-spark", cpus: int | None = None)
         .config("spark.ui.enabled", "false")
         # bucketed-table home (co-located joins; see tests/test_bucketed_join.py)
         .config("spark.sql.warehouse.dir", "/tmp/gordo_spark_warehouse")
+        # fixtures are single smallish parquet files; without a minimum
+        # split count a 20MB file scans on ONE core — split to the
+        # session's parallelism (clusters get this for free from many files)
+        .config("spark.sql.files.minPartitionNum", str(n))
+        .config("spark.sql.files.maxPartitionBytes", "16m")
     )
     for k, v in _RUNTIME_CONFS.items():
         b = b.config(k, v)
