@@ -159,13 +159,16 @@ def udaf_anomaly_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ntile(3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS fold
       FROM events
     ), mu AS (
-      SELECT user_id, fold, round(avg(value), 9) AS fold_mean
+      SELECT user_id, fold,
+             round(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 9) AS fold_mean
       FROM folds GROUP BY user_id, fold
     )
     SELECT f.user_id, f.fold,
            COUNT(*) AS n,
-           round(avg(abs(f.value - m.fold_mean)), 6) AS mae,
-           round(sqrt(avg((f.value - m.fold_mean) * (f.value - m.fold_mean))), 6) AS rmse
+           floor(CAST(SUM(CAST(abs(f.value - m.fold_mean) AS DECIMAL(30,8))) AS DOUBLE)
+                 / COUNT(*) * 1000000 + 0.5) / 1000000.0 AS mae,
+           floor(sqrt(CAST(SUM(CAST((f.value - m.fold_mean) * (f.value - m.fold_mean)
+                 AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000.0 AS rmse
     FROM folds f JOIN mu m ON f.user_id = m.user_id AND f.fold = m.fold
     GROUP BY f.user_id, f.fold
     """,
@@ -184,14 +187,31 @@ def udaf_ts_cv_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fold"
         ),
     )
-    mu = folds.groupBy("user_id", "fold").agg(F.round(F.avg("value"), 9).alias("fold_mean"))
+    # decimal-routed means throughout: avg-of-doubles is engine-order
+    # dependent at ~1 ulp, enough to flip round() boundaries at sf0.1+;
+    # exact decimal numerators / counts are bit-identical (scales sized
+    # so numerators stay under 2^53 — decimal→double is then exact too)
+    mu = folds.groupBy("user_id", "fold").agg(
+        F.round(
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE)") / F.count(F.lit(1)), 9
+        ).alias("fold_mean")
+    )
     dev = F.col("value") - F.col("fold_mean")
+    n = F.count(F.lit(1))
+    mae_sum = F.expr(
+        "CAST(SUM(CAST(abs(value - fold_mean) AS DECIMAL(30,8))) AS DOUBLE)"
+    )
+    sq_sum = F.expr(
+        "CAST(SUM(CAST((value - fold_mean) * (value - fold_mean) AS DECIMAL(30,6))) AS DOUBLE)"
+    )
     return (
         folds.join(mu, ["user_id", "fold"])
         .groupBy("user_id", "fold")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.avg(F.abs(dev)), 6).alias("mae"),
-            F.round(F.sqrt(F.avg(dev * dev)), 6).alias("rmse"),
+            n.alias("n"),
+            # floor-shift, not round(): engines disagree on exact half-ties
+            # (Spark rounds the shortest decimal repr, DuckDB multiplies)
+            (F.floor(mae_sum / n * 1e6 + 0.5) / 1e6).alias("mae"),
+            (F.floor(F.sqrt(sq_sum / n) * 1e6 + 0.5) / 1e6).alias("rmse"),
         )
     )

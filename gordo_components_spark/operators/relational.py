@@ -21,12 +21,27 @@ from gordo_components_spark.sources.tables import load_table
 def _dsum(expr: str, alias: str, scale: int = 8) -> "F.Column":
     """Exact cross-engine SUM: per-row double arithmetic is bit-identical
     across engines; route the accumulation through DECIMAL so summation
-    order can't change the result, then back to DOUBLE."""
+    order can't change the result, then back to DOUBLE.  Safe while the
+    decimal's numerator fits ~2^53; beyond that use :func:`_dsum_cents`
+    (engines' DECIMAL→DOUBLE conversions diverge by 1 ulp)."""
     return F.expr(f"CAST(SUM(CAST({expr} AS DECIMAL(30,{scale}))) AS DOUBLE)").alias(alias)
 
 
 def _osum(expr: str, alias: str, scale: int = 8) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(30,{scale}))) AS DOUBLE) AS {alias}"
+
+
+def _dsum_cents(expr: str, alias: str) -> "F.Column":
+    """Money aggregate as exact integer cents: immune to DECIMAL→DOUBLE
+    conversion ulp at any magnitude (found at sf0.1: 7.5e9 sums differed
+    in the last ulp between engines)."""
+    return F.expr(
+        f"CAST(round(SUM(CAST({expr} AS DECIMAL(30,8))), 2) * 100 AS BIGINT)"
+    ).alias(alias)
+
+
+def _osum_cents(expr: str, alias: str) -> str:
+    return f"CAST(round(SUM(CAST({expr} AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS {alias}"
 
 
 # --- 2.4 aggregations ------------------------------------------------------
@@ -36,8 +51,8 @@ def _osum(expr: str, alias: str, scale: int = 8) -> str:
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
            {_osum('l_quantity', 'sum_qty')},
-           {_osum('l_extendedprice', 'sum_base_price')},
-           {_osum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {_osum_cents('l_extendedprice', 'sum_base_price_cents')},
+           {_osum_cents('l_extendedprice * (1 - l_discount)', 'sum_disc_price_cents')},
            COUNT(*) AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -49,8 +64,8 @@ def agg_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         _dsum("l_quantity", "sum_qty"),
-        _dsum("l_extendedprice", "sum_base_price"),
-        _dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price"),
+        _dsum_cents("l_extendedprice", "sum_base_price_cents"),
+        _dsum_cents("l_extendedprice * (1 - l_discount)", "sum_disc_price_cents"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -150,7 +165,7 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT c_mktsegment,
            COUNT(*) AS n_orders,
-           {_osum('o_totalprice', 'revenue')}
+           {_osum_cents('o_totalprice', 'revenue_cents')}
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -163,7 +178,7 @@ def join_equi_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n_orders"), _dsum("o_totalprice", "revenue"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), _dsum_cents("o_totalprice", "revenue_cents"))
     )
 
 

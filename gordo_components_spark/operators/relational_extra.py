@@ -44,7 +44,7 @@ def join_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
            CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+           CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS revenue_cents
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
     """,
@@ -58,7 +58,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
                CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
                COUNT(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+               CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS revenue_cents
         FROM orders_v
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         """

@@ -190,15 +190,16 @@ def agg_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_error_quantile",
     oracle="""
     WITH mu AS (
-      SELECT user_id, round(avg(value), 9) AS mean_v
+      SELECT user_id,
+             round(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 9) AS mean_v
       FROM events GROUP BY user_id
     ), err AS (
       SELECT e.user_id, round(abs(e.value - mu.mean_v), 9) AS err
       FROM events e JOIN mu USING (user_id)
     )
     SELECT user_id,
-           round(quantile_cont(err, 0.99), 6) AS threshold_p99,
-           round(quantile_cont(err, 0.50), 6) AS err_median
+           floor(quantile_cont(err, 0.99) * 1000000 + 0.5) / 1000000.0 AS threshold_p99,
+           floor(quantile_cont(err, 0.50) * 1000000 + 0.5) / 1000000.0 AS err_median
     FROM err GROUP BY user_id
     """,
 )
@@ -209,11 +210,18 @@ def agg_error_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``quantile_cont``; the 100 TB path swaps in ``percentile_approx``
     (single-pass sketch) at a documented tolerance."""
     ev = load_table(spark, sf_dir, "events")
-    mu = ev.groupBy("user_id").agg(F.round(F.avg("value"), 9).alias("mean_v"))
+    # decimal-routed mean: avg-of-doubles differs across engines by ~1 ulp,
+    # which flips the round(…,9) boundary once groups reach ~10^4 rows
+    # (found at sf0.1); exact numerator / count is bit-identical
+    mu = ev.groupBy("user_id").agg(
+        (
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE)") / F.count(F.lit(1))
+        ).alias("raw_mean")
+    ).select("user_id", F.round("raw_mean", 9).alias("mean_v"))
     err = ev.join(F.broadcast(mu), "user_id").select(
         "user_id", F.round(F.abs(F.col("value") - F.col("mean_v")), 9).alias("err")
     )
     return err.groupBy("user_id").agg(
-        F.round(F.expr("percentile(err, 0.99)"), 6).alias("threshold_p99"),
-        F.round(F.expr("percentile(err, 0.50)"), 6).alias("err_median"),
+        (F.floor(F.expr("percentile(err, 0.99)") * 1e6 + 0.5) / 1e6).alias("threshold_p99"),
+        (F.floor(F.expr("percentile(err, 0.50)") * 1e6 + 0.5) / 1e6).alias("err_median"),
     )

@@ -18,14 +18,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from gordo_components_spark.registry import register
 from gordo_components_spark.sources.tables import load_table
 
-_REV = "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)"
+_REV = "CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2) * 100 AS BIGINT)"
 
 
 @register(
     "tpch_q3",
     oracle=f"""
     SELECT l_orderkey, o_orderdate,
-           {_REV} AS revenue
+           {_REV} AS revenue_cents
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -50,14 +50,14 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.expr(_REV).alias("revenue"))
+        .agg(F.expr(_REV).alias("revenue_cents"))
     )
 
 
 @register(
     "tpch_q5",
     oracle=f"""
-    SELECT n_name, {_REV} AS revenue
+    SELECT n_name, {_REV} AS revenue_cents
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -87,7 +87,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.expr(_REV).alias("revenue"))
+        .agg(F.expr(_REV).alias("revenue_cents"))
     )
 
 
@@ -95,7 +95,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10",
     oracle=f"""
     SELECT c_custkey, c_name, n_name,
-           {_REV} AS revenue
+           {_REV} AS revenue_cents
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -121,5 +121,5 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.expr(_REV).alias("revenue"))
+        .agg(F.expr(_REV).alias("revenue_cents"))
     )
