@@ -1,0 +1,53 @@
+"""Validates the documented 100 TB substitutions: the approximate
+single-pass forms (percentile_approx, approx_count_distinct) stay within
+their stated tolerance of the exact forms used for oracle parity —
+i.e. the scale swap (SCALE.md) is measured, not asserted."""
+
+from pyspark.sql import functions as F
+
+from gordo_components_spark.sources.tables import load_table
+
+
+def test_percentile_approx_within_rank_tolerance(spark, sf_dir):
+    # the sketch's contract is RANK error (≤ 1/accuracy), not value
+    # error: assert the fraction of values ≤ the approx result is within
+    # discreteness (1/n) + sketch tolerance of the requested quantile
+    ev = load_table(spark, sf_dir, "events")
+    r = (
+        ev.groupBy("user_id")
+        .agg(
+            F.expr("percentile_approx(value, 0.99, 10000)").alias("approx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    ranks = {
+        (row["user_id"]): row for row in r
+    }
+    fracs = (
+        ev.join(
+            spark.createDataFrame(
+                [(u, d["approx"]) for u, d in ranks.items()], "user_id long, approx double"
+            ),
+            "user_id",
+        )
+        .groupBy("user_id")
+        .agg(
+            (F.sum(F.when(F.col("value") <= F.col("approx"), 1).otherwise(0))
+             / F.count(F.lit(1))).alias("frac")
+        )
+        .collect()
+    )
+    for row in fracs:
+        n = ranks[row["user_id"]]["n"]
+        assert abs(row["frac"] - 0.99) <= 1.0 / n + 1e-4 + 1e-9, (row, n)
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.expr("approx_count_distinct(l_partkey, 0.02)").alias("approx"),
+    ).collect()[0]
+    # rsd 2% → generous 3-sigma bound of 6%
+    assert abs(r["approx"] - r["exact"]) <= 0.06 * r["exact"] + 1
