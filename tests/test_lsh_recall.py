@@ -1,0 +1,28 @@
+"""MinHash-LSH quality: band-bucket candidate generation must recall the
+high-similarity pairs that exact Jaccard finds (the fixture contains a
+known near-dup pair at jaccard ≈ 0.97 at sf0.01).  16 hashes / 4 bands
+⇒ P(candidate) = 1−(1−s⁴)⁴ ≈ 0.98 at s=0.8 — high-s pairs must appear."""
+
+from pyspark.sql import functions as F
+
+from gordo_components_spark.registry import load_all
+
+
+def test_minhash_recalls_high_jaccard_pairs(spark):
+    sf_dir = "/root/testdata/sf0.01"  # this SF contains a 0.97-jaccard pair
+    reg = load_all()
+    exact = reg["ext_dedup_ngram_jaccard"].fn(spark, sf_dir).toPandas()
+    high = exact[exact["jaccard"] >= 0.8]
+    assert len(high) >= 1, "fixture should contain at least one near-dup pair"
+
+    cand = reg["ext_dedup_minhash"].fn(spark, sf_dir).toPandas()
+    cand_pairs = set(zip(cand["doc_a"], cand["doc_b"]))
+    for _, row in high.iterrows():
+        assert (row["doc_a"], row["doc_b"]) in cand_pairs, (
+            f"LSH missed high-similarity pair {row['doc_a']}-{row['doc_b']} "
+            f"(jaccard={row['jaccard']})"
+        )
+    # and the candidates' verified jaccard agrees with the exact computation
+    merged = cand.merge(exact, on=["doc_a", "doc_b"], suffixes=("_lsh", "_exact"))
+    if len(merged):
+        assert (abs(merged["jaccard_lsh"] - merged["jaccard_exact"]) < 1e-9).all()
