@@ -75,13 +75,26 @@ def _is_append_safe(df: DataFrame) -> bool:
 
 
 def run_streaming_tumbling_agg(
-    spark: SparkSession, sf_dir: str, duration: str = "10 minutes", watermark: str = "1 hour"
+    spark: SparkSession,
+    sf_dir: str,
+    duration: str = "10 minutes",
+    watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """O33/O36: event-time tumbling aggregation with a late-data watermark,
-    executed as a genuine streaming query over the replayed file source."""
+    executed as a genuine streaming query over the replayed file source.
+
+    With ``max_files_per_trigger=1`` the three replay files (each a random
+    slice of the whole month) arrive as separate micro-batches: batch 1
+    advances the watermark to ~month-end, so most rows of batches 2–3 are
+    LATE and get dropped — the O36 semantic, observable (see
+    tests/test_streaming.py::test_watermark_drops_late_batches)."""
     prepare(spark)
     src = _replay_dir(spark, sf_dir)
-    stream = spark.readStream.schema(_RAW_SCHEMA).parquet(src)
+    reader = spark.readStream.schema(_RAW_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src)
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy("event_type", F.window("ts", duration).alias("w"))

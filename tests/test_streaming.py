@@ -51,6 +51,34 @@ def test_stream_batch_parity(spark, sf_dir):
     assert want <= got
 
 
+def test_watermark_drops_late_batches(spark, sf_dir):
+    # one file per micro-batch: each file is a random month-wide slice, so
+    # once the watermark advances to ~month-end it marks later batches'
+    # rows late.  Spark updates the watermark at the END of each batch
+    # (it lags one batch): batch 1 all accepted, batch 2 accepted under
+    # batch-1's watermark... practically: one full batch of rows must be
+    # dropped/held — late-data enforcement observable as missing counts
+    streamed = run_streaming_tumbling_agg(
+        spark, sf_dir, max_files_per_trigger=1
+    ).toPandas()
+    batch_total = load_table(spark, sf_dir, "events").count()
+    streamed_total = int(streamed["n"].sum())
+    assert streamed_total < batch_total * 0.75, (
+        f"expected late-drop, got {streamed_total}/{batch_total}"
+    )
+    # and what WAS emitted is per-window consistent with batch-1-only
+    # input, i.e. every window count ≤ the full-batch window count
+    full = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_full"))
+        .select("event_type", F.col("w.start").alias("window_start"), "n_full")
+        .toPandas()
+    )
+    merged = streamed.merge(full, on=["event_type", "window_start"], how="left")
+    assert (merged["n"] <= merged["n_full"]).all()
+
+
 def test_stateful_ewma_state_carries_across_batches(spark, sf_dir):
     from gordo_components_spark.streaming.micro_batch import run_streaming_stateful_ewma
 
