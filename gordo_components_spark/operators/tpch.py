@@ -55,6 +55,38 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q6",
+    oracle="""
+    SELECT CAST(round(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,8))), 2) * 100
+           AS BIGINT) AS revenue_cents,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 forecast-revenue-change: pure predicate + aggregate — the
+    canonical scan-pushdown benchmark (every predicate reaches the
+    parquet scan; no shuffle beyond the final single-row agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.expr(
+            "CAST(round(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,8))), 2) * 100 AS BIGINT)"
+        ).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
     "tpch_q5",
     oracle=f"""
     SELECT n_name, {_REV} AS revenue_cents
