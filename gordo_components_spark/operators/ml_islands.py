@@ -108,12 +108,13 @@ def codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("window_lookback_tensor", oracle=None)
-def window_lookback_tensor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O23 lookback tensorization, tensor form (rows-only; the CSV-id form
-    is oracle-checked as ``window_lookback_collect``): each row carries
-    the trailing ``lookback_window`` feature structs — the 3-D LSTM input
-    (reference ``model/utils.py::create_keras_timeseriesgenerator``)."""
+def lookback_tensor_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O23 lookback tensorization, tensor form: each row carries the
+    trailing ``lookback_window`` feature structs — the 3-D LSTM input
+    (reference ``model/utils.py::create_keras_timeseriesgenerator``).
+    Internal feed for ml/islands consumers; the harness face below
+    serializes the tensor column (driver canonicalizers hash cells, and
+    array<struct> cells are unhashable)."""
     from gordo_components_spark.ml.islands import machine_features
 
     feats = machine_features(spark, sf_dir)
@@ -127,6 +128,21 @@ def window_lookback_tensor(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"collect_list(struct(value__avg, value__max, value__min, value__count)) OVER ({frame})"
         ).alias("lookback"),
     ).where(F.size("lookback") == 5)
+
+
+@register("window_lookback_tensor", oracle=None)
+def window_lookback_tensor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O23 tensor form, harness face (rows-only; the CSV-id form is
+    oracle-checked as ``window_lookback_collect``): the lookback tensor
+    serialized with ``to_json`` so every cell is a plain string —
+    hashable for any canonicalizer — while row count and window
+    semantics are identical to :func:`lookback_tensor_frame`."""
+    frame = lookback_tensor_frame(spark, sf_dir)
+    return frame.select(
+        "user_id",
+        "bucket",
+        F.to_json(F.col("lookback")).alias("lookback_json"),
+    )
 
 
 @register("ml_forecast_ar", oracle=None)
