@@ -244,3 +244,62 @@ def ml_model_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(key, hit, roundtrip == canonical)],
         "model_key string, cache_hit boolean, definition_roundtrip boolean",
     )
+
+
+@register("ml_lifecycle", oracle=None)
+def ml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated model-plane end-to-end face (rows-only): every stage
+    of the reference's build→serve lifecycle contributes one summary row —
+
+    - ``registry``  (O6/O32/O38/O39): YAML compile, content-addressed
+      model key, cache-hit proof (``ml_model_registry``)
+    - ``train``     (O41): per-machine AE train + CV thresholds
+    - ``forecast``  (O42): AR lookback forecaster per machine
+    - ``predict``   (O43): mapInPandas batch inference
+    - ``sink``      (O7): partitioned-parquet prediction sink, re-read
+    - ``codec``     (O8): DataFrame⇄JSON and ⇄parquet-bytes roundtrips
+
+    ``ok`` carries each stage's own invariant (cache hit, roundtrip
+    equality, all-machines-trained); per-stage queries stay registered
+    for the replica and are pytest-verified in depth (FIXTURES B4)."""
+    def leg(stage: str, df: DataFrame, ok: "F.Column") -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"), ok.alias("ok")
+        ).select(F.lit(stage).alias("stage"), "n_rows", "ok")
+
+    registry_df = ml_model_registry(spark, sf_dir)
+    out = leg(
+        "registry",
+        registry_df,
+        F.min(F.col("cache_hit") & F.col("definition_roundtrip")).cast("boolean"),
+    )
+    trained = trained_models(spark, sf_dir)  # O39 cache: one fit feeds all stages
+    out = out.unionByName(
+        leg("train", trained, F.min(F.col("status") == "ok").cast("boolean"))
+    )
+    out = out.unionByName(
+        leg(
+            "forecast",
+            ml_forecast_ar(spark, sf_dir),
+            F.min(F.col("status") == "ok").cast("boolean"),
+        )
+    )
+    feats = machine_features(spark, sf_dir)
+    out = out.unionByName(
+        leg("predict", predict_batch(feats, trained), F.min(F.lit(True)).cast("boolean"))
+    )
+    out = out.unionByName(
+        leg(
+            "sink",
+            sink_predictions_parquet(spark, sf_dir),
+            F.min(F.lit(True)).cast("boolean"),
+        )
+    )
+    out = out.unionByName(
+        leg(
+            "codec",
+            codec_roundtrip(spark, sf_dir),
+            F.min(F.col("json_roundtrip") & F.col("parquet_roundtrip")).cast("boolean"),
+        )
+    )
+    return out

@@ -73,19 +73,45 @@ def agg_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_distinct",
     oracle="""
-    SELECT o_orderstatus,
-           COUNT(DISTINCT o_custkey) AS n_customers,
-           COUNT(*) AS n_orders
+    SELECT 'orders:' || o_orderstatus AS grp,
+           COUNT(DISTINCT o_custkey) AS n_d1,
+           CAST(0 AS BIGINT) AS n_d2,
+           COUNT(*) AS n_rows
     FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'lineitem:' || l_returnflag AS grp,
+           COUNT(DISTINCT l_partkey) AS n_d1,
+           COUNT(DISTINCT l_suppkey) AS n_d2,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
     """,
 )
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct aggregation (expand + two-phase agg under AQE)."""
+    """Exact distinct aggregation (expand + two-phase agg under AQE),
+    consolidated SURVEY §2.4 face: the orders leg is the plain exact
+    COUNT(DISTINCT); the lineitem leg is the cardinality-estimation
+    surface declared exact on both engines (the 100 TB path swaps in
+    approx_count_distinct(rsd) — same plan shape; the per-variant
+    ``agg_approx_cd`` form stays registered past the witness window)."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.countDistinct("o_custkey").alias("n_customers"),
-        F.count(F.lit(1)).alias("n_orders"),
+    li = load_table(spark, sf_dir, "lineitem")
+    orders_leg = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_d1"),
+        F.lit(0).cast("long").alias("n_d2"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).select(
+        F.concat(F.lit("orders:"), F.col("o_orderstatus")).alias("grp"),
+        "n_d1", "n_d2", "n_rows",
     )
+    lineitem_leg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_d1"),
+        F.countDistinct("l_suppkey").alias("n_d2"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).select(
+        F.concat(F.lit("lineitem:"), F.col("l_returnflag")).alias("grp"),
+        "n_d1", "n_d2", "n_rows",
+    )
+    return orders_leg.unionByName(lineitem_leg)
 
 
 @register(
@@ -276,6 +302,101 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_variants",
+    oracle=f"""
+    SELECT 'equi_inner' AS variant, c_mktsegment AS grp,
+           COUNT(*) AS n, {_osum_cents('o_totalprice', 'cents')}
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'left_outer' AS variant,
+           CASE WHEN n_orders = 0 THEN 'zero_orders' ELSE 'has_orders' END AS grp,
+           COUNT(*) AS n, CAST(0 AS BIGINT) AS cents
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+          FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+          GROUP BY c_custkey)
+    GROUP BY 2
+    UNION ALL
+    SELECT 'semi' AS variant, c_mktsegment AS grp,
+           COUNT(*) AS n, CAST(0 AS BIGINT) AS cents
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'anti' AS variant, c_mktsegment AS grp,
+           COUNT(*) AS n, CAST(0 AS BIGINT) AS cents
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'range_theta' AS variant, o_orderpriority AS grp,
+           COUNT(*) AS n, CAST(0 AS BIGINT) AS cents
+    FROM orders JOIN lineitem
+      ON l_orderkey = o_orderkey
+     AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+    GROUP BY o_orderpriority
+    """,
+)
+def join_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated SURVEY §2.3 addendum face: one witnessed query per
+    join strategy — broadcast-hash equi inner, null-preserving left
+    outer, left-semi (EXISTS), left-anti (NOT EXISTS), and equi+range
+    theta residual.  Each leg aggregates to a compact (variant, grp, n,
+    cents) row set so every join's row-routing is value-witnessed.  The
+    per-variant queries (``join_equi_inner`` …) stay registered for the
+    replica; plan shapes (broadcast, no-cartesian) are guarded in
+    tests/test_plan_properties.py."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    zero = F.lit(0).cast("long").alias("cents")
+
+    equi = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n"), _dsum_cents("o_totalprice", "cents"))
+        .select(F.lit("equi_inner").alias("variant"), "grp", "n", "cents")
+    )
+    left = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .groupBy(
+            F.when(F.col("n_orders") == 0, F.lit("zero_orders"))
+            .otherwise(F.lit("has_orders"))
+            .alias("grp")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("left_outer").alias("variant"), "grp", "n", zero)
+    )
+    big = o.where(F.col("o_totalprice") > 100000)
+    semi = (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("semi").alias("variant"), "grp", "n", zero)
+    )
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT")
+    anti = (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("anti").alias("variant"), "grp", "n", zero)
+    )
+    theta_cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")
+    )
+    theta = (
+        o.join(li, theta_cond)
+        .groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("range_theta").alias("variant"), "grp", "n", zero)
+    )
+    return equi.unionByName(left).unionByName(semi).unionByName(anti).unionByName(theta)
+
+
 # --- 2.6 sorts / limits ----------------------------------------------------
 
 @register(
@@ -369,3 +490,42 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     open_ = o.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
     fin = o.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
     return open_.subtract(fin)
+
+
+@register(
+    "set_ops",
+    oracle="""
+    SELECT 'union:customer' AS variant, c_nationkey AS key FROM customer
+    UNION ALL
+    SELECT 'union:supplier' AS variant, s_nationkey AS key FROM supplier
+    UNION ALL
+    SELECT 'intersect' AS variant, nationkey AS key FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey AS nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except' AS variant, custkey AS key FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated SURVEY §2.7 face: UNION ALL (pure concatenation, no
+    shuffle), INTERSECT and EXCEPT (distinct semantics, hash-partitioned
+    on the full row) witnessed in one query; per-variant forms
+    (``set_union``/``set_intersect``/``set_except``) stay registered for
+    the replica."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    cn = c.select(F.col("c_nationkey").alias("key"))
+    sn = s.select(F.col("s_nationkey").alias("key"))
+    union_leg = cn.select(F.lit("union:customer").alias("variant"), "key").unionByName(
+        sn.select(F.lit("union:supplier").alias("variant"), "key")
+    )
+    intersect_leg = cn.intersect(sn).select(F.lit("intersect").alias("variant"), "key")
+    open_ = o.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("key"))
+    fin = o.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("key"))
+    except_leg = open_.subtract(fin).select(F.lit("except").alias("variant"), "key")
+    return union_leg.unionByName(intersect_leg).unionByName(except_leg)

@@ -207,3 +207,54 @@ def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     return ev.select("event_id", k.alias("k")).where(k % 2 == 0)
+
+
+@register(
+    "scalar_json_ops",
+    oracle="""
+    SELECT 'hash' AS variant, c_custkey AS id,
+           sha256('{"name":"' || c_name || '","nationkey":' || CAST(c_nationkey AS VARCHAR)
+             || ',"segment":"' || c_mktsegment || '"}') AS payload,
+           CAST(0 AS INT) AS k
+    FROM customer
+    UNION ALL
+    SELECT 'extract' AS variant, event_id AS id, '' AS payload,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) % 2 = 0
+    """,
+)
+def scalar_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O32 consolidated JSON face: canonical-JSON build + sha256 model key
+    (the rebuild-cache key) and JSON property extraction with a predicate
+    — both engine-deterministic because canonicalization is explicit
+    concatenation, never engine ``to_json``.  Per-variant forms stay
+    registered for the replica."""
+    c = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    js = F.concat(
+        F.lit('{"name":"'),
+        F.col("c_name"),
+        F.lit('","nationkey":'),
+        F.col("c_nationkey").cast("string"),
+        F.lit(',"segment":"'),
+        F.col("c_mktsegment"),
+        F.lit('"}'),
+    )
+    hash_leg = c.select(
+        F.lit("hash").alias("variant"),
+        F.col("c_custkey").alias("id"),
+        F.sha2(js, 256).alias("payload"),
+        F.lit(0).cast("int").alias("k"),
+    )
+    k = F.get_json_object("props", "$.k").cast("int")
+    extract_leg = (
+        ev.select(
+            F.lit("extract").alias("variant"),
+            F.col("event_id").alias("id"),
+            F.lit("").alias("payload"),
+            k.alias("k"),
+        )
+        .where(F.col("k") % 2 == 0)
+    )
+    return hash_leg.unionByName(extract_leg)

@@ -167,3 +167,37 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gordo_components_spark.streaming.micro_batch import run_streaming_watermark_dedup
 
     return run_streaming_watermark_dedup(spark, sf_dir)
+
+
+@register("stream_genuine", oracle=None)
+def stream_genuine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated genuine-Structured-Streaming face (rows-only): each
+    stage runs a REAL streaming query (file-replay source, availableNow
+    trigger) and contributes a one-row summary —
+
+    - ``watermark_agg``   (O36): 1h event-time watermark tumbling agg
+    - ``foreachbatch``    (O33): micro-batch model scoring via foreachBatch
+    - ``watermark_dedup`` (O37): dropDuplicatesWithinWatermark
+    - ``stateful_ewma``   (O35): applyInPandasWithState across batches
+
+    Batch↔stream parity for every stage is asserted in
+    tests/test_streaming.py; the per-stage queries stay registered for
+    the replica.  Summaries aggregate inside the plan (no driver-side
+    collect of stage outputs)."""
+    from gordo_components_spark.streaming.micro_batch import (
+        run_streaming_scoring,
+        run_streaming_stateful_ewma,
+        run_streaming_tumbling_agg,
+        run_streaming_watermark_dedup,
+    )
+
+    def leg(stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(stage).alias("stage"), F.col("n_rows").cast("long").alias("n_rows")
+        )
+
+    out = leg("watermark_agg", run_streaming_tumbling_agg(spark, sf_dir))
+    out = out.unionByName(leg("foreachbatch", run_streaming_scoring(spark, sf_dir)))
+    out = out.unionByName(leg("watermark_dedup", run_streaming_watermark_dedup(spark, sf_dir)))
+    out = out.unionByName(leg("stateful_ewma", run_streaming_stateful_ewma(spark, sf_dir)))
+    return out

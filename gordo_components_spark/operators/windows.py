@@ -164,3 +164,75 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(f"sum(value) OVER ({w})"), 9).alias("sum_1h"),
         F.expr(f"CAST(count(*) OVER ({w}) AS BIGINT)").alias("n_1h"),
     )
+
+
+@register(
+    "window_analytic",
+    oracle=f"""
+    SELECT 'rank' AS variant, o_orderkey AS id, CAST(o_custkey AS VARCHAR) AS grp,
+           CAST(o_totalprice AS DOUBLE) AS v_dbl, rn AS n1, rnk AS n2
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+             CAST(RANK() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+      FROM orders
+    ) WHERE rn <= 3
+    UNION ALL
+    SELECT 'lag' AS variant, event_id AS id, CAST(user_id AS VARCHAR) AS grp,
+           round(value - lag(value, 1) OVER ({_ORDER}), 9) AS v_dbl,
+           CAST(0 AS BIGINT) AS n1, CAST(0 AS BIGINT) AS n2
+    FROM events
+    UNION ALL
+    SELECT 'range_1h' AS variant, event_id AS id, CAST(user_id AS VARCHAR) AS grp,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 9) AS v_dbl,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS n1,
+           CAST(0 AS BIGINT) AS n2
+    FROM events
+    """,
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated SURVEY §2.5 addendum face: ranking (row_number + rank
+    with unique tiebreak), analytic lag (per-machine first difference),
+    and a time-RANGE trailing frame — one witnessed query, three window
+    families, all partitioned by their natural key so frames never cross
+    executors.  Per-variant forms stay registered for the replica."""
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    zero = F.lit(0).cast("long")
+    wr = "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey"
+    rank_leg = (
+        o.select(
+            F.lit("rank").alias("variant"),
+            F.col("o_orderkey").alias("id"),
+            F.col("o_custkey").cast("string").alias("grp"),
+            F.col("o_totalprice").cast("double").alias("v_dbl"),
+            F.expr(f"CAST(ROW_NUMBER() OVER ({wr}) AS BIGINT)").alias("n1"),
+            F.expr(f"CAST(RANK() OVER ({wr}) AS BIGINT)").alias("n2"),
+        )
+        .where(F.col("n1") <= 3)
+    )
+    lag_leg = ev.select(
+        F.lit("lag").alias("variant"),
+        F.col("event_id").alias("id"),
+        F.col("user_id").cast("string").alias("grp"),
+        F.round(F.col("value") - F.expr(f"lag(value, 1) OVER ({_ORDER})"), 9).alias("v_dbl"),
+        zero.alias("n1"),
+        zero.alias("n2"),
+    )
+    wrange = (
+        "PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW"
+    )
+    range_leg = ev.select(
+        F.lit("range_1h").alias("variant"),
+        F.col("event_id").alias("id"),
+        F.col("user_id").cast("string").alias("grp"),
+        F.round(F.expr(f"sum(value) OVER ({wrange})"), 9).alias("v_dbl"),
+        F.expr(f"CAST(count(*) OVER ({wrange}) AS BIGINT)").alias("n1"),
+        zero.alias("n2"),
+    )
+    return rank_leg.unionByName(lag_leg).unionByName(range_leg)
