@@ -88,6 +88,69 @@ def _require_tz_aware(name: str, value: datetime | str) -> datetime:
     return value
 
 
+def _buffered_filter(wide: DataFrame, predicate: str, b: int) -> DataFrame:
+    """O11 buffer dilation over the aligned matrix WITHOUT a global
+    single-partition window: a row is kept iff no failing row lies within
+    ±``b`` rows of it in timestamp order.
+
+    The single-machine matrix has no partition key, so a plain
+    ``MIN(ok) OVER (ORDER BY ts ROWS ±b)`` serializes the whole frame on
+    one executor — the scale-killer flagged in round 1.  Instead:
+
+    1. ``repartitionByRange(ts)`` + per-partition ``row_number`` with
+       broadcast cumulative offsets → a DENSE global row index, computed
+       with only per-partition windows (classic distributed row-number).
+    2. Block the index into fixed ``B``-row blocks; copy each block's
+       first/last ``b`` rows to its neighbor blocks (edge overlap).
+    3. ``MIN(ok)`` over ``PARTITION BY block ORDER BY rn ROWS ±b`` — a
+       partitioned window whose frames are exact because the index is
+       dense and the overlap supplies every cross-block neighbor.
+
+    Exactness requires only ``b < B`` (``B = max(64, 8·b)``); results are
+    bit-identical to the global window at any partition count."""
+    from pyspark.sql import Window
+
+    marked = (
+        wide.withColumn("__ok", F.when(F.expr(predicate), 1).otherwise(0))
+        .repartitionByRange("ts")
+        .sortWithinPartitions("ts")
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # tiny frame (one row per partition): running offset of each partition
+    # via a metadata-scale self-join (≤ P² pairs), so the plan carries NO
+    # SinglePartition node anywhere — not even on the offsets frame
+    counts = marked.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    c1, c2 = counts.alias("c1"), counts.alias("c2")
+    offsets = (
+        c1.join(F.broadcast(c2), F.col("c2.__pid") < F.col("c1.__pid"), "left")
+        .groupBy(F.col("c1.__pid").alias("__pid"))
+        .agg(F.coalesce(F.sum("c2.__cnt"), F.lit(0)).alias("__off"))
+    )
+    block = max(64, 8 * b)
+    idx = (
+        marked.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("__pid").orderBy("ts"))
+            + F.col("__off")
+            - 1,
+        )
+        .withColumn("__blk", F.floor(F.col("__rn") / block))
+    )
+    owned = idx.withColumn("__dest", F.col("__blk"))
+    head = idx.where(F.col("__rn") % block < b).withColumn("__dest", F.col("__blk") - 1)
+    tail = idx.where(F.col("__rn") % block >= block - b).withColumn(
+        "__dest", F.col("__blk") + 1
+    )
+    aug = owned.unionByName(head).unionByName(tail)
+    w_keep = Window.partitionBy("__dest").orderBy("__rn").rowsBetween(-b, b)
+    return (
+        aug.withColumn("__keep", F.min("__ok").over(w_keep))
+        .where((F.col("__dest") == F.col("__blk")) & (F.col("__keep") == 1))
+        .drop("__ok", "__pid", "__off", "__rn", "__blk", "__dest", "__keep")
+    )
+
+
 class TimeSeriesDataset:
     """Reference ``TimeSeriesDataset`` surface on a Spark plan."""
 
@@ -182,18 +245,7 @@ class TimeSeriesDataset:
         if self.row_filter:
             predicate = compile_filter(self.row_filter, columns=value_cols + ["ts"])
             if self.row_filter_buffer_size > 0:
-                b = self.row_filter_buffer_size
-                wide = (
-                    wide.withColumn("__ok", F.when(F.expr(predicate), 1).otherwise(0))
-                    .withColumn(
-                        "__keep",
-                        F.expr(
-                            f"MIN(__ok) OVER (ORDER BY ts ROWS BETWEEN {b} PRECEDING AND {b} FOLLOWING)"
-                        ),
-                    )
-                    .where("__keep = 1")
-                    .drop("__ok", "__keep")
-                )
+                wide = _buffered_filter(wide, predicate, self.row_filter_buffer_size)
             else:
                 wide = wide.where(F.expr(predicate))
         return wide.orderBy("ts")

@@ -81,6 +81,32 @@ def test_row_filter_applied(spark, sf_dir):
     assert filtered.where("click <= 100").count() == 0
 
 
+def test_row_filter_buffer_matches_global_window(spark, sf_dir):
+    """_buffered_filter (distributed block-overlap form) must be
+    row-identical to the single-partition global window it replaced."""
+    from pyspark.sql import functions as F
+
+    from gordo_components_spark.dataset import _buffered_filter
+
+    ds = TimeSeriesDataset(START, "2024-02-20T00:00:00Z", TAGS, resolution="1H")
+    wide = ds._wide(spark, sf_dir)
+    for pred, b in [("click > 5.0", 2), ("click > 2.0", 5)]:
+        new = _buffered_filter(wide, pred, b)
+        old = (
+            wide.withColumn("__ok", F.when(F.expr(pred), 1).otherwise(0))
+            .withColumn(
+                "__keep",
+                F.expr(
+                    f"MIN(__ok) OVER (ORDER BY ts ROWS BETWEEN {b} PRECEDING AND {b} FOLLOWING)"
+                ),
+            )
+            .where("__keep = 1")
+            .drop("__ok", "__keep")
+        )
+        assert new.exceptAll(old).count() == 0 and old.exceptAll(new).count() == 0
+        assert 0 < new.count() < wide.count()  # non-vacuous: partial drop
+
+
 def test_insufficient_data_gate(spark, sf_dir):
     ds = TimeSeriesDataset(START, END, TAGS, resolution="1D",
                            n_samples_threshold=10**9)

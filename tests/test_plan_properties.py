@@ -73,3 +73,25 @@ def test_windows_partition_by_machine(spark, sf_dir):
     # per-machine windows must not collapse to a single partition
     plan = plan_of(spark, "window_rolling_avg", sf_dir)
     assert "SinglePartition" not in plan
+
+
+def test_dataset_buffer_window_partitioned(spark, sf_dir):
+    # O11 buffer over the single-machine matrix must use the distributed
+    # block-overlap form — zero SinglePartition nodes anywhere in the plan
+    # (round-1 verdict item 4: the global MIN(ok) OVER (ORDER BY ts) was
+    # a whole-frame single-executor sort)
+    import io
+    import contextlib
+
+    from gordo_components_spark.dataset import TimeSeriesDataset, _buffered_filter
+
+    ds = TimeSeriesDataset(
+        "2024-01-01T00:00:00Z", "2024-02-20T00:00:00Z",
+        ["click", "purchase", "view"], resolution="1H",
+    )
+    wide = ds._wide(spark, sf_dir)
+    buffered = _buffered_filter(wide, "click > 5.0", 2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        buffered.explain("formatted")
+    assert "SinglePartition" not in buf.getvalue()
