@@ -174,9 +174,12 @@ def ext_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("component") != F.col("old"))
             .count()
         )
+        labels.unpersist()  # release the superseded generation (no-op on gen 0)
         labels = updated
         if changed == 0:
             break
+    edges.unpersist()  # loop done: only the final labels stay cached, and
+    # they back the returned plan (deep-graph form adds checkpoint cadence)
     return labels.select(
         "doc_id",
         "component",

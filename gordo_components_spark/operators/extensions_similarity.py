@@ -187,9 +187,18 @@ def ext_tfidf_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "source", "len_bucket", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    n_docs = docs.count()
-    idf = tok.groupBy("token").agg(
-        F.round(F.log((n_docs + 1.0) / (F.count(F.lit(1)) + 1.0)), 9).alias("idf")
+    # corpus size folded INTO the plan (1-row broadcast agg) — no eager
+    # docs.count() at plan-build, so the query stays one lazy DAG and the
+    # corpus is scanned exactly once
+    n_docs_df = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    idf = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+        .crossJoin(F.broadcast(n_docs_df))
+        .select(
+            "token",
+            F.round(F.log((F.col("n_docs") + 1.0) / (F.col("df_t") + 1.0)), 9).alias("idf"),
+        )
     )
     w = tok.join(idf, "token").select(
         "doc_id", "source", "len_bucket", "token", (F.col("tf") * F.col("idf")).alias("w")

@@ -122,7 +122,11 @@ def run_streaming_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _replay_dir(spark, sf_dir)
     stream = spark.readStream.schema(_RAW_SCHEMA).parquet(src)
-    sink_rows: list = []
+    # deploy-shaped sink: each micro-batch APPENDS its scored frame to a
+    # parquet directory executor-side (the O7 sink), never collecting to
+    # the driver — the demonstrated pattern is the deployable one
+    run_id = uuid.uuid4().hex
+    sink_dir = f"/tmp/gordo_spark_stream/sink/score-{run_id}"
 
     def score_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as FF
@@ -138,18 +142,17 @@ def run_streaming_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", FF.col("w.start").alias("bucket"),
                     "value__avg", "value__max", "value__min", "value__count")
         )
-        sink_rows.extend(score_models(feats, models).collect())
+        score_models(feats, models).write.mode("append").parquet(sink_dir)
 
     q = (
         stream.writeStream.foreachBatch(score_batch)
         .trigger(availableNow=True)
-        .option("checkpointLocation", f"/tmp/gordo_spark_stream/chk/score-{uuid.uuid4().hex}")
+        .option("checkpointLocation", f"/tmp/gordo_spark_stream/chk/score-{run_id}")
         .start()
     )
     q.awaitTermination()
-    from gordo_components_spark.ml.islands import SCORE_SCHEMA
-
-    return spark.createDataFrame(sink_rows, SCORE_SCHEMA)
+    models.unpersist()  # sink is durable parquet; the cache has served its batches
+    return spark.read.parquet(sink_dir)
 
 
 def run_streaming_stateful_ewma(
