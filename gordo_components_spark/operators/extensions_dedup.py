@@ -70,6 +70,7 @@ _SHINGLES = (
     WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
           / len(list_distinct(list_concat(a.shingles, b.shingles))) > 0.01
     """,
+    tags=("bench",),
 )
 def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup with blocking: pairs only form inside

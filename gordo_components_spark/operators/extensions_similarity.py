@@ -164,6 +164,7 @@ def ext_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY a.doc_id, b.doc_id
     HAVING round(SUM(a.wn * b.wn), 6) > 0.3
     """,
+    tags=("bench",),
 )
 def ext_tfidf_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 TF-IDF cosine similarity as a sparse inverted-index join — the

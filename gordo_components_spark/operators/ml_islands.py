@@ -46,7 +46,7 @@ def ml_anomaly_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_models(feats, models)
 
 
-@register("ml_predict_batch", oracle=None)
+@register("ml_predict_batch", oracle=None, tags=("bench",))
 def ml_predict_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O43 pure batch inference through ``mapInPandas`` with per-executor
     model caching (the serving path's batch face)."""
