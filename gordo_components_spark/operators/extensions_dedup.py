@@ -84,21 +84,34 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / 100).cast("int").alias("len_bucket"),
         F.expr(_SHINGLES).alias("shingles"),
     )
-    a, b = sh.alias("a"), sh.alias("b")
+    # probe side spread by block key: a single-file corpus arrives as one
+    # row-group (one scan partition), which would serialize the O(block²)
+    # pair probe on one core; at cluster scale the same repartition is the
+    # co-location shuffle that routes each block's work to one reducer.
+    # Explicit numPartitions exempts the exchange from AQE coalescing
+    # (which would re-serialize this tiny-bytes / heavy-compute shuffle).
+    n = spark.sparkContext.defaultParallelism
+    a = sh.repartition(n, "source", "len_bucket").alias("a")
+    b = sh.alias("b")
     pairs = a.join(
-        b,
+        F.broadcast(b),
         (F.col("a.source") == F.col("b.source"))
         & (F.col("a.len_bucket") == F.col("b.len_bucket"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
     inter = F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double")
     union = F.size(F.array_union("a.shingles", "b.shingles"))
-    jac = inter / union
-    return pairs.select(
+    # jaccard computed ONCE in a projection (filter on the projected
+    # column), not folded into the join condition + recomputed on output
+    scored = pairs.select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
-        F.round(jac, 6).alias("jaccard"),
-    ).where(jac > 0.01)
+        (inter / union).alias("jac_raw"),
+    )
+    return (
+        scored.where(F.col("jac_raw") > 0.01)
+        .select("doc_a", "doc_b", F.round("jac_raw", 6).alias("jaccard"))
+    )
 
 
 @register(
