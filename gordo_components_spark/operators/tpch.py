@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from gordo_components_spark.operators.relational import _dsum, _dsum_cents, _osum, _osum_cents
 from gordo_components_spark.registry import register
 from gordo_components_spark.sources.tables import load_table
 
@@ -154,4 +155,223 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.expr(_REV).alias("revenue_cents"))
+    )
+
+
+# floor-shift rounding (registry docstring): both engines compute the
+# double from EXACT integer/decimal inputs, so floor(x·10⁶ + 0.5)/10⁶ is
+# bit-identical — round() half-tie algorithms differ between engines.
+def _fshift(expr: str, alias: str) -> str:
+    return f"floor(({expr}) * 1000000 + 0.5) / 1000000 AS {alias}"
+
+
+@register(
+    "tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_osum('l_quantity', 'sum_qty')},
+           {_osum_cents('l_extendedprice', 'sum_base_price_cents')},
+           {_osum_cents('l_extendedprice * (1 - l_discount)', 'sum_disc_price_cents')},
+           {_osum_cents('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge_cents')},
+           {_fshift("CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*)", 'avg_qty')},
+           {_fshift(f"CAST({_osum_cents('l_extendedprice', 'x').rsplit(' AS x', 1)[0]} AS DOUBLE) / 100.0 / COUNT(*)", 'avg_price')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 pricing summary in full (agg_groupby_sum is the reduced face):
+    charge includes tax; means are exact-integer-numerator divisions with
+    floor-shift rounding so both engines agree bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp")
+    )
+    cents = "CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(30,8))), 2) * 100 AS BIGINT)"
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum("l_quantity", "sum_qty"),
+        _dsum_cents("l_extendedprice", "sum_base_price_cents"),
+        _dsum_cents("l_extendedprice * (1 - l_discount)", "sum_disc_price_cents"),
+        _dsum_cents("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge_cents"),
+        F.expr(
+            "floor((CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*)) "
+            "* 1000000 + 0.5) / 1000000"
+        ).alias("avg_qty"),
+        F.expr(
+            f"floor((CAST({cents} AS DOUBLE) / 100.0 / COUNT(*)) * 1000000 + 0.5) / 1000000"
+        ).alias("avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 45 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 order-priority checking, adapted to the fixture's columns (no
+    l_commitdate/l_receiptdate — lateness is ship > order + 45 days):
+    EXISTS becomes a left-semi join with an equi key + range residual, so
+    it stays a hash join and the fact table is the probe side."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 45 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q12",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shipping-mode/priority matrix, adapted (no l_shipmode —
+    l_linestatus is the grouping axis): conditional counts ride the one
+    orders⋈lineitem shuffle; priorities are CASE sums, not extra scans."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q14",
+    oracle=f"""
+    SELECT {_osum_cents("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 'promo_cents')},
+           {_osum_cents('l_extendedprice * (1 - l_discount)', 'total_cents')},
+           {_fshift(
+               "100.0 * CAST(" + _osum_cents("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 'x').rsplit(' AS x', 1)[0]
+               + " AS DOUBLE) / CAST(" + _osum_cents('l_extendedprice * (1 - l_discount)', 'y').rsplit(' AS y', 1)[0] + " AS DOUBLE)", 'promo_pct')}
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-07-01 00:00:00'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 promotion effect: the percent is a division of two EXACT
+    integer-cent aggregates (cast to double under 2⁵³, so bit-identical),
+    then floor-shift rounded; part broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    promo = "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END"
+    pc = f"CAST(round(SUM(CAST({promo} AS DECIMAL(30,8))), 2) * 100 AS BIGINT)"
+    tc = "CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2) * 100 AS BIGINT)"
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            _dsum_cents(promo, "promo_cents"),
+            _dsum_cents("l_extendedprice * (1 - l_discount)", "total_cents"),
+            F.expr(
+                f"floor((100.0 * CAST({pc} AS DOUBLE) / CAST({tc} AS DOUBLE)) "
+                "* 1000000 + 0.5) / 1000000"
+            ).alias("promo_pct"),
+        )
+    )
+
+
+@register(
+    "tpch_q18",
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           {_osum('l_quantity', 'sum_qty')}
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+    HAVING SUM(CAST(l_quantity AS DECIMAL(30,8))) > 250
+    ORDER BY sum_qty DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 large-volume customers: HAVING on an exact decimal sum, then
+    TakeOrderedAndProject top-25 with a unique orderkey tiebreak."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate")
+        .agg(
+            _dsum("l_quantity", "sum_qty"),
+            F.expr("SUM(CAST(l_quantity AS DECIMAL(30,8)))").alias("__dq"),
+        )
+        .where(F.col("__dq") > 250)
+        .drop("__dq")
+        .orderBy(F.col("sum_qty").desc(), "o_orderkey")
+        .limit(25)
+    )
+
+
+@register(
+    "tpch_q19",
+    oracle=f"""
+    SELECT {_osum_cents('l_extendedprice * (1 - l_discount)', 'revenue_cents')},
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 discounted revenue under disjunctive brand/size/quantity arms
+    (adapted: no l_shipmode/l_shipinstruct in the fixture).  The OR-of-ANDs
+    is a post-join residual; the join key stays equi so part broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(arm("Brand#12", 15, 1, 11) | arm("Brand#23", 25, 10, 20) | arm("Brand#3", 35, 20, 30))
+        .agg(
+            _dsum_cents("l_extendedprice * (1 - l_discount)", "revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
     )

@@ -75,6 +75,30 @@ def test_windows_partition_by_machine(spark, sf_dir):
     assert "SinglePartition" not in plan
 
 
+def test_join_variants_all_hash_no_cartesian(spark, sf_dir):
+    # the consolidated 5-leg join face must broadcast every dim side and
+    # never degrade to a cartesian/nested-loop product (range-theta leg)
+    plan = plan_of(spark, "join_variants", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_consolidated_windows_partitioned(spark, sf_dir):
+    # every leg of the consolidated analytic face partitions by its
+    # natural key — no single-partition window anywhere
+    plan = plan_of(spark, "window_analytic", sf_dir)
+    assert "SinglePartition" not in plan
+
+
+def test_ngram_jaccard_probe_spread(spark, sf_dir):
+    # the pair probe must carry the explicit block-key repartition (an
+    # AQE-exempt exchange): single-file corpora otherwise serialize the
+    # O(block²) probe on one core
+    plan = plan_of(spark, "ext_dedup_ngram_jaccard", sf_dir)
+    assert "REPARTITION_BY_NUM" in plan or "hashpartitioning(source" in plan
+
+
 def test_dataset_buffer_window_partitioned(spark, sf_dir):
     # O11 buffer over the single-machine matrix must use the distributed
     # block-overlap form — zero SinglePartition nodes anywhere in the plan
