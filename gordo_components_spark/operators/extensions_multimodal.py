@@ -120,3 +120,79 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return payloads.mapInPandas(_decode_batches, schema=_DECODE_SCHEMA)
+
+
+_TRANSFORM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("thumb", T.BinaryType()),
+        T.StructField("n_frames_sampled", T.IntegerType()),
+        T.StructField("frames", T.ArrayType(T.BinaryType())),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """STUB resize kernel (real: PIL ``Image.resize`` / ffmpeg scale).
+    Deterministic fake: digest-seeded bytes of the target size's row
+    stride, so output size tracks (width, height) like a real thumbnail."""
+    import hashlib
+
+    n = max(1, (width * height) // 64)
+    h = hashlib.sha256(payload + width.to_bytes(2, "big") + height.to_bytes(2, "big"))
+    out = bytearray()
+    while len(out) < n:
+        out.extend(h.digest())
+        h.update(b"x")
+    return bytes(out[:n])
+
+
+def _fake_frame_sample(payload: bytes, n_frames: int, stride: int) -> list[bytes]:
+    """STUB frame-sampling kernel (real: ffmpeg ``select=not(mod(n,k))``).
+    Every ``stride``-th frame of the container becomes one blob —
+    deterministic per (payload, frame index)."""
+    import hashlib
+
+    return [
+        hashlib.md5(payload + i.to_bytes(4, "big")).digest()
+        for i in range(0, n_frames, stride)
+    ]
+
+
+def _transform_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    tw, th, stride = 64, 64, 2
+    for pdf in batches:
+        decoded = pdf["payload"].map(_fake_decode)
+        frames = [
+            _fake_frame_sample(p, d[2], stride)
+            for p, d in zip(pdf["payload"], decoded)
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "out_width": tw,
+                "out_height": th,
+                "thumb": [_fake_resize(p, tw, th) for p in pdf["payload"]],
+                "n_frames_sampled": [len(f) for f in frames],
+                "frames": frames,
+            }
+        ).astype({"out_width": "int32", "out_height": "int32", "n_frames_sampled": "int32"})
+
+
+@register("multimodal_transform_stub", oracle=None)
+def multimodal_transform_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 resize + frame-sample plumbing (rows-only): the remaining two
+    verbs of the multimodal contract (decode / feature-extract /
+    **resize** / **frame-sample**) as one ``mapInPandas`` pass — resized
+    thumbnail bytes plus a stride-sampled ``array<binary>`` of frame
+    blobs per document.  Kernels are deterministic stubs (no codecs in
+    this container; each is a one-function swap for PIL/ffmpeg), while
+    the Spark-side contract is real: binary in, nested binary-array out
+    through Arrow, batch memory bounded by maxRecordsPerBatch ×
+    (payload + n_frames/stride · frame bytes)."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return payloads.mapInPandas(_transform_batches, schema=_TRANSFORM_SCHEMA)
