@@ -297,3 +297,88 @@ def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
     )
+
+
+# Random-hyperplane LSH parameters: K bits per table, L tables.  K scales
+# with log2(corpus/target-bucket-size) — 4 bits is right for the 500-vec
+# fixture (bucket ~31); a 10⁹-vector corpus wants K≈20.  More tables L
+# buys recall linearly in cost.
+_RP_K, _RP_L = 4, 16
+_RP_SEED = 20240801
+
+
+def _rp_planes():
+    """Deterministic hyperplanes (fixed-seed PCG64 — stable across runs
+    and platforms); shape (L, K, dim)."""
+    import numpy as np
+
+    return np.random.default_rng(_RP_SEED).standard_normal((_RP_L, _RP_K, 64))
+
+
+def _rp_bucket_batches(batches):
+    """Vectorized bucketing: sign-bit pattern of v·plane per table.  A
+    Python island is the right tool here — one numpy matmul per Arrow
+    batch beats 4096 per-element SQL literals in a generated expression."""
+    import numpy as np
+    import pandas as pd
+
+    planes = _rp_planes()  # (L, K, d)
+    flat = planes.reshape(_RP_L * _RP_K, -1)  # (L·K, d)
+    weights = (1 << np.arange(_RP_K)).astype("int64")
+    for pdf in batches:
+        V = np.stack(pdf["v"].to_numpy())  # (n, d)
+        bits = (V @ flat.T >= 0).reshape(len(V), _RP_L, _RP_K)  # (n, L, K)
+        buckets = bits @ weights  # (n, L)
+        n = len(V)
+        yield pd.DataFrame(
+            {
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), _RP_L),
+                "table_id": np.tile(np.arange(_RP_L, dtype="int32"), n),
+                "bucket": buckets.reshape(-1).astype("int64"),
+            }
+        )
+
+
+@register("ext_ann_rplsh", oracle=None)
+def ext_ann_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 scale path #2 — random-hyperplane LSH ANN (rows-only;
+    recall-vs-exact asserted in tests/test_lsh_recall.py): L hash tables
+    of K sign-bits each; candidates are rows sharing the query's bucket
+    in ANY table; exact cosine re-ranks candidates only.
+
+    100 TB posture: the bucketing pass is one vectorized mapInPandas
+    (numpy matmul per Arrow batch); the candidate probe joins the tiny
+    (table, bucket) query key — L rows — broadcast against the bucketed
+    corpus, so the re-rank touches only colliding rows.  With the corpus
+    WRITTEN bucketed by (table_id, bucket), the probe is partition
+    pruning, same as IVF's nprobe cells."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    from gordo_components_spark.ml.islands import _spread  # AQE-exempt repartition
+
+    buckets = _spread(emb, ("vec_id",)).mapInPandas(
+        _rp_bucket_batches, schema="vec_id bigint, table_id int, bucket bigint"
+    )
+    qb = buckets.where(F.col("vec_id") == _QUERY_ID).select("table_id", "bucket")
+    cand_ids = (
+        buckets.where(F.col("vec_id") != _QUERY_ID)
+        .join(F.broadcast(qb), ["table_id", "bucket"], "left_semi")
+        .select("vec_id")
+        .distinct()
+    )
+    q = emb.where(F.col("vec_id") == _QUERY_ID).select(
+        F.col("v").alias("qv"), F.expr(_norm("v")).alias("qn")
+    )
+    return (
+        emb.join(cand_ids, "vec_id", "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                F.expr(_DOT.format(a="v", b="qv")) / (F.expr(_norm("v")) * F.col("qn")), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )

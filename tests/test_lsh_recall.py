@@ -26,3 +26,21 @@ def test_minhash_recalls_high_jaccard_pairs(spark):
     merged = cand.merge(exact, on=["doc_a", "doc_b"], suffixes=("_lsh", "_exact"))
     if len(merged):
         assert (abs(merged["jaccard_lsh"] - merged["jaccard_exact"]) < 1e-9).all()
+
+
+def test_rplsh_recall_vs_exact_topk(spark):
+    """Random-hyperplane LSH must recall ≥half the exact cosine top-10.
+    Expected per-neighbor recall with K=4 bits / L=16 tables at the
+    fixture's weak-neighbor cosines (~0.3): 1−(1−(1−θ/π)⁴)¹⁶ ≈ 0.89 —
+    the 0.5 gate leaves headroom for the hyperplane draw."""
+    sf_dir = "/root/testdata/sf0.01"
+    reg = load_all()
+    exact = {r["vec_id"] for r in reg["ext_cosine_topk"].fn(spark, sf_dir).collect()}
+    approx = {r["vec_id"] for r in reg["ext_ann_rplsh"].fn(spark, sf_dir).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"RP-LSH recall@10 = {recall}"
+    # scores of recalled ids must match the exact computation bit-for-bit
+    ex = {r["vec_id"]: r["cosine"] for r in reg["ext_cosine_topk"].fn(spark, sf_dir).collect()}
+    ap = {r["vec_id"]: r["cosine"] for r in reg["ext_ann_rplsh"].fn(spark, sf_dir).collect()}
+    for vid in exact & approx:
+        assert ex[vid] == ap[vid]
