@@ -35,7 +35,15 @@ class ModelBuilder:
 
     def build(self, spark: SparkSession, sf_dir: str) -> tuple[Any, dict]:
         """Return (model, metadata); registry cache hit skips the rebuild
-        entirely (reference ``check_cache``)."""
+        entirely (reference ``check_cache``).
+
+        Size bound: this path collects ONE machine's aligned feature
+        matrix to the driver — rows ≈ train window / resolution (e.g. a
+        year at 10-minute resolution ≈ 52k rows × n_tags), mirroring the
+        reference's pod-per-machine build. It is NOT the many-machine
+        path: building a fleet goes through the distributed island
+        (``ml/islands.py::train_models``, one executor task per machine,
+        nothing driver-side)."""
         if self.registry is not None:
             cached = self.registry.check_cache(self.machine)
             if cached is not None:

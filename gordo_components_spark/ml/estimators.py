@@ -147,6 +147,145 @@ class PCAAutoEncoder(_Base):
         return float(1.0 - err.var(axis=0).sum() / denom) if denom else 0.0
 
 
+class MLPAutoEncoder(_Base):
+    """NONLINEAR hourglass autoencoder in pure numpy — the backend the
+    reference's ``feedforward_hourglass(func="tanh"|"relu")`` factory
+    builds with Keras (``model/factories/feedforward_autoencoder.py``),
+    trained here with hand-rolled full-batch Adam since the container
+    ships no TensorFlow.
+
+    Determinism: fixed-seed Glorot init + full-batch updates (no
+    minibatch shuffling) ⇒ bit-identical weights for identical input on
+    every executor — required for the content-addressed model registry
+    and cross-run oracle stability.
+
+    Layer sizes follow the reference's hourglass: geometric taper from
+    n_features to the bottleneck over ``encoding_layers`` steps, then
+    mirrored back up; hidden activations ``func``, linear output."""
+
+    _params = (
+        "kind",
+        "compression_factor",
+        "encoding_layers",
+        "func",
+        "epochs",
+        "learning_rate",
+        "seed",
+    )
+
+    def __init__(
+        self,
+        kind: str = "feedforward_hourglass",
+        compression_factor: float = 0.5,
+        encoding_layers: int = 2,
+        func: str = "tanh",
+        epochs: int = 300,
+        learning_rate: float = 0.01,
+        seed: int = 0,
+    ):
+        self.kind = kind
+        self.compression_factor = compression_factor
+        self.encoding_layers = encoding_layers
+        self.func = func
+        self.epochs = epochs
+        self.learning_rate = learning_rate
+        self.seed = seed
+
+    # -- activation --------------------------------------------------------
+    def _act(self, z):
+        return np.tanh(z) if self.func == "tanh" else np.maximum(z, 0.0)
+
+    def _act_grad(self, a):
+        return (1.0 - a * a) if self.func == "tanh" else (a > 0).astype(a.dtype)
+
+    def _dims(self, n: int) -> list[int]:
+        k = max(1, int(np.ceil(n * float(self.compression_factor))))
+        k = min(k, n)
+        steps = max(1, int(self.encoding_layers))
+        down = [
+            max(k, int(round(n * (k / n) ** (i / steps)))) for i in range(steps + 1)
+        ]
+        down[0], down[-1] = n, k
+        return down + down[-2::-1]  # mirror back up to n
+
+    def fit(self, X: np.ndarray, y: np.ndarray | None = None):
+        X = np.asarray(X, dtype=np.float64)
+        if y is not None and np.asarray(y).shape != X.shape:
+            raise ValueError("autoencoder requires y is None or y == X")
+        n, d = X.shape
+        self.n_features_ = d
+        self.mean_ = X.mean(axis=0)
+        scale = X.std(axis=0)
+        self.scale_ = np.where(scale > 0, scale, 1.0)
+        Xs = (X - self.mean_) / self.scale_
+        dims = self._dims(d)
+        self.k_ = min(dims)
+        rng = np.random.default_rng(self.seed)
+        self.W_ = [
+            rng.normal(0.0, np.sqrt(2.0 / (a + b)), size=(a, b))
+            for a, b in zip(dims[:-1], dims[1:])
+        ]
+        self.b_ = [np.zeros(b) for b in dims[1:]]
+        mW = [np.zeros_like(w) for w in self.W_]
+        vW = [np.zeros_like(w) for w in self.W_]
+        mb = [np.zeros_like(b) for b in self.b_]
+        vb = [np.zeros_like(b) for b in self.b_]
+        b1, b2, eps, lr = 0.9, 0.999, 1e-8, float(self.learning_rate)
+        L = len(self.W_)
+        for t in range(1, int(self.epochs) + 1):
+            acts = [Xs]
+            for i in range(L):
+                z = acts[-1] @ self.W_[i] + self.b_[i]
+                acts.append(z if i == L - 1 else self._act(z))
+            delta = (acts[-1] - Xs) * (2.0 / n)  # dMSE/dout, linear output
+            for i in range(L - 1, -1, -1):
+                gW = acts[i].T @ delta
+                gb = delta.sum(axis=0)
+                if i > 0:
+                    delta = (delta @ self.W_[i].T) * self._act_grad(acts[i])
+                mW[i] = b1 * mW[i] + (1 - b1) * gW
+                vW[i] = b2 * vW[i] + (1 - b2) * gW * gW
+                mb[i] = b1 * mb[i] + (1 - b1) * gb
+                vb[i] = b2 * vb[i] + (1 - b2) * gb * gb
+                c1, c2 = 1 - b1**t, 1 - b2**t
+                self.W_[i] -= lr * (mW[i] / c1) / (np.sqrt(vW[i] / c2) + eps)
+                self.b_[i] -= lr * (mb[i] / c1) / (np.sqrt(vb[i] / c2) + eps)
+        return self
+
+    def _forward(self, Xs: np.ndarray) -> np.ndarray:
+        a = Xs
+        L = len(self.W_)
+        for i in range(L):
+            z = a @ self.W_[i] + self.b_[i]
+            a = z if i == L - 1 else self._act(z)
+        return a
+
+    def encode(self, X: np.ndarray) -> np.ndarray:
+        a = (np.asarray(X, dtype=np.float64) - self.mean_) / self.scale_
+        for i in range(len(self.W_) // 2):
+            a = self._act(a @ self.W_[i] + self.b_[i])
+        return a
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        Xs = (np.asarray(X, dtype=np.float64) - self.mean_) / self.scale_
+        return self._forward(Xs) * self.scale_ + self.mean_
+
+    def score(self, X: np.ndarray, y: np.ndarray | None = None) -> float:
+        X = np.asarray(X, dtype=np.float64)
+        err = X - self.predict(X)
+        denom = X.var(axis=0).sum()
+        return float(1.0 - err.var(axis=0).sum() / denom) if denom else 0.0
+
+
+def make_autoencoder(func: str = "linear", **kw):
+    """Reference factory surface (``feedforward_hourglass``): ``func``
+    picks the backend — closed-form SVD optimum for ``linear``,
+    numpy-Adam MLP for ``tanh``/``relu``."""
+    if func == "linear":
+        return PCAAutoEncoder(func=func, **kw)
+    return MLPAutoEncoder(func=func, **kw)
+
+
 class Pipeline(_Base):
     """scaler → estimator chain (the reference nests sklearn Pipelines)."""
 

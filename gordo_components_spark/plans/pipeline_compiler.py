@@ -19,9 +19,11 @@ from typing import Any
 from gordo_components_spark.ml.estimators import (
     DiffBasedAnomalyDetector,
     MinMaxScaler,
+    MLPAutoEncoder,
     PCAAutoEncoder,
     Pipeline,
     StandardScaler,
+    make_autoencoder,
 )
 
 
@@ -37,13 +39,18 @@ CLASS_TABLE: dict[str, type] = {
     "sklearn.preprocessing.MinMaxScaler": MinMaxScaler,
     "preprocessing.StandardScaler": StandardScaler,
     "sklearn.preprocessing.StandardScaler": StandardScaler,
-    "models.AutoEncoder": PCAAutoEncoder,
-    "gordo_components.model.models.KerasAutoEncoder": PCAAutoEncoder,
+    # factory: func="linear" → closed-form SVD AE; "tanh"/"relu" → numpy
+    # MLP (the reference's feedforward_hourglass dispatches the same way)
+    "models.AutoEncoder": make_autoencoder,
+    "gordo_components.model.models.KerasAutoEncoder": make_autoencoder,
     "anomaly.DiffBasedAnomalyDetector": DiffBasedAnomalyDetector,
     "gordo_components.model.anomaly.diff.DiffBasedAnomalyDetector": DiffBasedAnomalyDetector,
 }
 
 _REVERSE = {cls: name for name, cls in CLASS_TABLE.items()}  # first name wins on dups
+# both factory products serialize back to the factory's definition name
+_REVERSE[PCAAutoEncoder] = "models.AutoEncoder"
+_REVERSE[MLPAutoEncoder] = "models.AutoEncoder"
 
 
 def from_definition(definition: Any):

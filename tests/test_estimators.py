@@ -92,3 +92,45 @@ def test_detector_deterministic():
         d.cross_validate(X)
         return d
     assert build().total_threshold_ == build().total_threshold_
+
+
+def test_mlp_autoencoder_nonlinear_beats_linear_optimum():
+    """The numpy MLP hourglass must capture structure the OPTIMAL linear
+    AE (SVD) cannot — on a circular manifold at the same bottleneck, MLP
+    explained variance must exceed PCA's by a real margin.  This is the
+    proof the func='tanh' backend is genuinely nonlinear, not a
+    reskinned linear model."""
+    import numpy as np
+
+    from gordo_components_spark.ml.estimators import MLPAutoEncoder, PCAAutoEncoder
+
+    rng = np.random.default_rng(7)
+    t = rng.uniform(0, 2 * np.pi, 400)
+    X = np.stack(
+        [np.cos(t), np.sin(t), np.cos(2 * t), np.sin(2 * t)], axis=1
+    ) + rng.normal(0, 0.02, (400, 4))
+    mlp = MLPAutoEncoder(compression_factor=0.5, epochs=400).fit(X)
+    pca = PCAAutoEncoder(compression_factor=0.5).fit(X)
+    assert mlp.k_ == 2
+    assert mlp.score(X) > pca.score(X) + 0.1  # measured: 0.754 vs 0.529
+
+
+def test_mlp_autoencoder_deterministic_and_dispatched():
+    import numpy as np
+
+    from gordo_components_spark.ml.estimators import MLPAutoEncoder, PCAAutoEncoder
+    from gordo_components_spark.plans.pipeline_compiler import (
+        from_definition,
+        into_definition,
+    )
+
+    X = np.random.default_rng(1).normal(size=(100, 4))
+    a = MLPAutoEncoder(epochs=50).fit(X)
+    b = MLPAutoEncoder(epochs=50).fit(X)
+    assert all(np.array_equal(w1, w2) for w1, w2 in zip(a.W_, b.W_))
+    # factory dispatch: func picks the backend; default stays linear so
+    # every existing oracle/golden result is byte-identical
+    assert type(from_definition({"models.AutoEncoder": {"func": "tanh"}})) is MLPAutoEncoder
+    assert type(from_definition({"models.AutoEncoder": None})) is PCAAutoEncoder
+    canon = into_definition(from_definition({"models.AutoEncoder": {"func": "relu"}}))
+    assert into_definition(from_definition(canon)) == canon
