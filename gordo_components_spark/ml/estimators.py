@@ -147,6 +147,44 @@ class PCAAutoEncoder(_Base):
         return float(1.0 - err.var(axis=0).sum() / denom) if denom else 0.0
 
 
+def _adam_mlp(Xs, Ys, dims, act, act_grad, epochs, lr, seed):
+    """Full-batch Adam on an MLP with linear output and MSE loss.
+    Deterministic: fixed-seed Glorot init, no minibatch shuffling —
+    identical weights for identical input everywhere."""
+    n = len(Xs)
+    rng = np.random.default_rng(seed)
+    W = [
+        rng.normal(0.0, np.sqrt(2.0 / (a + b)), size=(a, b))
+        for a, b in zip(dims[:-1], dims[1:])
+    ]
+    b = [np.zeros(m) for m in dims[1:]]
+    mW = [np.zeros_like(w) for w in W]
+    vW = [np.zeros_like(w) for w in W]
+    mb = [np.zeros_like(x) for x in b]
+    vb = [np.zeros_like(x) for x in b]
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    L = len(W)
+    for t in range(1, epochs + 1):
+        acts = [Xs]
+        for i in range(L):
+            z = acts[-1] @ W[i] + b[i]
+            acts.append(z if i == L - 1 else act(z))
+        delta = (acts[-1] - Ys) * (2.0 / n)  # dMSE/dout, linear output
+        for i in range(L - 1, -1, -1):
+            gW = acts[i].T @ delta
+            gb = delta.sum(axis=0)
+            if i > 0:
+                delta = (delta @ W[i].T) * act_grad(acts[i])
+            mW[i] = b1 * mW[i] + (1 - b1) * gW
+            vW[i] = b2 * vW[i] + (1 - b2) * gW * gW
+            mb[i] = b1 * mb[i] + (1 - b1) * gb
+            vb[i] = b2 * vb[i] + (1 - b2) * gb * gb
+            c1, c2 = 1 - b1**t, 1 - b2**t
+            W[i] -= lr * (mW[i] / c1) / (np.sqrt(vW[i] / c2) + eps)
+            b[i] -= lr * (mb[i] / c1) / (np.sqrt(vb[i] / c2) + eps)
+    return W, b
+
+
 class MLPAutoEncoder(_Base):
     """NONLINEAR hourglass autoencoder in pure numpy — the backend the
     reference's ``feedforward_hourglass(func="tanh"|"relu")`` factory
@@ -220,36 +258,10 @@ class MLPAutoEncoder(_Base):
         Xs = (X - self.mean_) / self.scale_
         dims = self._dims(d)
         self.k_ = min(dims)
-        rng = np.random.default_rng(self.seed)
-        self.W_ = [
-            rng.normal(0.0, np.sqrt(2.0 / (a + b)), size=(a, b))
-            for a, b in zip(dims[:-1], dims[1:])
-        ]
-        self.b_ = [np.zeros(b) for b in dims[1:]]
-        mW = [np.zeros_like(w) for w in self.W_]
-        vW = [np.zeros_like(w) for w in self.W_]
-        mb = [np.zeros_like(b) for b in self.b_]
-        vb = [np.zeros_like(b) for b in self.b_]
-        b1, b2, eps, lr = 0.9, 0.999, 1e-8, float(self.learning_rate)
-        L = len(self.W_)
-        for t in range(1, int(self.epochs) + 1):
-            acts = [Xs]
-            for i in range(L):
-                z = acts[-1] @ self.W_[i] + self.b_[i]
-                acts.append(z if i == L - 1 else self._act(z))
-            delta = (acts[-1] - Xs) * (2.0 / n)  # dMSE/dout, linear output
-            for i in range(L - 1, -1, -1):
-                gW = acts[i].T @ delta
-                gb = delta.sum(axis=0)
-                if i > 0:
-                    delta = (delta @ self.W_[i].T) * self._act_grad(acts[i])
-                mW[i] = b1 * mW[i] + (1 - b1) * gW
-                vW[i] = b2 * vW[i] + (1 - b2) * gW * gW
-                mb[i] = b1 * mb[i] + (1 - b1) * gb
-                vb[i] = b2 * vb[i] + (1 - b2) * gb * gb
-                c1, c2 = 1 - b1**t, 1 - b2**t
-                self.W_[i] -= lr * (mW[i] / c1) / (np.sqrt(vW[i] / c2) + eps)
-                self.b_[i] -= lr * (mb[i] / c1) / (np.sqrt(vb[i] / c2) + eps)
+        self.W_, self.b_ = _adam_mlp(
+            Xs, Xs, dims, self._act, self._act_grad,
+            int(self.epochs), float(self.learning_rate), self.seed,
+        )
         return self
 
     def _forward(self, Xs: np.ndarray) -> np.ndarray:
@@ -379,6 +391,91 @@ class ARForecaster(_Base):
         err = Y - self.predict(X)
         denom = Y.var(axis=0).sum()
         return float(1.0 - err.var(axis=0).sum() / denom) if denom else 0.0
+
+
+class MLPForecaster(ARForecaster):
+    """NONLINEAR windowed forecaster (reference
+    ``model/models.py::KerasLSTMForecast`` analog for ``func≠"linear"``):
+    x[t+lookahead] from the flattened trailing window through a one-
+    hidden-layer tanh/relu MLP trained with the same deterministic
+    full-batch Adam as :class:`MLPAutoEncoder`.
+
+    Honest naming: an MLP over fixed windows, not a recurrent cell — it
+    learns any fixed-horizon nonlinear map of the lookback (what the
+    reference's LSTM is used for on these small feature matrices),
+    without recurrence's unbounded horizon.  Window construction and
+    output alignment are inherited from :class:`ARForecaster`, so the
+    two backends are drop-in interchangeable."""
+
+    _params = (
+        "lookback_window",
+        "lookahead",
+        "func",
+        "hidden_units",
+        "epochs",
+        "learning_rate",
+        "seed",
+    )
+
+    def __init__(
+        self,
+        lookback_window: int = 4,
+        lookahead: int = 1,
+        func: str = "tanh",
+        hidden_units: int | None = None,
+        epochs: int = 400,
+        learning_rate: float = 0.01,
+        seed: int = 0,
+    ):
+        self.lookback_window = lookback_window
+        self.lookahead = lookahead
+        self.func = func
+        self.hidden_units = hidden_units
+        self.epochs = epochs
+        self.learning_rate = learning_rate
+        self.seed = seed
+
+    def _act(self, z):
+        return np.tanh(z) if self.func == "tanh" else np.maximum(z, 0.0)
+
+    def _act_grad(self, a):
+        return (1.0 - a * a) if self.func == "tanh" else (a > 0).astype(a.dtype)
+
+    def fit(self, X: np.ndarray, y=None):
+        X = np.asarray(X, dtype=np.float64)
+        self.n_features_ = d = X.shape[1]
+        A, Y = self._windows(X)
+        A = A[:, :-1]  # ARForecaster appends a bias column; the MLP has biases
+        self.in_mean_, in_std = A.mean(axis=0), A.std(axis=0)
+        self.in_scale_ = np.where(in_std > 0, in_std, 1.0)
+        self.out_mean_, out_std = Y.mean(axis=0), Y.std(axis=0)
+        self.out_scale_ = np.where(out_std > 0, out_std, 1.0)
+        hidden = self.hidden_units or max(d, (A.shape[1] + d) // 2)
+        dims = [A.shape[1], hidden, d]
+        self.W_, self.b_ = _adam_mlp(
+            (A - self.in_mean_) / self.in_scale_,
+            (Y - self.out_mean_) / self.out_scale_,
+            dims, self._act, self._act_grad,
+            int(self.epochs), float(self.learning_rate), self.seed,
+        )
+        return self
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        A, _ = self._windows(np.asarray(X, dtype=np.float64))
+        a = (A[:, :-1] - self.in_mean_) / self.in_scale_
+        L = len(self.W_)
+        for i in range(L):
+            z = a @ self.W_[i] + self.b_[i]
+            a = z if i == L - 1 else self._act(z)
+        return a * self.out_scale_ + self.out_mean_
+
+
+def make_forecaster(func: str = "linear", **kw):
+    """Reference factory surface for the forecast family: closed-form
+    ridge AR for ``linear``, windowed MLP for ``tanh``/``relu``."""
+    if func == "linear":
+        return ARForecaster(**kw)
+    return MLPForecaster(func=func, **kw)
 
 
 class DiffBasedAnomalyDetector(_Base):

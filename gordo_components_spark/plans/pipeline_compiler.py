@@ -17,13 +17,16 @@ from __future__ import annotations
 from typing import Any
 
 from gordo_components_spark.ml.estimators import (
+    ARForecaster,
     DiffBasedAnomalyDetector,
     MinMaxScaler,
     MLPAutoEncoder,
+    MLPForecaster,
     PCAAutoEncoder,
     Pipeline,
     StandardScaler,
     make_autoencoder,
+    make_forecaster,
 )
 
 
@@ -43,14 +46,19 @@ CLASS_TABLE: dict[str, type] = {
     # MLP (the reference's feedforward_hourglass dispatches the same way)
     "models.AutoEncoder": make_autoencoder,
     "gordo_components.model.models.KerasAutoEncoder": make_autoencoder,
+    # forecast family: func="linear" → closed-form ridge AR; else MLP
+    "models.LSTMForecast": make_forecaster,
+    "gordo_components.model.models.KerasLSTMForecast": make_forecaster,
     "anomaly.DiffBasedAnomalyDetector": DiffBasedAnomalyDetector,
     "gordo_components.model.anomaly.diff.DiffBasedAnomalyDetector": DiffBasedAnomalyDetector,
 }
 
 _REVERSE = {cls: name for name, cls in CLASS_TABLE.items()}  # first name wins on dups
-# both factory products serialize back to the factory's definition name
+# factory products serialize back to the factory's definition name
 _REVERSE[PCAAutoEncoder] = "models.AutoEncoder"
 _REVERSE[MLPAutoEncoder] = "models.AutoEncoder"
+_REVERSE[ARForecaster] = "models.LSTMForecast"
+_REVERSE[MLPForecaster] = "models.LSTMForecast"
 
 
 def from_definition(definition: Any):
