@@ -37,6 +37,35 @@ def ml_train_autoencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ml_train_nonlinear", oracle=None)
+def ml_train_nonlinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O41/O42 nonlinear path through the SAME island machinery
+    (rows-only): per-machine hourglass MLP autoencoder (func=tanh,
+    numpy-Adam backend) trained via groupBy(machine).applyInPandas —
+    proving the factory's nonlinear branch works end-to-end
+    distributed, not just in unit tests.  Short epoch budget keeps the
+    harness run cheap; the linear default face is
+    ``ml_train_autoencoder``."""
+    import copy
+
+    from gordo_components_spark.ml.islands import DEFAULT_MODEL_DEFINITION
+
+    definition = copy.deepcopy(DEFAULT_MODEL_DEFINITION)
+    ae_kwargs = definition["anomaly.DiffBasedAnomalyDetector"]["base_estimator"][
+        "pipeline.Pipeline"
+    ]["steps"][1]["models.AutoEncoder"]
+    ae_kwargs.update(func="tanh", epochs=60)
+    return trained_models(spark, sf_dir, definition=definition).select(
+        "machine",
+        "n_samples",
+        "n_features",
+        "status",
+        "total_threshold",
+        "cv_mae_mean",
+        "explained_variance",
+    )
+
+
 @register("ml_anomaly_batch", oracle=None)
 def ml_anomaly_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O44 end-to-end anomaly batch: train per machine, broadcast models,
