@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -77,7 +78,9 @@ def cmd_status(args: argparse.Namespace) -> int:
 
 def cmd_check(args: argparse.Namespace) -> int:
     sys.argv = ["oracle_check"] + (args.names or []) + ["--sf", args.sf_dir]
-    sys.path.insert(0, "/root/repo/tools")
+    tools_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+    if tools_dir not in sys.path:
+        sys.path.insert(0, tools_dir)
     import oracle_check
 
     return oracle_check.main()
