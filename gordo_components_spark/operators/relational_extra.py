@@ -138,3 +138,31 @@ def scalar_null_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNull().alias("v_missing"),
         F.expr("v IS DISTINCT FROM value").alias("v_differs"),
     )
+
+
+@register("agg_hll_sketch_merge", oracle=None)
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting (rows-only; the bound vs exact
+    is pytest-asserted in tests/test_approx_tolerance.py): per-day
+    Datasketches HLL sketches of active users, merged with
+    ``hll_union_agg`` into weekly estimates.
+
+    This is THE 100 TB pattern for distinct counts: per-partition/day
+    sketches are tiny (≤ KBs), mergeable across any regrouping
+    (day→week→month reuses the same sketches, no rescan), and the merge
+    is associative so partial aggregation applies — an exact
+    COUNT(DISTINCT) would reshuffle the raw keys every time the rollup
+    level changes."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    )
+    weekly = (
+        daily.groupBy(F.date_trunc("week", "day").alias("week"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_days_merged"),
+        )
+    )
+    return weekly.select("week", "approx_users", "n_days_merged")

@@ -51,3 +51,30 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
     ).collect()[0]
     # rsd 2% → generous 3-sigma bound of 6%
     assert abs(r["approx"] - r["exact"]) <= 0.06 * r["exact"] + 1
+
+
+def test_hll_sketch_merge_within_error_bound(spark, sf_dir):
+    """Merged per-day HLL sketches must estimate weekly distinct users
+    within HLL's error envelope (lgK=12 default ⇒ ~1.6% RSE; gate at
+    5%) of the exact COUNT(DISTINCT)."""
+    from pyspark.sql import functions as F
+
+    from gordo_components_spark.registry import load_all
+    from gordo_components_spark.sources.tables import load_table
+
+    approx = {
+        r["week"]: r["approx_users"]
+        for r in load_all()["agg_hll_sketch_merge"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["week"]: r["n"]
+        for r in ev.groupBy(
+            F.date_trunc("week", F.col("ts").cast("timestamp")).alias("week")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for wk, est in approx.items():
+        assert abs(est - exact[wk]) <= max(1, 0.05 * exact[wk]), (wk, est, exact[wk])
