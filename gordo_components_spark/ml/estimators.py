@@ -478,6 +478,90 @@ def make_forecaster(func: str = "linear", **kw):
     return MLPForecaster(func=func, **kw)
 
 
+class WindowedAutoEncoder(_Base):
+    """Sequence-reconstruction autoencoder (reference
+    ``model/models.py::KerasLSTMAutoEncoder`` analog): each sample is a
+    flattened lookback window (lookback·d features) compressed through
+    the hourglass and reconstructed — anomaly = window reconstruction
+    error, which reacts to broken temporal SHAPE, not just per-row
+    magnitude.  Honest naming again: windows through an MLP (or the SVD
+    optimum for ``func="linear"``), not a recurrent cell.
+
+    Delegates to the point-AE backends over the windowed matrix, so
+    nonlinearity, determinism and the sklearn protocol are inherited."""
+
+    _params = (
+        "lookback_window",
+        "compression_factor",
+        "encoding_layers",
+        "func",
+        "epochs",
+        "learning_rate",
+        "seed",
+    )
+
+    def __init__(
+        self,
+        lookback_window: int = 4,
+        compression_factor: float = 0.5,
+        encoding_layers: int = 2,
+        func: str = "tanh",
+        epochs: int = 300,
+        learning_rate: float = 0.01,
+        seed: int = 0,
+    ):
+        self.lookback_window = lookback_window
+        self.compression_factor = compression_factor
+        self.encoding_layers = encoding_layers
+        self.func = func
+        self.epochs = epochs
+        self.learning_rate = learning_rate
+        self.seed = seed
+
+    def _windows(self, X: np.ndarray) -> np.ndarray:
+        n, d = X.shape
+        lb = self.lookback_window
+        m = n - lb + 1
+        if m < 1:
+            raise ValueError(f"need ≥ {lb} rows, got {n}")
+        idx = np.arange(lb)[None, :] + np.arange(m)[:, None]
+        return X[idx].reshape(m, lb * d)
+
+    def fit(self, X: np.ndarray, y=None):
+        X = np.asarray(X, dtype=np.float64)
+        self.n_features_ = X.shape[1]
+        W = self._windows(X)
+        if self.func == "linear":
+            self._ae = PCAAutoEncoder(compression_factor=self.compression_factor)
+        else:
+            self._ae = MLPAutoEncoder(
+                compression_factor=self.compression_factor,
+                encoding_layers=self.encoding_layers,
+                func=self.func,
+                epochs=self.epochs,
+                learning_rate=self.learning_rate,
+                seed=self.seed,
+            )
+        self._ae.fit(W)
+        self.k_ = self._ae.k_
+        return self
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        """Reconstructed windows (m × lookback·d), aligned like the
+        reference generator: output row i reconstructs rows [i, i+lb)."""
+        return self._ae.predict(self._windows(np.asarray(X, dtype=np.float64)))
+
+    def window_errors(self, X: np.ndarray) -> np.ndarray:
+        W = self._windows(np.asarray(X, dtype=np.float64))
+        return np.linalg.norm(W - self._ae.predict(W), axis=1)
+
+    def score(self, X: np.ndarray, y=None) -> float:
+        W = self._windows(np.asarray(X, dtype=np.float64))
+        err = W - self._ae.predict(W)
+        denom = W.var(axis=0).sum()
+        return float(1.0 - err.var(axis=0).sum() / denom) if denom else 0.0
+
+
 class DiffBasedAnomalyDetector(_Base):
     """Reference ``model/anomaly/diff.py::DiffBasedAnomalyDetector``.
 

@@ -25,6 +25,7 @@ from gordo_components_spark.ml.estimators import (
     PCAAutoEncoder,
     Pipeline,
     StandardScaler,
+    WindowedAutoEncoder,
     make_autoencoder,
     make_forecaster,
 )
@@ -49,6 +50,9 @@ CLASS_TABLE: dict[str, type] = {
     # forecast family: func="linear" → closed-form ridge AR; else MLP
     "models.LSTMForecast": make_forecaster,
     "gordo_components.model.models.KerasLSTMForecast": make_forecaster,
+    # sequence-reconstruction family (windowed AE over lookback windows)
+    "models.LSTMAutoEncoder": WindowedAutoEncoder,
+    "gordo_components.model.models.KerasLSTMAutoEncoder": WindowedAutoEncoder,
     "anomaly.DiffBasedAnomalyDetector": DiffBasedAnomalyDetector,
     "gordo_components.model.anomaly.diff.DiffBasedAnomalyDetector": DiffBasedAnomalyDetector,
 }
