@@ -167,3 +167,61 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.lower("text")).alias("full_fp"),
         F.length("text").cast("bigint").alias("fp_len"),
     )
+
+
+@register(
+    "ext_text_redact",
+    oracle="""
+    WITH injected AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or +1-555-' || CAST(doc_id AS VARCHAR)
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9.]+[a-z0-9]')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\\+1-555-[0-9]+')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(text, '[a-z0-9]+@[a-z0-9.]+[a-z0-9]', '<EMAIL>', 'g'),
+                 '\\+1-555-[0-9]+', '<PHONE>', 'g')) AS redacted_fp
+    FROM injected
+    """,
+)
+def ext_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing, the safety stage of every training-data pipeline:
+    regex redaction of emails/phone numbers with per-doc match counts
+    and a digest of the redacted text (value-witnessed without shipping
+    the full corpus through the oracle hash).  The fixture corpus is
+    synthetic word-salad, so deterministic PII is injected on every 5th
+    doc first — same technique as ``scalar_imputer``'s ±inf injection.
+    Patterns stay in the RE2 ∩ Java-regex common dialect so both engines
+    match identically; at 100 TB this is one narrow projection, no
+    shuffle, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    email, phone = "[a-z0-9]+@[a-z0-9.]+[a-z0-9]", r"\+1-555-[0-9]+"
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1-555-"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return injected.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{email}', 0)")).cast("bigint").alias("n_emails"),
+        F.size(F.expr(r"regexp_extract_all(text, '\\+1-555-[0-9]+', 0)")).cast("bigint").alias("n_phones"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
