@@ -157,3 +157,55 @@ def pipe_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(bucket < 8000, "train").when(bucket < 9000, "val").otherwise("test").alias("split"),
     )
+
+
+@register(
+    "pipe_scd2_intervals",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+             lag(value) OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS prev_value
+      FROM events
+    ), versioned AS (
+      SELECT user_id, event_type, ts, event_id, value
+      FROM changes
+      WHERE prev_value IS NULL OR value <> prev_value
+    )
+    SELECT user_id, event_type, value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id) AS valid_to,
+           CAST(lead(ts) OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) IS NULL AS BOOLEAN) AS is_current
+    FROM versioned
+    """,
+)
+def pipe_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history building (the CDC→warehouse pattern): collapse
+    an append-only event stream into validity intervals per
+    (entity, attribute) — keep only rows where the value CHANGED (lag
+    compare), then close each version with the next change's timestamp
+    (lead); the open interval is the current version.
+
+    Two window passes over the same (user_id, event_type) partitioning —
+    one shuffle, frames never cross machines; at 100 TB this is the
+    standard one-pass historization of a CDC feed, no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    part = "PARTITION BY user_id, event_type ORDER BY ts, event_id"
+    changes = ev.select(
+        "user_id", "event_type", "ts", "event_id", "value",
+        F.expr(f"lag(value) OVER ({part})").alias("prev_value"),
+    )
+    versioned = changes.where(
+        F.col("prev_value").isNull() | (F.col("value") != F.col("prev_value"))
+    )
+    lead_ts = F.expr(f"lead(ts) OVER ({part})")
+    return versioned.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.col("ts").alias("valid_from"),
+        lead_ts.alias("valid_to"),
+        lead_ts.isNull().cast("boolean").alias("is_current"),
+    )
