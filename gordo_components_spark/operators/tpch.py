@@ -375,3 +375,175 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "tpch_q7",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {_osum_cents('volume', 'revenue_cents')}
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 volume shipping between a nation pair: the two nation dims
+    broadcast twice under different roles (supplier vs customer side);
+    the disjunctive pair predicate is a post-join residual on broadcast
+    rows, so the fact tables still join hash-only."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+        )
+        .agg(_dsum_cents("l_extendedprice * (1 - l_discount)", "revenue_cents"))
+    )
+
+
+@register(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 customer order-count distribution: left join preserving
+    zero-order customers (the point of Q13), then a histogram of the
+    per-customer counts — two aggregations, the second over the first's
+    tiny output."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q17",
+    oracle=f"""
+    SELECT {_osum_cents('l_extendedprice', 'small_lot_cents')},
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (
+      SELECT l_partkey AS agg_partkey,
+             0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE)
+                    / COUNT(*)) AS avg_half
+      FROM lineitem GROUP BY l_partkey
+    ) pa ON agg_partkey = l_partkey
+    WHERE p_brand = 'Brand#12' AND l_quantity < avg_half
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 small-quantity-order revenue: the correlated per-part average
+    decorrelated into a pre-aggregated join side (the plan Catalyst's
+    own decorrelation produces); the half-average threshold is a double
+    division of exact decimal numerators, identical on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#12")
+    pa = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        (
+            0.5
+            * (
+                F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE)")
+                / F.count(F.lit(1))
+            )
+        ).alias("avg_half")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa, li.l_partkey == pa.agg_partkey)
+        .where(F.col("l_quantity") < F.col("avg_half"))
+        .agg(
+            _dsum_cents("l_extendedprice", "small_lot_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q22",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS a
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT cntrycode, COUNT(*) AS numcust,
+           CAST(round(SUM(CAST(c_acctbal AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS totacctbal_cents
+    FROM (
+      SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode, c_acctbal
+      FROM customer, avg_bal
+      WHERE c_acctbal > avg_bal.a
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+    )
+    GROUP BY cntrycode
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 global-sales-opportunity: above-average-balance customers who
+    have not ordered recently — a 1-row broadcast global average + left-anti join
+    (adapted: the fixture customer has no phone column, so cntrycode is
+    nationkey mod 10).  The exact-decimal numerator makes the average
+    threshold engine-identical."""
+    c = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp")
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE)")
+            / F.count(F.lit(1))
+        ).alias("a")
+    )
+    rich = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+    )
+    return rich.groupBy((F.col("c_nationkey") % 10).cast("int").alias("cntrycode")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.expr(
+            "CAST(round(SUM(CAST(c_acctbal AS DECIMAL(30,8))), 2) * 100 AS BIGINT)"
+        ).alias("totacctbal_cents"),
+    )
