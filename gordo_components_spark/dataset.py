@@ -107,15 +107,25 @@ def _buffered_filter(wide: DataFrame, predicate: str, b: int) -> DataFrame:
        dense and the overlap supplies every cross-block neighbor.
 
     Exactness requires only ``b < B`` (``B = max(64, 8·b)``); results are
-    bit-identical to the global window at any partition count."""
+    bit-identical to the global window at any partition count.
+
+    ``marked`` feeds TWO subtrees (counts→offsets and idx), and the dense
+    index is only correct if both see the SAME ``__pid`` assignment and
+    intra-partition order.  Two guards make that hold on a real cluster
+    (task retry / speculation / nondeterministic upstream order): the
+    range exchange takes an explicit partition count (AQE-exempt, so the
+    two consumers can't be re-planned differently), and ``marked`` is
+    persisted so both subtrees read one materialization instead of
+    re-evaluating the exchange."""
     from pyspark.sql import Window
 
+    n_parts = wide.sparkSession.sparkContext.defaultParallelism
     marked = (
         wide.withColumn("__ok", F.when(F.expr(predicate), 1).otherwise(0))
-        .repartitionByRange("ts")
+        .repartitionByRange(n_parts, "ts")
         .sortWithinPartitions("ts")
         .withColumn("__pid", F.spark_partition_id())
-    )
+    ).persist()
     # tiny frame (one row per partition): running offset of each partition
     # via a metadata-scale self-join (≤ P² pairs), so the plan carries NO
     # SinglePartition node anywhere — not even on the offsets frame

@@ -289,11 +289,21 @@ class MLPAutoEncoder(_Base):
         return float(1.0 - err.var(axis=0).sum() / denom) if denom else 0.0
 
 
+# Keras-surface kwargs that only parameterize the iterative MLP backends;
+# the closed-form linear estimators accept them in YAML (reference
+# compatibility) but have no use for them — dropped by the factories.
+_MLP_ONLY_KEYS = ("epochs", "learning_rate", "seed", "hidden_units")
+
+
 def make_autoencoder(func: str = "linear", **kw):
     """Reference factory surface (``feedforward_hourglass``): ``func``
     picks the backend — closed-form SVD optimum for ``linear``,
-    numpy-Adam MLP for ``tanh``/``relu``."""
+    numpy-Adam MLP for ``tanh``/``relu``.  MLP-only kwargs (epochs,
+    learning_rate, seed) are valid YAML against the reference Keras
+    surface, so the linear branch silently drops them rather than raising
+    TypeError at compile time."""
     if func == "linear":
+        kw = {k: v for k, v in kw.items() if k not in _MLP_ONLY_KEYS}
         return PCAAutoEncoder(func=func, **kw)
     return MLPAutoEncoder(func=func, **kw)
 
@@ -472,8 +482,11 @@ class MLPForecaster(ARForecaster):
 
 def make_forecaster(func: str = "linear", **kw):
     """Reference factory surface for the forecast family: closed-form
-    ridge AR for ``linear``, windowed MLP for ``tanh``/``relu``."""
+    ridge AR for ``linear``, windowed MLP for ``tanh``/``relu``.  Like
+    ``make_autoencoder``, the linear branch drops MLP-only kwargs instead
+    of raising on YAML that is valid against the reference surface."""
     if func == "linear":
+        kw = {k: v for k, v in kw.items() if k not in _MLP_ONLY_KEYS}
         return ARForecaster(**kw)
     return MLPForecaster(func=func, **kw)
 

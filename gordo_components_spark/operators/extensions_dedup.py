@@ -84,17 +84,22 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / 100).cast("int").alias("len_bucket"),
         F.expr(_SHINGLES).alias("shingles"),
     )
-    # probe side spread by block key: a single-file corpus arrives as one
+    # both sides spread by block key: a single-file corpus arrives as one
     # row-group (one scan partition), which would serialize the O(block²)
     # pair probe on one core; at cluster scale the same repartition is the
     # co-location shuffle that routes each block's work to one reducer.
     # Explicit numPartitions exempts the exchange from AQE coalescing
     # (which would re-serialize this tiny-bytes / heavy-compute shuffle).
+    # The pair probe is a SHUFFLE_HASH equi-join on the block key — never
+    # a broadcast: the build side is the whole shingled corpus, which at
+    # 100 TB cannot fit any executor.  Hash (not sort-merge) because each
+    # block is small and the payload (shingle arrays) is wide — hashing
+    # only the two key columns beats sorting wide rows.
     n = spark.sparkContext.defaultParallelism
     a = sh.repartition(n, "source", "len_bucket").alias("a")
-    b = sh.alias("b")
+    b = sh.repartition(n, "source", "len_bucket").alias("b")
     pairs = a.join(
-        F.broadcast(b),
+        b.hint("SHUFFLE_HASH"),
         (F.col("a.source") == F.col("b.source"))
         & (F.col("a.len_bucket") == F.col("b.len_bucket"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),

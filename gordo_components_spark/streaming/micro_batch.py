@@ -55,16 +55,20 @@ def _replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:
 def _run_to_memory(stream_df: DataFrame, query_name: str) -> DataFrame:
     """Execute an availableNow streaming query into a memory sink and
     return the materialized result table."""
+    import shutil
+
     spark = stream_df.sparkSession
+    chk = f"/tmp/gordo_spark_stream/chk/{query_name}-{uuid.uuid4().hex}"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
         .outputMode("append" if stream_df.isStreaming and _is_append_safe(stream_df) else "complete")
         .trigger(availableNow=True)
-        .option("checkpointLocation", f"/tmp/gordo_spark_stream/chk/{query_name}-{uuid.uuid4().hex}")
+        .option("checkpointLocation", chk)
         .start()
     )
     q.awaitTermination()
+    shutil.rmtree(chk, ignore_errors=True)  # memory sink: checkpoint is run-scoped
     return spark.table(query_name)
 
 
@@ -114,6 +118,8 @@ def run_streaming_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     model and emits the anomaly frame.  The scoring expressions are the
     SAME code as batch (``ml/islands.py::score_models``) — that reuse is
     the point of building scoring as column algebra."""
+    import shutil
+
     from gordo_components_spark.ml.islands import score_models, trained_models
 
     prepare(spark)
@@ -124,9 +130,15 @@ def run_streaming_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(_RAW_SCHEMA).parquet(src)
     # deploy-shaped sink: each micro-batch APPENDS its scored frame to a
     # parquet directory executor-side (the O7 sink), never collecting to
-    # the driver — the demonstrated pattern is the deployable one
-    run_id = uuid.uuid4().hex
-    sink_dir = f"/tmp/gordo_spark_stream/sink/score-{run_id}"
+    # the driver — the demonstrated pattern is the deployable one.
+    # Deterministic per-SF dirs (cleared up front) instead of per-run
+    # UUIDs, so repeated runs don't accrete /tmp litter; the checkpoint
+    # must be cleared with the sink or a rerun would replay nothing.
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    sink_dir = f"/tmp/gordo_spark_stream/sink/score-{sf_tag}"
+    chk_dir = f"/tmp/gordo_spark_stream/chk/score-{sf_tag}"
+    for d in (sink_dir, chk_dir):
+        shutil.rmtree(d, ignore_errors=True)
 
     def score_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as FF
@@ -144,10 +156,20 @@ def run_streaming_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         score_models(feats, models).write.mode("append").parquet(sink_dir)
 
+    # seed the sink with a 0-row frame carrying the score schema: a replay
+    # source that yields zero micro-batches otherwise never creates the
+    # directory and the read below would raise PATH_NOT_FOUND
+    empty_feats = spark.createDataFrame(
+        [],
+        "user_id bigint, bucket timestamp, value__avg double, "
+        "value__max double, value__min double, value__count double",
+    )
+    score_models(empty_feats, models).write.mode("append").parquet(sink_dir)
+
     q = (
         stream.writeStream.foreachBatch(score_batch)
         .trigger(availableNow=True)
-        .option("checkpointLocation", f"/tmp/gordo_spark_stream/chk/score-{run_id}")
+        .option("checkpointLocation", chk_dir)
         .start()
     )
     q.awaitTermination()
@@ -202,16 +224,20 @@ def run_streaming_stateful_ewma(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    import shutil
+
     name = f"stream_ewma_{uuid.uuid4().hex[:8]}"
+    chk = f"/tmp/gordo_spark_stream/chk/{name}"
     q = (
         out.writeStream.format("memory")
         .queryName(name)
         .outputMode("update")
         .trigger(availableNow=True)
-        .option("checkpointLocation", f"/tmp/gordo_spark_stream/chk/{name}")
+        .option("checkpointLocation", chk)
         .start()
     )
     q.awaitTermination()
+    shutil.rmtree(chk, ignore_errors=True)  # memory sink: checkpoint is run-scoped
     # update-mode memory sink holds one row per (key, batch); the final
     # state per machine is the last emitted row
     full = spark.table(name)

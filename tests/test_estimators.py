@@ -170,3 +170,28 @@ def test_windowed_autoencoder_dispatch_and_roundtrip():
     assert type(m) is WindowedAutoEncoder
     canon = into_definition(m)
     assert into_definition(from_definition(canon)) == canon
+
+
+def test_linear_factories_drop_mlp_only_kwargs():
+    # ADVICE r2: {"models.AutoEncoder": {"func": "linear", "epochs": 100}}
+    # is valid YAML against the reference Keras surface — the linear
+    # branch must drop MLP-only keys, not TypeError at compile time
+    from gordo_components_spark.ml.estimators import (
+        ARForecaster,
+        PCAAutoEncoder,
+        make_autoencoder,
+        make_forecaster,
+    )
+    from gordo_components_spark.plans.pipeline_compiler import from_definition
+
+    ae = make_autoencoder("linear", epochs=100, learning_rate=0.05, seed=7)
+    assert type(ae) is PCAAutoEncoder
+    fc = make_forecaster("linear", lookback_window=6, epochs=100, seed=7)
+    assert type(fc) is ARForecaster and fc.lookback_window == 6
+    m = from_definition({"models.AutoEncoder": {"func": "linear", "epochs": 100}})
+    assert type(m) is PCAAutoEncoder
+    # genuinely invalid keys must still raise
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError):
+        make_autoencoder("linear", not_a_param=1)

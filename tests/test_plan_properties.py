@@ -97,6 +97,12 @@ def test_ngram_jaccard_probe_spread(spark, sf_dir):
     # O(block²) probe on one core
     plan = plan_of(spark, "ext_dedup_ngram_jaccard", sf_dir)
     assert "REPARTITION_BY_NUM" in plan or "hashpartitioning(source" in plan
+    # round-2 verdict: the pair probe must NOT broadcast the shingled
+    # corpus as the build side (impossible at 100 TB) — it must be a
+    # co-partitioned shuffled hash join on the block key
+    assert "BroadcastExchange" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
 
 
 def test_tpch_additions_hash_only(spark, sf_dir):
