@@ -28,15 +28,25 @@ def main() -> None:
     # warm the JVM/codegen path once so per-query times measure the plan
     registry[names[0]].fn(spark, sf_dir).count()
 
+    # best-of-3 with per-query spread (r2 verdict item 4): min is the
+    # headline (measures the plan, not GC/JIT noise); median and max make
+    # round-over-round deltas distinguishable from run variance
     times: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(2):  # best-of-2: measure the plan, not JVM warm-up
+        runs: list[float] = []
+        for _ in range(3):
             t0 = time.time()
             df = registry[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 4)
+            runs.append(time.time() - t0)
+        runs.sort()
+        times[name] = round(runs[0], 4)
+        spread[name] = {
+            "min": round(runs[0], 4),
+            "median": round(runs[1], 4),
+            "max": round(runs[2], 4),
+        }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -46,6 +56,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 4),
                 "unit": "sec",
                 "queries": times,
+                "spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -78,26 +78,34 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     in block sizes instead of O(n²) over the corpus — the blocking key is
     the shuffle key.  Shingling is native (split/sequence/slice), no UDF."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        "source",
-        (F.col("n_chars") / 100).cast("int").alias("len_bucket"),
-        F.expr(_SHINGLES).alias("shingles"),
-    )
     # both sides spread by block key: a single-file corpus arrives as one
     # row-group (one scan partition), which would serialize the O(block²)
     # pair probe on one core; at cluster scale the same repartition is the
     # co-location shuffle that routes each block's work to one reducer.
     # Explicit numPartitions exempts the exchange from AQE coalescing
     # (which would re-serialize this tiny-bytes / heavy-compute shuffle).
+    # Order matters for the wire: the exchange carries RAW TEXT (one
+    # string per row) and shingling runs AFTER it, so the wide shingle
+    # arrays (~10× the text) never cross a shuffle; both join sides are
+    # the same subplan, so the second side is a ReusedExchange — the
+    # corpus is shuffled ONCE.
+    n = spark.sparkContext.defaultParallelism
+    blocked = docs.select(
+        "doc_id",
+        "source",
+        (F.col("n_chars") / 100).cast("int").alias("len_bucket"),
+        "text",
+    ).repartition(n, "source", "len_bucket")
+    sh = blocked.select(
+        "doc_id", "source", "len_bucket", F.expr(_SHINGLES).alias("shingles")
+    )
     # The pair probe is a SHUFFLE_HASH equi-join on the block key — never
     # a broadcast: the build side is the whole shingled corpus, which at
     # 100 TB cannot fit any executor.  Hash (not sort-merge) because each
     # block is small and the payload (shingle arrays) is wide — hashing
     # only the two key columns beats sorting wide rows.
-    n = spark.sparkContext.defaultParallelism
-    a = sh.repartition(n, "source", "len_bucket").alias("a")
-    b = sh.repartition(n, "source", "len_bucket").alias("b")
+    a = sh.alias("a")
+    b = sh.alias("b")
     pairs = a.join(
         b.hint("SHUFFLE_HASH"),
         (F.col("a.source") == F.col("b.source"))
@@ -172,22 +180,56 @@ def ext_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     labels = doubled.select("doc_id", F.col("doc_id").alias("component"))
     edges = edges.persist()
-    for _ in range(10):  # diameter bound; fixture converges in ≤2
+    labels = min_label_propagation(labels, edges, max_iters=10)
+    edges.unpersist()  # loop done: only the final labels stay cached, and
+    # they back the returned plan
+    return labels.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("is_survivor"),
+    )
+
+
+def min_label_propagation(
+    labels: DataFrame,
+    edges: DataFrame,
+    max_iters: int = 10,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """Min-label propagation to fixpoint over ``labels(doc_id, component)``
+    and directed ``edges(a, b)`` (callers supply both edge directions).
+
+    Each iteration every node takes the min of its own label and its
+    neighbors' labels — the min travels one hop per iteration, so
+    convergence takes ``diameter`` iterations.
+
+    ``checkpoint_every=k > 0`` truncates lineage with an eager
+    ``localCheckpoint()`` every k iterations.  On deep graphs
+    (diameter ≫ k) the iterative plan otherwise grows linearly with the
+    iteration count — every generation stacks a join+agg on the last —
+    until Catalyst analysis time and DAG-scheduler recursion dominate or
+    blow the stack.  Checkpointing rebases generation t's plan on a
+    materialized RDD, bounding plan depth at k joins regardless of
+    diameter; this is the billion-edge cadence (GraphFrames does the
+    same every ~3 Pregel rounds).  Superseded generations are unpersisted
+    as soon as the next one materializes."""
+    labels = labels.persist()
+    for it in range(1, max_iters + 1):
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["doc_id"])
             .groupBy(F.col("a").alias("doc_id"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        updated = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    "component", F.coalesce("nbr_component", F.col("component"))
-                ).alias("component"),
-            )
-            .persist()
+        updated = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                "component", F.coalesce("nbr_component", F.col("component"))
+            ).alias("component"),
         )
+        if checkpoint_every and it % checkpoint_every == 0:
+            updated = updated.localCheckpoint(eager=True)  # lineage cut
+        else:
+            updated = updated.persist()
         changed = (
             updated.join(labels.withColumnRenamed("component", "old"), "doc_id")
             .where(F.col("component") != F.col("old"))
@@ -197,13 +239,7 @@ def ext_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = updated
         if changed == 0:
             break
-    edges.unpersist()  # loop done: only the final labels stay cached, and
-    # they back the returned plan (deep-graph form adds checkpoint cadence)
-    return labels.select(
-        "doc_id",
-        "component",
-        (F.col("doc_id") == F.col("component")).alias("is_survivor"),
-    )
+    return labels
 
 
 _N_HASHES = 16

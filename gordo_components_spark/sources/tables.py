@@ -34,16 +34,24 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table, normalizing its schema for the engine.
 
-    - ``events.ts`` arrives as INT64 TIMESTAMP(NANOS); Spark reads it as
-      long (``spark.sql.legacy.parquet.nanosAsLong``) and we truncate to
-      micros — bit-identical to DuckDB's ``CAST(ts AS TIMESTAMP)``.
+    - ``events.ts`` arrives as INT64 TIMESTAMP(NANOS).  Spark ≤4.0 reads
+      it as long (``spark.sql.legacy.parquet.nanosAsLong``) and we
+      truncate to micros; Spark 4.1+ ignores that conf and reads it as
+      ``timestamp_ntz`` truncated to µs — same values, different type.
+      Both normalize to session-TZ TIMESTAMP here (the session is pinned
+      UTC by ``prepare``), bit-identical to DuckDB's
+      ``CAST(ts AS TIMESTAMP)``.
     - ``embeddings.embedding`` is ``array<float>``; cast to
       ``array<double>`` once here so all downstream math is double.
     """
     prepare(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if name == "embeddings":
         df = df.withColumn("embedding", F.col("embedding").cast("array<double>"))
     return df
@@ -79,12 +87,21 @@ def load_events_in_range(
     """
     prepare(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    raw_is_long = dict(df.dtypes).get("ts") == "bigint"
-    scale = 1000 if raw_is_long else 1  # raw ns vs already-µs timestamp
+    ts_type = dict(df.dtypes).get("ts")
+    raw_is_long = ts_type == "bigint"
 
     def bound(ts_str: str) -> "F.Column":
-        v = _epoch_us(ts_str) * scale
-        return F.lit(v) if raw_is_long else F.lit(ts_str).cast("timestamp")
+        # the filter literal must match the SCAN's column type, or the
+        # comparison casts the column and the predicate never reaches the
+        # parquet reader (PushedFilters + row-group min/max skipping):
+        # raw epoch-ns long on ≤4.0's nanosAsLong read, a timestamp_ntz
+        # literal on 4.1+'s native nanos read (truncation is monotonic,
+        # so the µs bound is exact in every representation)
+        if raw_is_long:
+            return F.lit(_epoch_us(ts_str) * 1000)
+        if ts_type == "timestamp_ntz":
+            return F.lit(ts_str.replace("T", " ")).cast("timestamp_ntz")
+        return F.lit(ts_str).cast("timestamp")
 
     cond = F.lit(True)
     if from_ts is not None:
@@ -96,4 +113,6 @@ def load_events_in_range(
     df = df.where(cond)
     if raw_is_long:
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

@@ -32,3 +32,23 @@ def test_streaming_scoring_matches_batch(spark, sf_dir):
     s = streamed.sort_values(key).reset_index(drop=True)
     b = batch.sort_values(key).reset_index(drop=True)
     assert (s["is_anomaly"] == b["is_anomaly"]).all()
+
+
+def test_wire_codecs_bounded(spark):
+    # r2 verdict item 7: the codecs are driver-side payloads — past the
+    # documented bound they must raise, not silently OOM the driver
+    import pytest
+
+    from gordo_components_spark.functions.codecs import (
+        dataframe_into_parquet_bytes,
+        dataframe_to_dict,
+    )
+
+    df = spark.range(50).selectExpr("id", "id * 2 AS v")
+    with pytest.raises(ValueError, match="exceeds 10 rows"):
+        dataframe_to_dict(df, max_rows=10)
+    with pytest.raises(ValueError, match="exceeds 10 rows"):
+        dataframe_into_parquet_bytes(df, max_rows=10)
+    # within the bound both faces still round-trip
+    assert len(dataframe_to_dict(df, max_rows=50)["data"]) == 50
+    assert dataframe_into_parquet_bytes(df, max_rows=50)[:4] == b"PAR1"

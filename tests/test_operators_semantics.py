@@ -125,3 +125,47 @@ def test_multimodal_transform_deterministic(spark, sf_dir):
     a = {r["doc_id"]: (bytes(r["thumb"]), r["n_frames_sampled"]) for r in fn(spark, sf_dir).collect()}
     b = {r["doc_id"]: (bytes(r["thumb"]), r["n_frames_sampled"]) for r in fn(spark, sf_dir).collect()}
     assert a == b and len(a) == 500
+
+
+def test_components_deep_chain_checkpoint_bounds_lineage(spark):
+    # r2 verdict item 5: path graph whose diameter (12) exceeds the
+    # checkpoint cadence (3) — min-label propagation must still converge,
+    # and the final plan must be rebased on a checkpointed RDD rather
+    # than carrying one join+agg generation per iteration
+    import io
+    import contextlib
+
+    from pyspark.sql import functions as FF
+
+    from gordo_components_spark.operators.extensions_dedup import (
+        min_label_propagation,
+    )
+
+    n = 13  # path 0-1-2-...-12, diameter 12
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(n)], "doc_id bigint"
+    ).select("doc_id", FF.col("doc_id").alias("component"))
+    fwd = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(
+        fwd + [(b, a) for a, b in fwd], "a bigint, b bigint"
+    )
+    labels = min_label_propagation(
+        nodes, edges, max_iters=20, checkpoint_every=3
+    )
+    rows = {r["doc_id"]: r["component"] for r in labels.collect()}
+    assert rows == {i: 0 for i in range(n)}  # everyone reaches min label
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        labels.explain("formatted")
+    plan = buf.getvalue()
+    # lineage bounded: the converged frame scans the checkpointed RDD and
+    # carries at most one cadence window of joins — checkpoint_every (3)
+    # iterations × 2 joins each × 2 mentions per node in formatted
+    # explain = 12; the unchekpointed plan would carry ~12 iterations (48)
+    assert "ExistingRDD" in plan
+    joins = (
+        plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+        + plan.count("BroadcastHashJoin")
+    )
+    assert joins <= 3 * 2 * 2, plan

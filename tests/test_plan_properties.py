@@ -28,10 +28,14 @@ def test_lineitem_range_pushdown(spark, sf_dir):
 
 
 def test_events_ns_range_pushdown(spark, sf_dir):
-    # time bounds must reach the raw int64 ns column (load_events_in_range)
+    # time bounds must reach the raw nanos column (load_events_in_range):
+    # an epoch-ns long literal on Spark ≤4.0's nanosAsLong read, a
+    # timestamp_ntz literal on 4.1+'s native nanos read — either way the
+    # predicate must appear in PushedFilters, not above a conversion
     plan = plan_of(spark, "filter_time_range", sf_dir)
-    assert "GreaterThanOrEqual(ts,17" in plan  # epoch-ns literal pushed
-    assert "LessThan(ts,17" in plan
+    assert "GreaterThanOrEqual(ts,17" in plan or "GreaterThanOrEqual(ts,20" in plan
+    assert "LessThan(ts,17" in plan or "LessThan(ts,20" in plan
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(ts" in plan
 
 
 def test_blackout_periods_pushdown(spark, sf_dir):
