@@ -257,50 +257,61 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the library form; this stays in native exprs (no vector UDT).
 
     Determinism: xxhash64 is a fixed function of (shingle, seed), so the
-    whole plan is reproducible run-to-run — asserted in tests."""
+    whole plan is reproducible run-to-run — asserted in tests.
+
+    Plan shape (the 100 TB invariants, asserted in
+    tests/test_plan_properties.py::test_minhash_single_scan_no_corpus_broadcast):
+
+    - ONE documents scan: the shingled frame is persisted and reused by
+      the signature pass and both verification legs (the naive form
+      re-scans and re-hashes the corpus once per band per side — 8×).
+    - The band-bucket frame carries only (doc_id, band, bucket) — the
+      shingle arrays never ride through the explode or the self-join.
+    - The candidate probe is a shuffled equi-join on (band, bucket),
+      never a broadcast of the banded corpus (same impossibility as the
+      Jaccard build side at scale).  Candidate pairs ARE a vanishing
+      fraction, so broadcasting them into the verify joins is fine."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.expr(_SHINGLES).alias("shingles")).where(F.size("shingles") > 0)
+    sh = (
+        docs.select("doc_id", F.expr(_SHINGLES).alias("shingles"))
+        .where(F.size("shingles") > 0)
+        .persist()
+    )
     minhash_cols = [
         F.expr(
             f"array_min(transform(shingles, s -> xxhash64(s, {i})))"
         ).alias(f"mh{i}")
         for i in range(_N_HASHES)
     ]
-    sigs = sh.select("doc_id", "shingles", *minhash_cols)
-    bands = []
-    for band in range(_N_HASHES // _BAND_SIZE):
-        cols = ", ".join(f"mh{band * _BAND_SIZE + j}" for j in range(_BAND_SIZE))
-        bands.append(
-            sigs.select(
-                "doc_id",
-                "shingles",
-                F.lit(band).alias("band"),
-                F.expr(f"xxhash64({cols})").alias("bucket"),
-            )
-        )
-    exploded = bands[0]
-    for bdf in bands[1:]:
-        exploded = exploded.unionByName(bdf)
-    a, b = exploded.alias("a"), exploded.alias("b")
+    sigs = sh.select("doc_id", *minhash_cols)
+    band_hashes = [
+        F.xxhash64(*[F.col(f"mh{band * _BAND_SIZE + j}") for j in range(_BAND_SIZE)])
+        for band in range(_N_HASHES // _BAND_SIZE)
+    ]
+    slim = sigs.select(
+        "doc_id", F.posexplode(F.array(*band_hashes)).alias("band", "bucket")
+    )
+    a, b = slim.alias("a"), slim.alias("b")
     cand = (
         a.join(
-            b,
+            b.hint("SHUFFLE_HASH"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )
-    return cand.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    return (
+        cand.join(sha, "doc_a")
+        .join(shb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
 
 
 _SIMHASH_BITS = 32

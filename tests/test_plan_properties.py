@@ -141,3 +141,20 @@ def test_dataset_buffer_window_partitioned(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         buffered.explain("formatted")
     assert "SinglePartition" not in buf.getvalue()
+
+
+def test_minhash_single_scan_no_corpus_broadcast(spark, sf_dir):
+    # the banded corpus must never be a broadcast build side, the shingle
+    # arrays must not ride through the band self-join, and the corpus
+    # must be scanned once (persisted shingle frame), not 8×
+    plan = plan_of(spark, "ext_dedup_minhash", sf_dir)
+    assert "ShuffledHashJoin" in plan
+    # persisted shingle frame: the signature pass and both verify legs
+    # read the cache (InMemoryRelation re-prints its child scan per
+    # reference, so count the cache, not scan strings)
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan
+    # the band self-join must not broadcast the banded corpus: the only
+    # acceptable broadcasts are the tiny candidate-pair side of the
+    # verify joins, which appear AFTER the shuffled hash join in the tree
+    head = plan.split("ShuffledHashJoin")[0]
+    assert "BroadcastExchange" not in head
