@@ -36,6 +36,11 @@ def main() -> None:
     for name in names:
         runs: list[float] = []
         for _ in range(3):
+            # cold Spark cache each run: operators that persist an
+            # intermediate (minhash signatures, tfidf postings) must pay
+            # their materialization every time, so min measures the PLAN,
+            # not a leftover cache from the previous repetition
+            spark.catalog.clearCache()
             t0 = time.time()
             df = registry[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

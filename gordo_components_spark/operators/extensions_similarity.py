@@ -205,10 +205,14 @@ def ext_tfidf_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "len_bucket", "token", (F.col("tf") * F.col("idf")).alias("w")
     )
     norms = w.groupBy("doc_id").agg(F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), 9).alias("nrm"))
+    # persisted: the pair self-join otherwise re-runs the whole
+    # tokenize → idf-join → norm-join chain (2 scans + 6 shuffles) once
+    # per side; at scale this materialization is the inverted INDEX —
+    # built once, probed many times
     wn = w.join(norms, "doc_id").select(
         "doc_id", "source", "len_bucket", "token",
         F.round(F.col("w") / F.col("nrm"), 9).alias("wn"),
-    )
+    ).persist()
     a, b = wn.alias("a"), wn.alias("b")
     dots = (
         a.join(
