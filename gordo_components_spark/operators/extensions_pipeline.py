@@ -209,3 +209,107 @@ def pipe_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         lead_ts.alias("valid_to"),
         lead_ts.isNull().cast("boolean").alias("is_current"),
     )
+
+
+@register(
+    "pipe_decontaminate",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest([array_to_string(string_split(text, ' ')[i:i+3], ' ')
+                     FOR i IN range(1, len(string_split(text, ' ')) - 2)]) AS g
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 4
+    ), bench AS (
+      SELECT DISTINCT doc_id AS bench_id, g FROM grams WHERE doc_id % 100 = 0
+    ), train AS (
+      SELECT doc_id, g FROM grams WHERE doc_id % 100 <> 0
+    )
+    SELECT train.doc_id,
+           COUNT(DISTINCT train.g) AS n_gram_hits,
+           COUNT(DISTINCT bench.bench_id) AS n_bench_docs
+    FROM train JOIN bench USING (g)
+    GROUP BY train.doc_id
+    """,
+)
+def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Llama n-gram collision
+    check): training docs sharing any word-4-gram with the held-out
+    benchmark set are flagged with their hit counts; the pipeline drops
+    or audits them before training.  The benchmark here is the
+    deterministic doc_id%100 slice of the corpus (a stand-in for
+    MMLU-sized eval files).
+
+    Scale shape: benchmark sets are tiny relative to the corpus, so the
+    benchmark gram index BROADCASTS (this is the one similarity join
+    where broadcast IS the 100 TB-correct plan); the train side streams
+    one exploded scan against it — no shuffle of the corpus at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams4 = (
+        "transform(sequence(0, size(split(text, ' ')) - 4), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 4)))"
+    )
+    g = (
+        docs.where(F.size(F.split("text", " ")) >= 4)
+        .select("doc_id", F.explode(F.expr(grams4)).alias("g"))
+    )
+    bench = (
+        g.where(F.col("doc_id") % 100 == 0)
+        .select(F.col("doc_id").alias("bench_id"), "g")
+        .distinct()
+    )
+    train = g.where(F.col("doc_id") % 100 != 0)
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_gram_hits"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+@register(
+    "pipe_mix_weights",
+    oracle="""
+    WITH per_source AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(n_tokens) AS t, COUNT(*) AS n_sources FROM per_source
+    )
+    SELECT source, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE), 6) AS token_share,
+           round((1.0 / n_sources) / (CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE)), 6)
+             AS sample_weight
+    FROM per_source, tot
+    """,
+)
+def pipe_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per-source token shares and the
+    sampling multiplier that rebalances the corpus to a uniform target
+    mix (the DoReMi/Pile-style mixture step — swap the uniform target
+    for learned weights and the plan is unchanged).  Counts are exact
+    bigints; the share division is bigint→double, engine-identical.
+    One corpus scan, a tiny per-source agg, and a 1-row broadcast
+    total — the output IS the sampler's config."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("n_tokens"),
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("n_sources")
+    )
+    share = F.col("n_tokens").cast("double") / F.col("t").cast("double")
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(share, 6).alias("token_share"),
+            F.round((1.0 / F.col("n_sources")) / share, 6).alias("sample_weight"),
+        )
+    )

@@ -225,3 +225,45 @@ def ext_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.expr(r"regexp_extract_all(text, '\\+1-555-[0-9]+', 0)")).cast("bigint").alias("n_phones"),
         F.md5(redacted).alias("redacted_fp"),
     )
+
+
+@register(
+    "ext_text_repetition",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             [array_to_string(string_split(text, ' ')[i:i+1], ' ')
+              FOR i IN range(1, len(string_split(text, ' ')))] AS bigrams
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    )
+    SELECT doc_id,
+           CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+           round(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams), 6)
+             AS dup_bigram_ratio,
+           (1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)) > 0.2
+             AS is_repetitive
+    FROM g
+    """,
+)
+def ext_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition score (the Gopher 'repetition' quality
+    rules, rule family 4: fraction of duplicate word n-grams).  A doc
+    whose bigrams repeat heavily is boilerplate/spam/template text and
+    gets filtered before training.  Pure native expressions — one scan,
+    zero Python, the gate is a WHERE on the output."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = (
+        "transform(sequence(0, size(split(text, ' ')) - 2), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 2)))"
+    )
+    g = docs.where(F.size(F.split("text", " ")) >= 2).select(
+        "doc_id", F.expr(bigrams).alias("bigrams")
+    )
+    dup = 1.0 - F.size(F.array_distinct("bigrams")).cast("double") / F.size("bigrams")
+    return g.select(
+        "doc_id",
+        F.size("bigrams").cast("bigint").alias("n_bigrams"),
+        F.round(dup, 6).alias("dup_bigram_ratio"),
+        (dup > 0.2).alias("is_repetitive"),
+    )
