@@ -201,3 +201,15 @@ def stream_genuine(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.unionByName(leg("watermark_dedup", run_streaming_watermark_dedup(spark, sf_dir)))
     out = out.unionByName(leg("stateful_ewma", run_streaming_stateful_ewma(spark, sf_dir)))
     return out
+
+
+@register("stream_stream_join", oracle=None)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (rows-only: join-state watermark
+    semantics aren't SQL-expressible): purchases attributed to the same
+    machine's clicks within a 30-minute window, state bounded by
+    watermark + interval.  Batch parity is asserted in
+    tests/test_streaming.py."""
+    from gordo_components_spark.streaming.micro_batch import run_streaming_stream_join
+
+    return run_streaming_stream_join(spark, sf_dir)

@@ -265,3 +265,53 @@ def run_streaming_watermark_dedup(
     )
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     return _run_to_memory(deduped, name)
+
+
+def run_streaming_stream_join(
+    spark: SparkSession, sf_dir: str, horizon: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream interval join (SURVEY §2.9 breadth): purchases
+    joined to the same machine's clicks at most ``horizon`` earlier —
+    the attribution-window shape.  Both sides are watermarked so the
+    join's state store evicts rows older than the horizon (what makes a
+    stream-stream join viable on an unbounded feed: state is bounded by
+    watermark + interval, not by stream length).
+
+    availableNow replays the whole fixture in one batch, so no row is
+    late and the result equals the equivalent batch interval join —
+    asserted in tests/test_streaming.py::test_stream_stream_join_batch_parity."""
+    prepare(spark)
+    src = _replay_dir(spark, sf_dir)
+    clicks = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .parquet(src)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .parquet(src)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("p_user").alias("user_id"), "purchase_id", "click_id", "p_ts", "c_ts"
+    )
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    return _run_to_memory(joined, name)

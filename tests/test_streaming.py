@@ -104,3 +104,37 @@ def test_stream_dedup_complete(spark, sf_dir):
     n_events = load_table(spark, sf_dir, "events").count()
     assert deduped.count() == n_events
     assert deduped.select("event_id").distinct().count() == n_events
+
+
+def test_stream_stream_join_batch_parity(spark):
+    # the availableNow replay delivers everything in one batch (nothing
+    # is late), so the stream-stream interval join must equal the batch
+    # interval join bit-for-bit
+    from pyspark.sql import functions as F
+
+    from gordo_components_spark.sources.tables import load_table
+    from gordo_components_spark.streaming.micro_batch import (
+        run_streaming_stream_join,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = run_streaming_stream_join(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    want = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 minutes")),
+    )
+    assert got.count() == want.count() > 0
+    g = {(r["purchase_id"], r["click_id"]) for r in got.collect()}
+    w = {(r["purchase_id"], r["click_id"]) for r in want.collect()}
+    assert g == w
