@@ -225,3 +225,116 @@ def agg_error_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.expr("percentile(err, 0.99)") * 1e6 + 0.5) / 1e6).alias("threshold_p99"),
         (F.floor(F.expr("percentile(err, 0.50)") * 1e6 + 0.5) / 1e6).alias("err_median"),
     )
+
+
+@register(
+    "agg_resample_interp",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_type,
+             time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket,
+             round(avg(value), 9) AS v
+      FROM events GROUP BY 1, 2, 3
+    ), grid AS (
+      SELECT user_id, event_type,
+             unnest(generate_series(MIN(bucket), MAX(bucket), INTERVAL 1 hour)) AS bucket
+      FROM base GROUP BY user_id, event_type
+    ), joined AS (
+      SELECT g.user_id, g.event_type, g.bucket, b.v,
+             LAST_VALUE(b.v IGNORE NULLS) OVER w_fwd AS prev_v,
+             LAST_VALUE(CASE WHEN b.v IS NOT NULL THEN g.bucket END IGNORE NULLS)
+               OVER w_fwd AS prev_t,
+             FIRST_VALUE(b.v IGNORE NULLS) OVER w_bwd AS next_v,
+             FIRST_VALUE(CASE WHEN b.v IS NOT NULL THEN g.bucket END IGNORE NULLS)
+               OVER w_bwd AS next_t
+      FROM grid g LEFT JOIN base b USING (user_id, event_type, bucket)
+      WINDOW
+        w_fwd AS (PARTITION BY g.user_id, g.event_type ORDER BY g.bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_bwd AS (PARTITION BY g.user_id, g.event_type ORDER BY g.bucket
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, event_type, bucket,
+           floor((CASE WHEN v IS NOT NULL THEN v
+                       ELSE prev_v + (next_v - prev_v)
+                            * (CAST(epoch(bucket) - epoch(prev_t) AS DOUBLE)
+                               / CAST(epoch(next_t) - epoch(prev_t) AS DOUBLE))
+                  END) * 1000000 + 0.5) / 1000000 AS value_interp,
+           (v IS NULL) AS was_gap
+    FROM joined
+    """,
+)
+def agg_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O18/O16 extension — gap-filling resample with LINEAR interpolation
+    (the pandas ``resample().interpolate()`` face the ffill path doesn't
+    cover): each series' hourly grid is densified between its first and
+    last bucket, and empty buckets take the time-weighted blend of their
+    nearest real neighbors.
+
+    Spark shape: per-series ``sequence()`` explode builds the grid (no
+    driver loop), one left join against the resampled base, and two
+    ignore-nulls window passes (last-before / first-after) — all
+    partitioned by series key, no SinglePartition anywhere.  The
+    interpolation fraction is a ratio of epoch-second longs (exact in
+    both engines); output rounds at 6."""
+    from pyspark.sql import Window
+
+    base = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "user_id",
+            "event_type",
+            F.window("ts", "1 hour").alias("w"),
+        )
+        .agg(F.round(F.avg("value"), 9).alias("v"))
+        .select("user_id", "event_type", F.col("w.start").alias("bucket"), "v")
+    )
+    grid = (
+        base.groupBy("user_id", "event_type")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "user_id",
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("bucket"),
+        )
+    )
+    j = grid.join(base, ["user_id", "event_type", "bucket"], "left")
+    w_fwd = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_bwd = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t_at_v = F.when(F.col("v").isNotNull(), F.col("bucket"))
+    j = j.select(
+        "user_id",
+        "event_type",
+        "bucket",
+        "v",
+        F.last("v", ignorenulls=True).over(w_fwd).alias("prev_v"),
+        F.last(t_at_v, ignorenulls=True).over(w_fwd).alias("prev_t"),
+        F.first("v", ignorenulls=True).over(w_bwd).alias("next_v"),
+        F.first(t_at_v, ignorenulls=True).over(w_bwd).alias("next_t"),
+    )
+    frac = (
+        (F.unix_timestamp("bucket") - F.unix_timestamp("prev_t")).cast("double")
+        / (F.unix_timestamp("next_t") - F.unix_timestamp("prev_t")).cast("double")
+    )
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac
+    )
+    # floor-shift rounding, NOT round(): interpolated values land on
+    # exact half-ties often enough (rational fracs over round-9 inputs)
+    # that the engines' different round() tie algorithms diverge —
+    # CLAUDE.md failure mode (b)
+    return j.select(
+        "user_id",
+        "event_type",
+        "bucket",
+        (F.floor(interp * 1000000 + 0.5) / 1000000).alias("value_interp"),
+        F.col("v").isNull().alias("was_gap"),
+    )

@@ -17,9 +17,11 @@ import os
 from pyspark.sql import SparkSession
 
 _RUNTIME_CONFS = {
-    # events.parquet is INT64 TIMESTAMP(NANOS): Spark has no ns timestamp,
-    # read as long and convert (sources/tables.py) — matches DuckDB's
-    # CAST(ts AS TIMESTAMP) truncation.
+    # events.parquet is INT64 TIMESTAMP(NANOS).  Spark ≤4.0 needs this
+    # conf to read it (as long; sources/tables.py converts).  Spark 4.1+
+    # IGNORES it and reads timestamp_ntz natively — tables.py handles
+    # both worlds; either way values match DuckDB's CAST(ts AS TIMESTAMP)
+    # µs truncation.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
