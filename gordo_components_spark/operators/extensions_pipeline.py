@@ -313,3 +313,70 @@ def pipe_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((1.0 / F.col("n_sources")) / share, 6).alias("sample_weight"),
         )
     )
+
+
+@register(
+    "pipe_curation_e2e",
+    oracle=f"""
+    WITH gated AS (
+      SELECT doc_id, source, text,
+             len(string_split(text, ' ')) AS n_toks
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 20
+        AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) >= 0.15
+        AND lang = 'en'
+    ), surv AS (
+      SELECT md5(text) AS h, MIN(doc_id) AS doc_id
+      FROM gated GROUP BY md5(text)
+    ), kept AS (
+      SELECT g.doc_id, g.source, g.n_toks,
+             CASE WHEN {_BUCKET_DUCK.format(key="CAST(g.doc_id AS VARCHAR)")} < 8000 THEN 'train'
+                  WHEN {_BUCKET_DUCK.format(key="CAST(g.doc_id AS VARCHAR)")} < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM gated g JOIN surv s ON g.doc_id = s.doc_id
+    )
+    SELECT split, source,
+           COUNT(*) AS n_docs,
+           SUM(CAST(n_toks AS BIGINT)) AS n_tokens
+    FROM kept GROUP BY split, source
+    """,
+)
+def pipe_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in ONE lazy plan — the composition a
+    reference user actually runs: quality gate (length + lexical
+    diversity) → language filter → exact dedup (hash-group survivors) →
+    leak-free hash split → per-(split, source) doc/token counts.
+
+    Plan shape: one documents scan; the gates are pushable scan
+    predicates; the only shuffles are the dedup hash-group and the final
+    tiny agg.  Every stage reuses the conventions proven by its
+    standalone operator (md5 survivor = ext_dedup_exact, positional-hex
+    bucket = pipe_train_split), so correctness composes — and the oracle
+    checks the WHOLE pipeline, not the stages in isolation."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_toks = F.size(toks)
+    gated = docs.where(
+        (n_toks >= 20)
+        & (F.size(F.array_distinct(toks)).cast("double") / n_toks >= 0.15)
+        & (F.col("lang") == "en")
+    ).select("doc_id", "source", "text", n_toks.alias("n_toks"))
+    surv = gated.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    bucket = F.expr(_BUCKET_SPARK.format(key="CAST(doc_id AS STRING)"))
+    kept = (
+        gated.join(surv.select("doc_id"), "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            "source",
+            "n_toks",
+            F.when(bucket < 8000, "train")
+            .when(bucket < 9000, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+    return kept.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_toks").cast("bigint")).alias("n_tokens"),
+    )
