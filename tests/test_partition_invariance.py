@@ -17,6 +17,12 @@ QUERIES = [
     "agg_error_quantile",
     "tpch_q1",
     "sort_limit_topk",
+    # round 3: interpolation (floor-shift over window blends), the
+    # market-share ratio (cents/cents division), and the e2e curation
+    # composition (hash-bucket split over a dedup shuffle)
+    "agg_resample_interp",
+    "tpch_q8",
+    "pipe_curation_e2e",
 ]
 
 
