@@ -380,3 +380,52 @@ def pipe_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("n_toks").cast("bigint")).alias("n_tokens"),
     )
+
+
+@register("pipe_curation_write", oracle=None)
+def pipe_curation_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialization face of the curation pipeline (rows-only: the
+    artifact is a filesystem layout): the curated corpus lands as
+    parquet PARTITIONED BY split — the layout a training job consumes
+    (each epoch reads only `split=train/`, partition pruning does the
+    rest) — then the directory is read back and per-split stats are
+    reported from the files themselves, so the checked result witnesses
+    the round-trip, not the in-memory frame.
+
+    At 100 TB the identical code writes to object storage; per-split
+    subdirectories are the unit of both pruning and downstream
+    shuffle-free ingestion."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_toks = F.size(toks)
+    gated = docs.where(
+        (n_toks >= 20)
+        & (F.size(F.array_distinct(toks)).cast("double") / n_toks >= 0.15)
+        & (F.col("lang") == "en")
+    ).select("doc_id", "source", "text", n_toks.alias("n_toks"))
+    surv = gated.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    bucket = F.expr(_BUCKET_SPARK.format(key="CAST(doc_id AS STRING)"))
+    kept = gated.join(surv.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id",
+        "source",
+        "n_toks",
+        F.when(bucket < 8000, "train")
+        .when(bucket < 9000, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/gordo_spark_curated/{sf_tag}"
+    kept.write.mode("overwrite").partitionBy("split").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_toks").cast("bigint")).alias("n_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("split")
+    )
