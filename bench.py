@@ -25,8 +25,13 @@ def main() -> None:
     registry = load_all()
     names = sorted(n for n, s in registry.items() if HEADLINE_TAG in s.tags)
     spark = get_spark("gordo-spark-bench")
-    # warm the JVM/codegen path once so per-query times measure the plan
-    registry[names[0]].fn(spark, sf_dir).count()
+    # warm-up pass over every headline query: JVM/codegen, Python-worker
+    # fork, and the train cache (ml_predict_batch) are all one-time
+    # process costs — paying them here means the timed spread measures
+    # the PLAN (r3 verdict item 2: predict_batch max/min was 5.7×, all
+    # of it island cold start + first-run training)
+    for name in names:
+        registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # best-of-3 with per-query spread (r2 verdict item 4): min is the
     # headline (measures the plan, not GC/JIT noise); median and max make

@@ -218,10 +218,17 @@ def predict_batch(features: DataFrame, models: DataFrame) -> DataFrame:
     in_cols = ["user_id", "bucket", *FEATURES]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # One output frame per ARROW BATCH, not per machine: with ~10⁴
+        # machines per partition the per-group pandas-DataFrame build was
+        # the dominant cost (measured 4× the matmuls) — accumulate numpy
+        # slices and concatenate once instead.
         cache: dict[str, object] = {}
+        feat_list = list(FEATURES)
         for pdf in batches:
-            outs = []
-            for machine, grp in pdf.groupby("user_id", sort=False):
+            X_all = pdf[feat_list].to_numpy(dtype=np.float64)
+            buckets_all = pdf["bucket"].to_numpy()
+            machines, buckets, yhats = [], [], []
+            for machine, idx in pdf.groupby("user_id", sort=False).indices.items():
                 machine = str(machine)
                 det = cache.get(machine)
                 if det is None:
@@ -229,14 +236,19 @@ def predict_batch(features: DataFrame, models: DataFrame) -> DataFrame:
                     if blob is None:
                         continue
                     det = cache[machine] = pickle.loads(base64.b64decode(blob))
-                yhat = det.base_estimator.predict(
-                    grp[list(FEATURES)].to_numpy(dtype=np.float64)
+                yhats.append(det.base_estimator.predict(X_all[idx]))
+                machines.append(np.full(len(idx), machine, dtype=object))
+                buckets.append(buckets_all[idx])
+            if yhats:
+                Y = np.vstack(yhats)
+                out = pd.DataFrame(
+                    {
+                        "machine": np.concatenate(machines),
+                        "bucket": np.concatenate(buckets),
+                    }
                 )
-                out = pd.DataFrame({"machine": machine, "bucket": grp["bucket"]})
                 for i, f in enumerate(FEATURES):
-                    out[f"model_output__{f}"] = yhat[:, i]
-                outs.append(out)
-            if outs:
-                yield pd.concat(outs)
+                    out[f"model_output__{f}"] = Y[:, i]
+                yield out
 
     return _spread(features.select(*in_cols)).mapInPandas(fn, out_schema)

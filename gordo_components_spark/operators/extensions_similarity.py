@@ -231,6 +231,62 @@ def ext_tfidf_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NPROBE = 3
 _IVF_QUERY = 7
 
+# Per-SF IVF index cache (CLAUDE.md: /tmp/gordo_spark_* dirs are
+# materialization caches — safe to delete, rebuilt on demand).
+_IVF_ROOT = "/tmp/gordo_spark_ivf"
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str, force: bool = False) -> str:
+    """Offline IVF index build — the once-per-corpus step every real ANN
+    system separates from the query path.  Writes two artifacts under a
+    per-SF cache dir:
+
+    - ``centroids/``: the coarse quantizer — (label, pos, c) per-cell
+      centroids, round(avg, 9) exactly as the DuckDB oracle computes them;
+    - ``corpus/``: the vectors re-written parquet PARTITIONED BY ``cell=``
+      (the centroid id), so an nprobe query reads nprobe/ncells of the
+      data via static partition pruning.
+
+    A fingerprint of the source parquet (size + mtime) guards staleness:
+    same corpus ⇒ the build is a no-op, changed corpus ⇒ rebuild.  At
+    100 TB this is the offline index job writing to object storage; the
+    query path never rescans the raw corpus.
+    """
+    import json
+    import os
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(_IVF_ROOT, sf_tag)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    fingerprint = {"size": st.st_size, "mtime_ns": st.st_mtime_ns}
+    marker = os.path.join(root, "_BUILT.json")
+    if not force and os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                if json.load(fh) == fingerprint:
+                    return root
+        except (OSError, ValueError):
+            pass
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").alias("v")
+    )
+    cent = (
+        emb.select("label", F.posexplode("v").alias("pos", "cval"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("cval"), 9).alias("c"))
+    )
+    cent.coalesce(1).write.mode("overwrite").parquet(os.path.join(root, "centroids"))
+    (
+        emb.withColumn("cell", F.col("label"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(root, "corpus"))
+    )
+    with open(marker, "w") as fh:
+        json.dump(fingerprint, fh)
+    return root
+
 
 @register(
     "ext_ann_ivf",
@@ -265,20 +321,28 @@ _IVF_QUERY = 7
     """,
 )
 def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E3 scale path — IVF two-stage ANN: (1) coarse quantizer = per-label
-    centroids; pick the nprobe nearest cells to the query; (2) exact
-    re-rank inside those cells only.  With the corpus written bucketed/
-    partitioned by cell id, stage 2 scans nprobe/ncells of the data
-    (partition pruning) — that asymmetry is the entire point of IVF."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").alias("v")
+    """E3 scale path — IVF two-stage ANN probing a PREBUILT index
+    (``build_ivf_index``): (1) the coarse quantizer (per-cell centroids)
+    is read from the index, never recomputed per query; the nprobe
+    nearest cells are picked driver-side (the index walk every real ANN
+    system does on the coordinator); (2) exact re-rank scans ONLY the
+    probed ``cell=`` partitions of the index corpus — static partition
+    pruning, nprobe/ncells of the data.  The returned plan contains zero
+    raw-``embeddings.parquet`` scans and exactly one (pruned) index scan
+    (guarded in tests/test_plan_properties.py)."""
+    import os
+
+    idx = build_ivf_index(spark, sf_dir)
+    # Query vector: fetched once (vec_id pushed to the parquet reader) and
+    # re-issued as a 1-row local relation — doubles round-trip exactly.
+    qv = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == _IVF_QUERY)
+        .select(F.col("embedding").alias("qv"))
+        .head()[0]
     )
-    cent = (
-        emb.select("label", F.posexplode("v").alias("pos", "cval"))
-        .groupBy("label", "pos")
-        .agg(F.round(F.avg("cval"), 9).alias("c"))
-    )
-    q = emb.where(F.col("vec_id") == _IVF_QUERY).select(F.col("v").alias("qv"))
+    q = spark.createDataFrame([([float(x) for x in qv],)], "qv array<double>")
+    cent = spark.read.parquet(os.path.join(idx, "centroids"))
     diff = F.col("c") - F.expr("qv[pos]")
     qdist = (
         cent.crossJoin(F.broadcast(q))
@@ -286,8 +350,14 @@ def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.round(F.sum("sq"), 9).alias("d2"))
     )
-    probes = qdist.orderBy("d2", "label").limit(_NPROBE).select("label")
-    cand = emb.join(F.broadcast(probes), "label").where(F.col("vec_id") != _IVF_QUERY)
+    probes = [
+        r["label"] for r in qdist.orderBy("d2", "label").limit(_NPROBE).collect()
+    ]
+    cand = (
+        spark.read.parquet(os.path.join(idx, "corpus"))
+        .where(F.col("cell").isin(probes))
+        .where(F.col("vec_id") != _IVF_QUERY)
+    )
     return (
         cand.crossJoin(F.broadcast(q))
         .select(

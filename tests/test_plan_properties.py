@@ -162,3 +162,14 @@ def test_minhash_single_scan_no_corpus_broadcast(spark, sf_dir):
     # verify joins, which appear AFTER the shuffled hash join in the tree
     head = plan.split("ShuffledHashJoin")[0]
     assert "BroadcastExchange" not in head
+
+
+def test_ivf_probes_prebuilt_index(spark, sf_dir):
+    # the IVF query must probe the prebuilt cell-partitioned index: zero
+    # raw-corpus scans in the returned plan, exactly ONE parquet scan
+    # (the index corpus; formatted explain prints each node twice), and
+    # that scan statically partition-pruned to the nprobe cells
+    plan = plan_of(spark, "ext_ann_ivf", sf_dir)
+    assert "embeddings.parquet" not in plan
+    assert plan.count("Scan parquet") == 2
+    assert "PartitionFilters" in plan and "cell" in plan
