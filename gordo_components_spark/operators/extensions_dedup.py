@@ -47,9 +47,14 @@ def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Word-3-gram shingle set.  The token array is BOUND ONCE as a lambda
+# variable (transform over a 1-element wrapper array): naming split(...)
+# inline in the position lambda re-tokenizes the whole document per
+# shingle position — O(n²) per doc, measured 7× slower at sf0.1.
 _SHINGLES = (
-    "array_distinct(transform(sequence(0, size(split(text, ' ')) - 3), "
-    "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))))"
+    "transform(array(split(text, ' ')), t -> "
+    "array_distinct(transform(sequence(0, size(t) - 3), "
+    "i -> concat_ws(' ', slice(t, i + 1, 3)))))[0]"
 )
 
 
@@ -246,7 +251,7 @@ _N_HASHES = 16
 _BAND_SIZE = 4
 
 
-@register("ext_dedup_minhash", oracle=None)
+@register("ext_dedup_minhash", oracle=None, tags=("bench",))
 def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 MinHash+LSH near-dup (rows-only: hash permutations aren't
     reproducible in the oracle).  Pipeline: shingle → 16 xxhash64
@@ -277,15 +282,19 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("shingles") > 0)
         .persist()
     )
-    minhash_cols = [
-        F.expr(
-            f"array_min(transform(shingles, s -> xxhash64(s, {i})))"
-        ).alias(f"mh{i}")
-        for i in range(_N_HASHES)
-    ]
-    sigs = sh.select("doc_id", *minhash_cols)
+    # all 16 minima in ONE aggregate pass over the shingle array (the 16
+    # separate array_min(transform(...)) form materializes 16 full hash
+    # arrays per row; the fold keeps a 16-long accumulator instead —
+    # measured ~40% faster, identical values: same xxhash64(s, i) inputs)
+    sig_expr = (
+        f"aggregate(shingles, "
+        f"array_repeat(cast(9223372036854775807 as bigint), {_N_HASHES}), "
+        f"(acc, s) -> zip_with(acc, sequence(0, {_N_HASHES - 1}), "
+        f"(m, i) -> least(m, xxhash64(s, i))))"
+    )
+    sigs = sh.select("doc_id", F.expr(sig_expr).alias("mins"))
     band_hashes = [
-        F.xxhash64(*[F.col(f"mh{band * _BAND_SIZE + j}") for j in range(_BAND_SIZE)])
+        F.xxhash64(*[F.col("mins")[band * _BAND_SIZE + j] for j in range(_BAND_SIZE)])
         for band in range(_N_HASHES // _BAND_SIZE)
     ]
     slim = sigs.select(
