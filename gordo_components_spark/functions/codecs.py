@@ -29,31 +29,41 @@ _JSON_MAX_ROWS = 10_000
 _PARQUET_MAX_ROWS = 1_000_000
 
 
-def _bounded_pandas(df: DataFrame, max_rows: int | None, default: int, face: str):
+def _bounded_pandas(
+    df: DataFrame, max_rows: int | None, default: int, face: str, truncate: bool = False
+):
     """Driver-side collect with a guard rail: these codecs materialize the
     whole frame on the driver, so an unbounded call on a big DataFrame is
     an OOM, not a payload.  ``max_rows=None`` (the default) applies the
     documented per-face bound and RAISES past it — the caller must pass an
-    explicit larger bound (or truncate) to go bigger."""
+    explicit larger bound (or ``truncate=True``) to go bigger.
+
+    BEHAVIOR CHANGE (round 3): ``max_rows`` used to silently truncate to
+    N rows; it is now a hard bound that raises.  Callers that want the
+    old truncating semantics pass ``truncate=True`` — the guard rail is
+    opt-out, not a silent redefinition of the argument."""
     bound = default if max_rows is None else max_rows
     pdf = df.limit(bound + 1).toPandas()
     if len(pdf) > bound:
+        if truncate:
+            return pdf.iloc[:bound]
         raise ValueError(
             f"{face}: frame exceeds {bound} rows; wire codecs are "
             f"driver-side HTTP payloads, not bulk paths — pass an explicit "
-            f"max_rows, pre-limit the frame, or use df.write.parquet"
+            f"max_rows or truncate=True, pre-limit the frame, or use "
+            f"df.write.parquet"
         )
     return pdf
 
 
-def dataframe_to_dict(df: DataFrame, max_rows: int | None = None) -> dict:
+def dataframe_to_dict(df: DataFrame, max_rows: int | None = None, truncate: bool = False) -> dict:
     """DataFrame → JSON-safe dict payload (column-oriented, like the
     reference's ``orient="index"``-era wire dicts but stable-ordered).
     Timestamps serialize at full microsecond precision (pandas to_json's
     ISO mode is only ms-grained) and record themselves in ``dtypes`` so
     the decoder can restore them losslessly.  Bounded at 10k rows by
     default (see ``_bounded_pandas``)."""
-    pdf = _bounded_pandas(df, max_rows, _JSON_MAX_ROWS, "dataframe_to_dict")
+    pdf = _bounded_pandas(df, max_rows, _JSON_MAX_ROWS, "dataframe_to_dict", truncate)
     dtypes: dict[str, str] = {}
     out = pdf.copy()
     for col in out.columns:
@@ -75,10 +85,10 @@ def dataframe_from_dict(spark: SparkSession, payload: dict, schema=None) -> Data
     return spark.createDataFrame(pdf, schema=schema)
 
 
-def dataframe_into_parquet_bytes(df: DataFrame, max_rows: int | None = None) -> bytes:
+def dataframe_into_parquet_bytes(df: DataFrame, max_rows: int | None = None, truncate: bool = False) -> bytes:
     """DataFrame → parquet file bytes (HTTP body / cache blob).  Bounded
     at 1M rows by default (see ``_bounded_pandas``)."""
-    pdf = _bounded_pandas(df, max_rows, _PARQUET_MAX_ROWS, "dataframe_into_parquet_bytes")
+    pdf = _bounded_pandas(df, max_rows, _PARQUET_MAX_ROWS, "dataframe_into_parquet_bytes", truncate)
     table = pa.Table.from_pandas(pdf, preserve_index=False)
     buf = io.BytesIO()
     pq.write_table(table, buf)

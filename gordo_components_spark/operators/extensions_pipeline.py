@@ -280,9 +280,10 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT SUM(n_tokens) AS t, COUNT(*) AS n_sources FROM per_source
     )
     SELECT source, n_docs, n_tokens,
-           round(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE), 6) AS token_share,
-           round((1.0 / n_sources) / (CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE)), 6)
-             AS sample_weight
+           floor(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE) * 1000000 + 0.5)
+             / 1000000 AS token_share,
+           floor((1.0 / n_sources) / (CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS sample_weight
     FROM per_source, tot
     """,
 )
@@ -303,14 +304,17 @@ def pipe_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("n_sources")
     )
     share = F.col("n_tokens").cast("double") / F.col("t").cast("double")
+    # floor-shift, not round(x, 6): the shares are doubles and engine
+    # round() half-tie algorithms differ (CLAUDE.md failure mode b)
+    fshift = lambda c: F.floor(c * 1000000 + 0.5) / 1000000  # noqa: E731
     return (
         per_source.crossJoin(F.broadcast(tot))
         .select(
             "source",
             "n_docs",
             "n_tokens",
-            F.round(share, 6).alias("token_share"),
-            F.round((1.0 / F.col("n_sources")) / share, 6).alias("sample_weight"),
+            fshift(share).alias("token_share"),
+            fshift((1.0 / F.col("n_sources")) / share).alias("sample_weight"),
         )
     )
 

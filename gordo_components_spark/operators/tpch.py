@@ -642,10 +642,10 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
     )
     SELECT o_year,
-           round(CAST(CAST(round(SUM(CAST(CASE WHEN supp_nation = 'NATION_1'
+           floor(CAST(CAST(round(SUM(CAST(CASE WHEN supp_nation = 'NATION_1'
                         THEN volume ELSE 0.0 END AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS DOUBLE)
-                 / CAST(CAST(round(SUM(CAST(volume AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS DOUBLE),
-                 6) AS mkt_share
+                 / CAST(CAST(round(SUM(CAST(volume AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS mkt_share
     FROM base GROUP BY o_year
     """,
 )
@@ -685,8 +685,10 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ELSE 0.0 END AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS DOUBLE)"
     )
     den = "CAST(CAST(round(SUM(CAST(volume AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS DOUBLE)"
+    # floor-shift, not round(x, 6): the ratio is a double, and engine
+    # round() half-tie algorithms differ (CLAUDE.md failure mode b)
     return base.groupBy("o_year").agg(
-        F.round(F.expr(num) / F.expr(den), 6).alias("mkt_share")
+        F.expr(f"floor(({num}) / ({den}) * 1000000 + 0.5) / 1000000").alias("mkt_share")
     )
 
 

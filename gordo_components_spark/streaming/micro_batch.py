@@ -131,12 +131,26 @@ def run_streaming_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deploy-shaped sink: each micro-batch APPENDS its scored frame to a
     # parquet directory executor-side (the O7 sink), never collecting to
     # the driver — the demonstrated pattern is the deployable one.
-    # Deterministic per-SF dirs (cleared up front) instead of per-run
-    # UUIDs, so repeated runs don't accrete /tmp litter; the checkpoint
-    # must be cleared with the sink or a rerun would replay nothing.
+    # Deterministic per-SF-per-PROCESS dirs: the sf_tag keeps reruns in
+    # one process from accreting /tmp litter (the leaf is cleared up
+    # front — the checkpoint must go with the sink or a rerun would
+    # replay nothing), while the PID token keeps two concurrent sessions
+    # on the same SF (e.g. pytest and bench.py) from rmtree'ing each
+    # other's in-flight sink mid-query.  Stale siblings from dead
+    # processes are swept instead of the live path.
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    sink_dir = f"/tmp/gordo_spark_stream/sink/score-{sf_tag}"
-    chk_dir = f"/tmp/gordo_spark_stream/chk/score-{sf_tag}"
+    for base in ("/tmp/gordo_spark_stream/sink", "/tmp/gordo_spark_stream/chk"):
+        try:
+            for leaf in os.listdir(base):
+                if leaf.startswith(f"score-{sf_tag}-p"):
+                    pid = leaf.rsplit("-p", 1)[-1]
+                    if not (pid.isdigit() and os.path.exists(f"/proc/{pid}")):
+                        shutil.rmtree(os.path.join(base, leaf), ignore_errors=True)
+        except OSError:
+            pass
+    leaf = f"score-{sf_tag}-p{os.getpid()}"
+    sink_dir = f"/tmp/gordo_spark_stream/sink/{leaf}"
+    chk_dir = f"/tmp/gordo_spark_stream/chk/{leaf}"
     for d in (sink_dir, chk_dir):
         shutil.rmtree(d, ignore_errors=True)
 
