@@ -125,7 +125,10 @@ def _buffered_filter(wide: DataFrame, predicate: str, b: int) -> DataFrame:
         .repartitionByRange(n_parts, "ts")
         .sortWithinPartitions("ts")
         .withColumn("__pid", F.spark_partition_id())
-    ).persist()
+    )
+    from gordo_components_spark.caches import persist_tracked
+
+    marked = persist_tracked(marked)
     # tiny frame (one row per partition): running offset of each partition
     # via a metadata-scale self-join (≤ P² pairs), so the plan carries NO
     # SinglePartition node anywhere — not even on the offsets frame

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from gordo_components_spark.caches import persist_tracked
 from gordo_components_spark.registry import register
 from gordo_components_spark.sources.tables import load_table
 
@@ -277,10 +278,13 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       Jaccard build side at scale).  Candidate pairs ARE a vanishing
       fraction, so broadcasting them into the verify joins is fine."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        docs.select("doc_id", F.expr(_SHINGLES).alias("shingles"))
-        .where(F.size("shingles") > 0)
-        .persist()
+    # the shingled corpus is ~10x the text at scale: persisted at the
+    # configured operator level (SPARK_GRAFT_CACHE_LEVEL, docs/SCALE.md)
+    # and released via caches.release_caches()
+    sh = persist_tracked(
+        docs.select("doc_id", F.expr(_SHINGLES).alias("shingles")).where(
+            F.size("shingles") > 0
+        )
     )
     # all 16 minima in ONE aggregate pass over the shingle array (the 16
     # separate array_min(transform(...)) form materializes 16 full hash

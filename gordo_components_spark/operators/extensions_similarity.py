@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from gordo_components_spark.caches import persist_tracked
 from gordo_components_spark.registry import register
 from gordo_components_spark.sources.tables import load_table
 
@@ -209,10 +210,12 @@ def ext_tfidf_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize → idf-join → norm-join chain (2 scans + 6 shuffles) once
     # per side; at scale this materialization is the inverted INDEX —
     # built once, probed many times
-    wn = w.join(norms, "doc_id").select(
-        "doc_id", "source", "len_bucket", "token",
-        F.round(F.col("w") / F.col("nrm"), 9).alias("wn"),
-    ).persist()
+    wn = persist_tracked(
+        w.join(norms, "doc_id").select(
+            "doc_id", "source", "len_bucket", "token",
+            F.round(F.col("w") / F.col("nrm"), 9).alias("wn"),
+        )
+    )
     a, b = wn.alias("a"), wn.alias("b")
     dots = (
         a.join(

@@ -169,3 +169,20 @@ def test_components_deep_chain_checkpoint_bounds_lineage(spark):
         + plan.count("BroadcastHashJoin")
     )
     assert joins <= 3 * 2 * 2, plan
+
+
+def test_tracked_caches_release(spark, sf_dir):
+    # operators that persist an index intermediate register it with
+    # caches.py; release_caches() unpersists them all (the long-lived
+    # driver contract) and results are unaffected (lineage recomputes)
+    from gordo_components_spark import caches
+    from gordo_components_spark.registry import load_all
+
+    caches.release_caches()  # clean slate
+    reg = load_all()
+    df = reg["ext_dedup_minhash"].fn(spark, sf_dir)
+    n1 = df.count()
+    assert len(caches._LIVE) >= 1
+    released = caches.release_caches()
+    assert released >= 1 and not caches._LIVE
+    assert df.count() == n1  # still computable after release
