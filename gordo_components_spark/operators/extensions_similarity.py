@@ -380,40 +380,73 @@ def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with log2(corpus/target-bucket-size) — 4 bits is right for the 500-vec
 # fixture (bucket ~31); a 10⁹-vector corpus wants K≈20.  More tables L
 # buys recall linearly in cost.
-_RP_K, _RP_L = 4, 16
+_RP_L = 16
 _RP_SEED = 20240801
+_RP_TARGET_BUCKET = 32  # aim each table's bucket at ~32 candidates
 
 
-def _rp_planes():
+def _rp_k_for(n_rows: int) -> int:
+    """Derive K (sign-bits per table) from the corpus size: K =
+    ceil(log2(n / target_bucket)), clamped to [4, 20].  500 vectors → 4
+    (the fixture), 5 000 → 8, 10⁹ → 20 — bucket occupancy stays ~constant
+    as the corpus grows, which is what keeps the re-rank bounded."""
+    import math
+
+    return max(4, min(20, math.ceil(math.log2(max(2.0, n_rows / _RP_TARGET_BUCKET)))))
+
+
+def _corpus_rows(sf_dir: str) -> int:
+    """Corpus-count estimate from parquet FOOTER metadata (driver-side,
+    no Spark job) — the index-time statistic that sizes K."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.read_metadata(path).num_rows
+
+
+def _rp_planes(k: int):
     """Deterministic hyperplanes (fixed-seed PCG64 — stable across runs
     and platforms); shape (L, K, dim)."""
     import numpy as np
 
-    return np.random.default_rng(_RP_SEED).standard_normal((_RP_L, _RP_K, 64))
+    return np.random.default_rng(_RP_SEED).standard_normal((_RP_L, k, 64))
 
 
-def _rp_bucket_batches(batches):
-    """Vectorized bucketing: sign-bit pattern of v·plane per table.  A
-    Python island is the right tool here — one numpy matmul per Arrow
-    batch beats 4096 per-element SQL literals in a generated expression."""
-    import numpy as np
-    import pandas as pd
+def _rp_bucket_batches(k: int):
+    """Vectorized bucketing closure: sign-bit pattern of v·plane per
+    table.  A Python island is the right tool here — one numpy matmul per
+    Arrow batch beats 4096 per-element SQL literals in a generated
+    expression."""
 
-    planes = _rp_planes()  # (L, K, d)
-    flat = planes.reshape(_RP_L * _RP_K, -1)  # (L·K, d)
-    weights = (1 << np.arange(_RP_K)).astype("int64")
-    for pdf in batches:
-        V = np.stack(pdf["v"].to_numpy())  # (n, d)
-        bits = (V @ flat.T >= 0).reshape(len(V), _RP_L, _RP_K)  # (n, L, K)
-        buckets = bits @ weights  # (n, L)
-        n = len(V)
-        yield pd.DataFrame(
-            {
-                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), _RP_L),
-                "table_id": np.tile(np.arange(_RP_L, dtype="int32"), n),
-                "bucket": buckets.reshape(-1).astype("int64"),
-            }
-        )
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        planes = _rp_planes(k)  # (L, K, d)
+        flat = planes.reshape(_RP_L * k, -1)  # (L·K, d)
+        weights = (1 << np.arange(k)).astype("int64")
+        for pdf in batches:
+            V = np.stack(pdf["v"].to_numpy())  # (n, d)
+            bits = (V @ flat.T >= 0).reshape(len(V), _RP_L, k)  # (n, L, K)
+            buckets = bits @ weights  # (n, L)
+            n = len(V)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), _RP_L),
+                    "table_id": np.tile(np.arange(_RP_L, dtype="int32"), n),
+                    "bucket": buckets.reshape(-1).astype("int64"),
+                }
+            )
+
+    return fn
 
 
 @register("ext_ann_rplsh", oracle=None)
@@ -430,6 +463,14 @@ def ext_ann_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors (cosine ≈ 0.3 ⇒ p ≈ 0.6) lifts recall@10 from ~0.89 to
     ~1.0 with ZERO extra corpus-side work.
 
+    K is DERIVED from the corpus size (``_rp_k_for``: parquet-footer row
+    count → ceil(log2(n/32)), clamped [4, 20]) so bucket occupancy — and
+    therefore re-rank cost — stays roughly constant as the corpus grows;
+    a fixed K tuned to one SF either floods buckets at 1000× or shreds
+    recall at 0.001×.  Recall ≥0.9 is asserted at BOTH the 500-vector
+    fixture (K=4) and a 10× jittered replica (K=8) in
+    tests/test_lsh_recall.py.
+
     100 TB posture: the bucketing pass is one vectorized mapInPandas
     (numpy matmul per Arrow batch); the candidate probe joins the tiny
     (table, bucket) query key — L·(K+1) rows — broadcast against the
@@ -442,14 +483,15 @@ def ext_ann_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from gordo_components_spark.ml.islands import _spread  # AQE-exempt repartition
 
+    k = _rp_k_for(_corpus_rows(sf_dir))
     buckets = _spread(emb, ("vec_id",)).mapInPandas(
-        _rp_bucket_batches, schema="vec_id bigint, table_id int, bucket bigint"
+        _rp_bucket_batches(k), schema="vec_id bigint, table_id int, bucket bigint"
     )
     probe_set = F.array(
         F.col("bucket"),
         *[
             F.col("bucket").bitwiseXOR(F.lit(1 << j)).cast("bigint")
-            for j in range(_RP_K)
+            for j in range(k)
         ],
     )
     qb = (

@@ -45,3 +45,58 @@ def test_rplsh_recall_vs_exact_topk(spark):
     ap = {r["vec_id"]: r["cosine"] for r in reg["ext_ann_rplsh"].fn(spark, sf_dir).collect()}
     for vid in exact & approx:
         assert ex[vid] == ap[vid]
+
+
+def _jittered_10x_dir() -> str:
+    """Build (once) a 10x replica of the sf0.01 embeddings with a small
+    deterministic per-replica jitter — distinct vec_ids, near-identical
+    directions (cosine ~0.99 to their originals) — so K derivation and
+    recall can be checked one decade up without the driver fixtures."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = "/tmp/gordo_spark_rplsh10x"
+    out = os.path.join(out_dir, "embeddings.parquet")
+    if not os.path.exists(out):
+        os.makedirs(out_dir, exist_ok=True)
+        t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet")
+        vec = np.stack(t["embedding"].to_pylist()).astype("float32")
+        ids = np.asarray(t["vec_id"]).astype("int64")
+        labels = np.asarray(t["label"]).astype("int32")
+        rng = np.random.default_rng(7)
+        parts = []
+        for r in range(10):
+            v = vec if r == 0 else vec + rng.normal(0, 0.02, vec.shape).astype("float32")
+            parts.append(
+                pa.table(
+                    {
+                        "vec_id": pa.array(ids + r * 100_000_000),
+                        "embedding": pa.array(list(v), type=pa.list_(pa.float32())),
+                        "label": pa.array(labels + r * 1000),
+                    }
+                )
+            )
+        pq.write_table(pa.concat_tables(parts), out)
+    return out_dir
+
+
+def test_rplsh_k_derivation():
+    from gordo_components_spark.operators.extensions_similarity import _rp_k_for
+
+    assert _rp_k_for(500) == 4       # the sf0.01 fixture
+    assert _rp_k_for(5000) == 8      # the 10x replica
+    assert _rp_k_for(10**9) == 20    # clamped at the big-corpus cap
+
+
+def test_rplsh_recall_at_10x_with_derived_k(spark):
+    """Derived K (=8 at 5 000 vectors) must hold the 0.9 recall gate one
+    decade above the fixture, not just at the K it was hand-tuned for."""
+    sf_dir = _jittered_10x_dir()
+    reg = load_all()
+    exact = {r["vec_id"] for r in reg["ext_cosine_topk"].fn(spark, sf_dir).collect()}
+    approx = {r["vec_id"] for r in reg["ext_ann_rplsh"].fn(spark, sf_dir).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"RP-LSH recall@10 at 10x = {recall}"
