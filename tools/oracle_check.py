@@ -89,6 +89,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--json",
+        metavar="PATH",
+        help="also write per-query results (name, status, rows, t_spark) "
+        "as a JSON artifact — the committed in-repo evidence for the "
+        "queries outside the driver's 50-slot witness window "
+        "(e.g. ORACLE_r04.json)",
+    )
     args = ap.parse_args()
 
     from gordo_components_spark.registry import load_all
@@ -103,6 +111,7 @@ def main():
     names = args.names or sorted(registry)
     n_ok = 0
     failed = []
+    results = []
     for name in names:
         if name not in registry:
             print(f"{name:32s} UNKNOWN")
@@ -120,7 +129,28 @@ def main():
             failed.append(name)
         extra = {k: v for k, v in res.items() if k not in ("name", "ok")}
         print(f"{name:32s} {mark}  {extra}")
+        results.append(
+            {
+                "name": name,
+                "status": res.get("status", "ERROR"),
+                "rows": res.get("rows"),
+                "t_spark": round(res["t_spark"], 3) if "t_spark" in res else None,
+            }
+        )
     print(f"\n{n_ok}/{len(names)} ok; failed: {failed}")
+    if args.json:
+        import json
+
+        doc = {
+            "sf": args.sf,
+            "n_queries": len(names),
+            "n_ok": n_ok,
+            "failed": failed,
+            "results": results,
+        }
+        with open(args.json, "w") as fh:
+            json.dump(doc, fh, indent=1)
+        print(f"wrote {args.json}")
     return 0 if not failed else 1
 
 
