@@ -433,3 +433,62 @@ def pipe_curation_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+_PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+@register(
+    "pipe_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, source, n_toks,
+             COALESCE(SUM(n_toks) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+      FROM toks
+    )
+    SELECT doc_id, source, n_toks,
+           CAST(cum_excl // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(cum_excl % {_PACK_BUDGET} AS BIGINT) AS pack_offset
+    FROM packed
+    """,
+)
+def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the concat-and-chunk step every pretraining
+    pipeline runs between curation and the data loader: documents are
+    concatenated in a deterministic order (doc_id) inside each stream
+    partition (source) and sliced into fixed token-budget training
+    sequences.  Emits, per document, the pack it STARTS in and its token
+    offset there (a doc may straddle packs — exactly how causal-LM
+    chunking works).
+
+    Plan: one scan, one window over (source, doc_id) — the running sum
+    is map-side after the source shuffle; all arithmetic is integer, so
+    the oracle matches bit-exactly.  At 100 TB the same window runs per
+    source-partition in parallel; packing never needs a global order,
+    which is what makes concat-and-chunk (unlike global first-fit
+    bin-packing) distributable."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("bigint").alias("n_toks")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum("n_toks").over(w), F.lit(0))
+    return toks.select(
+        "doc_id",
+        "source",
+        "n_toks",
+        F.floor(cum_excl / _PACK_BUDGET).cast("bigint").alias("pack_id"),
+        (cum_excl % _PACK_BUDGET).cast("bigint").alias("pack_offset"),
+    )

@@ -519,3 +519,82 @@ def ext_ann_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
     )
+
+
+_BATCH_Q = 8  # query-set size for the batch face
+_BATCH_K = 5
+
+
+@register(
+    "ext_ann_batch",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_BATCH_Q}
+    ), scored AS (
+      SELECT q.qid, e.vec_id,
+             round(list_inner_product(e.v, q.qv)
+                   / (sqrt(list_inner_product(e.v, e.v))
+                      * sqrt(list_inner_product(q.qv, q.qv))), 6) AS cosine
+      FROM e JOIN q ON e.vec_id >= {_BATCH_Q}
+    )
+    SELECT qid, vec_id, cosine,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    )
+    WHERE rank <= {_BATCH_K}
+    """,
+)
+def ext_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 many-query face — exact top-k per query for a SET of query
+    vectors (the shape real pipelines run: dedup a candidate batch
+    against the corpus, retrieve neighbors for a training shard), not
+    one vector at a time.
+
+    Scale shape: the query set broadcasts (tiny vs corpus); scores never
+    shuffle raw — a PER-PARTITION top-k (row_number inside
+    (qid, partition)) prunes the exchange to Q·P·k rows before the
+    global per-query rank.  At 100 TB the full scored stream is Q·N
+    rows; the two-stage rank is what keeps the shuffle at heap size.
+    Result is exact and partition-invariant: every global top-k row
+    survives its partition cut."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    q = emb.where(F.col("vec_id") < _BATCH_Q).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    scored = (
+        emb.where(F.col("vec_id") >= _BATCH_Q)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                F.expr(_DOT.format(a="v", b="qv"))
+                / (F.expr(_norm("v")) * F.expr(_norm("qv"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    order = (F.col("cosine").desc(), F.col("vec_id"))
+    local = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "lr", F.row_number().over(Window.partitionBy("qid", "pid").orderBy(*order))
+        )
+        .where(F.col("lr") <= _BATCH_K)
+        .drop("pid", "lr")
+    )
+    return (
+        local.withColumn(
+            "rank", F.row_number().over(Window.partitionBy("qid").orderBy(*order))
+        )
+        .where(F.col("rank") <= _BATCH_K)
+    )

@@ -23,6 +23,11 @@ QUERIES = [
     "agg_resample_interp",
     "tpch_q8",
     "pipe_curation_e2e",
+    # round 4: the two-stage (per-partition, then global) batch top-k —
+    # the local cut must never drop a global top-k row at any layout —
+    # and the packing window (integer cumsum per source partition)
+    "ext_ann_batch",
+    "pipe_pack_sequences",
 ]
 
 
