@@ -16,6 +16,10 @@ from __future__ import annotations
 
 from typing import Any
 
+from gordo_components_spark.ml.recurrent import (
+    LSTMAutoEncoder,
+    make_sequence_autoencoder,
+)
 from gordo_components_spark.ml.estimators import (
     ARForecaster,
     DiffBasedAnomalyDetector,
@@ -50,9 +54,10 @@ CLASS_TABLE: dict[str, type] = {
     # forecast family: func="linear" → closed-form ridge AR; else MLP
     "models.LSTMForecast": make_forecaster,
     "gordo_components.model.models.KerasLSTMForecast": make_forecaster,
-    # sequence-reconstruction family (windowed AE over lookback windows)
-    "models.LSTMAutoEncoder": WindowedAutoEncoder,
-    "gordo_components.model.models.KerasLSTMAutoEncoder": WindowedAutoEncoder,
+    # sequence-reconstruction family: func="lstm" → genuine numpy LSTM
+    # encoder–decoder (ml/recurrent.py); default stays the windowed AE
+    "models.LSTMAutoEncoder": make_sequence_autoencoder,
+    "gordo_components.model.models.KerasLSTMAutoEncoder": make_sequence_autoencoder,
     "anomaly.DiffBasedAnomalyDetector": DiffBasedAnomalyDetector,
     "gordo_components.model.anomaly.diff.DiffBasedAnomalyDetector": DiffBasedAnomalyDetector,
 }
@@ -63,6 +68,8 @@ _REVERSE[PCAAutoEncoder] = "models.AutoEncoder"
 _REVERSE[MLPAutoEncoder] = "models.AutoEncoder"
 _REVERSE[ARForecaster] = "models.LSTMForecast"
 _REVERSE[MLPForecaster] = "models.LSTMForecast"
+_REVERSE[WindowedAutoEncoder] = "models.LSTMAutoEncoder"
+_REVERSE[LSTMAutoEncoder] = "models.LSTMAutoEncoder"
 
 
 def from_definition(definition: Any):
