@@ -482,12 +482,17 @@ class MLPForecaster(ARForecaster):
 
 def make_forecaster(func: str = "linear", **kw):
     """Reference factory surface for the forecast family: closed-form
-    ridge AR for ``linear``, windowed MLP for ``tanh``/``relu``.  Like
-    ``make_autoencoder``, the linear branch drops MLP-only kwargs instead
-    of raising on YAML that is valid against the reference surface."""
+    ridge AR for ``linear``, windowed MLP for ``tanh``/``relu``, genuine
+    LSTM (ml/recurrent.py) for ``lstm``.  Like ``make_autoencoder``, the
+    linear branch drops MLP-only kwargs instead of raising on YAML that
+    is valid against the reference surface."""
     if func == "linear":
         kw = {k: v for k, v in kw.items() if k not in _MLP_ONLY_KEYS}
         return ARForecaster(**kw)
+    if func == "lstm":
+        from gordo_components_spark.ml.recurrent import LSTMForecaster
+
+        return LSTMForecaster(func=func, **kw)
     return MLPForecaster(func=func, **kw)
 
 

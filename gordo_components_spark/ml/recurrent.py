@@ -255,3 +255,131 @@ def make_sequence_autoencoder(func: str = "tanh", **kw):
     from gordo_components_spark.ml.estimators import WindowedAutoEncoder
 
     return WindowedAutoEncoder(func=func, **kw)
+
+
+class LSTMForecaster(_Base):
+    """Recurrent forecaster (reference
+    ``model/models.py::KerasLSTMForecast`` without the round-3 windowed-
+    MLP substitution): an LSTM consumes the trailing ``lookback_window``
+    rows step by step; the final hidden state feeds a linear readout
+    predicting x[t+lookahead].  Window alignment is ARForecaster's, so
+    all three backends (ridge AR / windowed MLP / LSTM) are drop-in
+    interchangeable.  Same determinism contract: fixed-seed init,
+    full-batch Adam, BPTT via the gradient-checked cell above."""
+
+    _params = (
+        "lookback_window",
+        "lookahead",
+        "func",
+        "hidden_units",
+        "epochs",
+        "learning_rate",
+        "seed",
+    )
+
+    def __init__(
+        self,
+        lookback_window: int = 4,
+        lookahead: int = 1,
+        func: str = "lstm",
+        hidden_units: int = 8,
+        epochs: int = 300,
+        learning_rate: float = 0.02,
+        seed: int = 0,
+    ):
+        self.lookback_window = lookback_window
+        self.lookahead = lookahead
+        self.func = func
+        self.hidden_units = hidden_units
+        self.epochs = epochs
+        self.learning_rate = learning_rate
+        self.seed = seed
+
+    def _windows(self, X: np.ndarray):
+        n, d = X.shape
+        lb, la = self.lookback_window, self.lookahead
+        m = n - lb - la + 1
+        if m < 1:
+            raise ValueError(f"need ≥ {lb + la} rows, got {n}")
+        idx = np.arange(lb)[None, :] + np.arange(m)[:, None]
+        return X[idx], X[np.arange(m) + lb + la - 1]  # (m, lb, d), (m, d)
+
+    @classmethod
+    def _fc_loss_and_grads(cls, Xw: np.ndarray, Y: np.ndarray, P: dict, H: int):
+        m, lb, d = Xw.shape
+        h = np.zeros((m, H)); c = np.zeros((m, H))
+        caches = []
+        for t in range(lb):
+            h, c, cache = LSTMAutoEncoder._cell_forward(
+                Xw[:, t, :], h, c, P["Wxe"], P["Whe"], P["be"], H
+            )
+            caches.append(cache)
+        y_hat = h @ P["Wy"] + P["by"]
+        loss = float(((y_hat - Y) ** 2).sum()) / (m * d)
+        G = {k: np.zeros_like(v) for k, v in P.items()}
+        dy = (y_hat - Y) * (2.0 / (m * d))
+        G["Wy"] = h.T @ dy
+        G["by"] = dy.sum(axis=0)
+        dh = dy @ P["Wy"].T; dc = np.zeros((m, H))
+        for t in range(lb - 1, -1, -1):
+            dWx, dWh, db, _, dh_prev, dc_prev = LSTMAutoEncoder._cell_backward(
+                dh, dc, caches[t], P["Wxe"], P["Whe"]
+            )
+            G["Wxe"] += dWx; G["Whe"] += dWh; G["be"] += db
+            dh, dc = dh_prev, dc_prev
+        return loss, G
+
+    def fit(self, X: np.ndarray, y=None):
+        X = np.asarray(X, dtype=np.float64)
+        n, d = X.shape
+        self.n_features_ = d
+        self.mean_ = X.mean(axis=0)
+        scale = X.std(axis=0)
+        self.scale_ = np.where(scale > 0, scale, 1.0)
+        Xs = (X - self.mean_) / self.scale_
+        Xw, Y = self._windows(Xs)
+        m = len(Xw)
+        H = int(self.hidden_units)
+        rng = np.random.default_rng(self.seed)
+
+        def glorot(a, b):
+            return rng.normal(0.0, np.sqrt(2.0 / (a + b)), size=(a, b))
+
+        P = {
+            "Wxe": glorot(d, 4 * H), "Whe": glorot(H, 4 * H), "be": np.zeros(4 * H),
+            "Wy": glorot(H, d), "by": np.zeros(d),
+        }
+        P["be"][H : 2 * H] = 1.0
+        mom = {k: np.zeros_like(v) for k, v in P.items()}
+        vel = {k: np.zeros_like(v) for k, v in P.items()}
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        lr = float(self.learning_rate)
+        for t_step in range(1, int(self.epochs) + 1):
+            _, G = self._fc_loss_and_grads(Xw, Y, P, H)
+            c1, c2m = 1 - b1**t_step, 1 - b2**t_step
+            for k in P:
+                mom[k] = b1 * mom[k] + (1 - b1) * G[k]
+                vel[k] = b2 * vel[k] + (1 - b2) * G[k] * G[k]
+                P[k] -= lr * (mom[k] / c1) / (np.sqrt(vel[k] / c2m) + eps)
+        self.params_ = P
+        return self
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        X = np.asarray(X, dtype=np.float64)
+        Xw, _ = self._windows((X - self.mean_) / self.scale_)
+        m, lb, d = Xw.shape
+        H = int(self.hidden_units)
+        P = self.params_
+        h = np.zeros((m, H)); c = np.zeros((m, H))
+        for t in range(lb):
+            h, c, _ = LSTMAutoEncoder._cell_forward(
+                Xw[:, t, :], h, c, P["Wxe"], P["Whe"], P["be"], H
+            )
+        return (h @ P["Wy"] + P["by"]) * self.scale_ + self.mean_
+
+    def score(self, X: np.ndarray, y=None) -> float:
+        X = np.asarray(X, dtype=np.float64)
+        _, Y = self._windows(X)
+        err = Y - self.predict(X)
+        denom = Y.var(axis=0).sum()
+        return float(1.0 - err.var(axis=0).sum() / denom) if denom else 0.0

@@ -18,6 +18,7 @@ from typing import Any
 
 from gordo_components_spark.ml.recurrent import (
     LSTMAutoEncoder,
+    LSTMForecaster,
     make_sequence_autoencoder,
 )
 from gordo_components_spark.ml.estimators import (
@@ -68,6 +69,7 @@ _REVERSE[PCAAutoEncoder] = "models.AutoEncoder"
 _REVERSE[MLPAutoEncoder] = "models.AutoEncoder"
 _REVERSE[ARForecaster] = "models.LSTMForecast"
 _REVERSE[MLPForecaster] = "models.LSTMForecast"
+_REVERSE[LSTMForecaster] = "models.LSTMForecast"
 _REVERSE[WindowedAutoEncoder] = "models.LSTMAutoEncoder"
 _REVERSE[LSTMAutoEncoder] = "models.LSTMAutoEncoder"
 

@@ -103,3 +103,62 @@ def test_lstm_yaml_dispatch_and_roundtrip():
 def test_lstm_ae_rejects_short_series():
     with pytest.raises(ValueError):
         LSTMAutoEncoder(lookback_window=10).fit(np.zeros((4, 2)))
+
+
+def test_lstm_forecaster_gradients_match_finite_differences():
+    from gordo_components_spark.ml.recurrent import LSTMForecaster
+
+    rng = np.random.default_rng(9)
+    Xw = rng.normal(0, 1.0, (3, 4, 2))
+    Y = rng.normal(0, 1.0, (3, 2))
+    H = 3
+    def glorot(a, b):
+        return rng.normal(0.0, 0.5, size=(a, b))
+    P = {
+        "Wxe": glorot(2, 4 * H), "Whe": glorot(H, 4 * H), "be": rng.normal(0, 0.1, 4 * H),
+        "Wy": glorot(H, 2), "by": rng.normal(0, 0.1, 2),
+    }
+    _, G = LSTMForecaster._fc_loss_and_grads(Xw, Y, P, H)
+    eps = 1e-5
+    for k in P:
+        num = np.zeros_like(P[k])
+        it = np.nditer(P[k], flags=["multi_index"])
+        while not it.finished:
+            idx = it.multi_index
+            orig = P[k][idx]
+            P[k][idx] = orig + eps
+            lp, _ = LSTMForecaster._fc_loss_and_grads(Xw, Y, P, H)
+            P[k][idx] = orig - eps
+            lm, _ = LSTMForecaster._fc_loss_and_grads(Xw, Y, P, H)
+            P[k][idx] = orig
+            num[idx] = (lp - lm) / (2 * eps)
+            it.iternext()
+        denom = np.maximum(np.abs(num) + np.abs(G[k]), 1e-8)
+        assert (np.abs(num - G[k]) / denom).max() < 1e-4, k
+
+
+def test_lstm_forecaster_learns_periodic_series():
+    from gordo_components_spark.ml.recurrent import LSTMForecaster
+
+    rng = np.random.default_rng(3)
+    t = np.arange(400)
+    X = np.stack([np.sin(2 * np.pi * t / 8), np.cos(2 * np.pi * t / 8)], axis=1)
+    X = X + rng.normal(0, 0.01, X.shape)
+    fc = LSTMForecaster(lookback_window=8, hidden_units=8, epochs=300).fit(X)
+    assert fc.score(X) > 0.95
+    # determinism
+    fc2 = LSTMForecaster(lookback_window=8, hidden_units=8, epochs=300).fit(X)
+    assert np.array_equal(fc.predict(X), fc2.predict(X))
+
+
+def test_lstm_forecaster_yaml_dispatch():
+    from gordo_components_spark.ml.recurrent import LSTMForecaster
+    from gordo_components_spark.plans.pipeline_compiler import (
+        from_definition,
+        into_definition,
+    )
+
+    m = from_definition({"models.LSTMForecast": {"func": "lstm", "epochs": 20}})
+    assert type(m) is LSTMForecaster
+    canon = into_definition(m)
+    assert into_definition(from_definition(canon)) == canon
