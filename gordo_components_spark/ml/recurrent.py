@@ -249,8 +249,13 @@ def make_sequence_autoencoder(func: str = "tanh", **kw):
     ``lstm_autoencoder.py::lstm_hourglass``/``lstm_symmetric``):
     ``func="lstm"`` builds the genuine recurrent encoder–decoder above;
     ``"tanh"``/``"relu"``/``"linear"`` keep the windowed-MLP backend
-    (the round-3 substitute, still the cheap default)."""
+    (the round-3 substitute, still the cheap default).  Reference-surface
+    YAML may carry MLP-only keys (``compression_factor``,
+    ``encoding_layers``); the lstm branch drops whatever
+    ``LSTMAutoEncoder`` doesn't take, mirroring ``make_forecaster``'s
+    ``_MLP_ONLY_KEYS`` handling."""
     if func == "lstm":
+        kw = {k: v for k, v in kw.items() if k in LSTMAutoEncoder._params}
         return LSTMAutoEncoder(func=func, **kw)
     from gordo_components_spark.ml.estimators import WindowedAutoEncoder
 

@@ -436,11 +436,16 @@ def pipe_curation_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PACK_BUDGET = 2048  # tokens per packed training sequence
+# Two-pass prefix-sum shard width: docs per (source, shard) unit of
+# parallelism.  512 docs ≈ 100k tokens/shard — small enough that even a
+# single source's 100 TB stream fans out to millions of shards, large
+# enough that the pass-1 subtotal frame stays broadcastable.
+_PACK_SHARD_DOCS = 512
 
 
-@register(
-    "pipe_pack_sequences",
-    oracle=f"""
+# DuckDB face of the two-pass prefix sum: semantics are the plain
+# per-source running sum, which the distributed form reproduces exactly.
+_PACK_CUM_EXCL_SQL = f"""
     WITH toks AS (
       SELECT doc_id, source,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
@@ -452,6 +457,74 @@ _PACK_BUDGET = 2048  # tokens per packed training sequence
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
       FROM toks
     )
+"""
+
+
+def _packed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared core of the packing family: per-doc exclusive running token
+    count (``cum_excl``) over (source, doc_id order) computed with a TWO-PASS
+    distributed prefix sum, so parallelism is the number of (source,
+    doc_id-range shard) pairs — not the number of sources.
+
+    Pass 1 shards each source's stream by doc_id range
+    (``doc_id div _PACK_SHARD_DOCS``) and aggregates one token subtotal
+    per shard — a tiny frame (#sources × #shards rows).  Pass 2 turns
+    the subtotals into exclusive running shard offsets (a window over the
+    tiny frame only) and broadcast-joins them back; the big-side window
+    then runs per (source, shard), adding the shard offset to the
+    shard-local exclusive sum.  Identical output to the single per-source
+    window, but at 100 TB each multi-TB source stream is sorted and
+    scanned by #shards tasks instead of one.  All arithmetic is bigint,
+    so the oracle matches bit-exactly at any corpus size."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_toks"),
+        F.expr(f"doc_id div {_PACK_SHARD_DOCS}").alias("_shard"),
+    )
+    # Pass 1: tiny per-(source, shard) subtotals → exclusive shard offsets.
+    w_shard = (
+        Window.partitionBy("source")
+        .orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        toks.groupBy("source", "_shard")
+        .agg(F.sum("n_toks").alias("_shard_toks"))
+        .select(
+            "source",
+            "_shard",
+            F.coalesce(F.sum("_shard_toks").over(w_shard), F.lit(0)).alias(
+                "_shard_offset"
+            ),
+        )
+    )
+    # Pass 2: shard-local exclusive running sum + broadcast shard offset.
+    w_local = (
+        Window.partitionBy("source", "_shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_excl = F.coalesce(F.sum("n_toks").over(w_local), F.lit(0))
+    return (
+        toks.withColumn("_local_excl", local_excl)
+        .join(F.broadcast(offsets), ["source", "_shard"])
+        .select(
+            "doc_id",
+            "source",
+            "n_toks",
+            (F.col("_shard_offset") + F.col("_local_excl")).alias("cum_excl"),
+        )
+    )
+
+
+@register(
+    "pipe_pack_sequences",
+    oracle=f"""
+    {_PACK_CUM_EXCL_SQL}
     SELECT doc_id, source, n_toks,
            CAST(cum_excl // {_PACK_BUDGET} AS BIGINT) AS pack_id,
            CAST(cum_excl % {_PACK_BUDGET} AS BIGINT) AS pack_offset
@@ -467,28 +540,14 @@ def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset there (a doc may straddle packs — exactly how causal-LM
     chunking works).
 
-    Plan: one scan, one window over (source, doc_id) — the running sum
-    is map-side after the source shuffle; all arithmetic is integer, so
-    the oracle matches bit-exactly.  At 100 TB the same window runs per
-    source-partition in parallel; packing never needs a global order,
-    which is what makes concat-and-chunk (unlike global first-fit
-    bin-packing) distributable."""
-    from pyspark.sql import Window
-
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "source", F.size(F.split("text", " ")).cast("bigint").alias("n_toks")
-    )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum_excl = F.coalesce(F.sum("n_toks").over(w), F.lit(0))
-    return toks.select(
+    The running token count comes from ``_packed_tokens``'s two-pass
+    distributed prefix sum (parallelism = #shards, not #sources); pack
+    arithmetic is bigint ``div``/``%`` — exact at any corpus size (no
+    double-precision floor)."""
+    return _packed_tokens(spark, sf_dir).select(
         "doc_id",
         "source",
         "n_toks",
-        F.floor(cum_excl / _PACK_BUDGET).cast("bigint").alias("pack_id"),
-        (cum_excl % _PACK_BUDGET).cast("bigint").alias("pack_offset"),
+        F.expr(f"cum_excl div {_PACK_BUDGET}").cast("bigint").alias("pack_id"),
+        (F.col("cum_excl") % _PACK_BUDGET).cast("bigint").alias("pack_offset"),
     )

@@ -251,12 +251,18 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, force: bool = False) -> st
       data via static partition pruning.
 
     A fingerprint of the source parquet (size + mtime) guards staleness:
-    same corpus ⇒ the build is a no-op, changed corpus ⇒ rebuild.  At
-    100 TB this is the offline index job writing to object storage; the
-    query path never rescans the raw corpus.
+    same corpus ⇒ the build is a no-op, changed corpus ⇒ rebuild.  The
+    marker is only trusted when ``centroids/`` and ``corpus/`` actually
+    exist (the cache dir is deletable in parts), the build lands in a
+    temp dir renamed into place, and an flock serializes concurrent
+    builders — two sessions can race without one scanning a half-written
+    corpus.  At 100 TB this is the offline index job writing to object
+    storage; the query path never rescans the raw corpus.
     """
+    import fcntl
     import json
     import os
+    import shutil
 
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     root = os.path.join(_IVF_ROOT, sf_tag)
@@ -264,30 +270,52 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, force: bool = False) -> st
     st = os.stat(src)
     fingerprint = {"size": st.st_size, "mtime_ns": st.st_mtime_ns}
     marker = os.path.join(root, "_BUILT.json")
-    if not force and os.path.exists(marker):
+
+    def _index_valid() -> bool:
         try:
             with open(marker) as fh:
-                if json.load(fh) == fingerprint:
-                    return root
+                if json.load(fh) != fingerprint:
+                    return False
         except (OSError, ValueError):
-            pass
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").alias("v")
-    )
-    cent = (
-        emb.select("label", F.posexplode("v").alias("pos", "cval"))
-        .groupBy("label", "pos")
-        .agg(F.round(F.avg("cval"), 9).alias("c"))
-    )
-    cent.coalesce(1).write.mode("overwrite").parquet(os.path.join(root, "centroids"))
-    (
-        emb.withColumn("cell", F.col("label"))
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(os.path.join(root, "corpus"))
-    )
-    with open(marker, "w") as fh:
-        json.dump(fingerprint, fh)
+            return False
+        return os.path.isdir(os.path.join(root, "centroids")) and os.path.isdir(
+            os.path.join(root, "corpus")
+        )
+
+    if not force and _index_valid():
+        return root
+
+    os.makedirs(_IVF_ROOT, exist_ok=True)
+    with open(os.path.join(_IVF_ROOT, f".{sf_tag}.lock"), "w") as lock_fh:
+        fcntl.flock(lock_fh, fcntl.LOCK_EX)
+        try:
+            if not force and _index_valid():
+                return root
+            tmp = f"{root}.tmp-{os.getpid()}"
+            shutil.rmtree(tmp, ignore_errors=True)
+            emb = load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", "label", F.col("embedding").alias("v")
+            )
+            cent = (
+                emb.select("label", F.posexplode("v").alias("pos", "cval"))
+                .groupBy("label", "pos")
+                .agg(F.round(F.avg("cval"), 9).alias("c"))
+            )
+            cent.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(tmp, "centroids")
+            )
+            (
+                emb.withColumn("cell", F.col("label"))
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(os.path.join(tmp, "corpus"))
+            )
+            with open(os.path.join(tmp, "_BUILT.json"), "w") as fh:
+                json.dump(fingerprint, fh)
+            shutil.rmtree(root, ignore_errors=True)
+            os.rename(tmp, root)
+        finally:
+            fcntl.flock(lock_fh, fcntl.LOCK_UN)
     return root
 
 
@@ -598,3 +626,136 @@ def ext_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rank") <= _BATCH_K)
     )
+
+
+@register(
+    "ext_ann_batch_ivf",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cent AS (
+      SELECT label, CAST(t.i AS INT) AS pos,
+             round(avg(v[t.i + 1]), 9) AS c
+      FROM e, range(64) t(i)
+      GROUP BY label, t.i
+    ), q AS (
+      SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_BATCH_Q}
+    ), qdist AS (
+      SELECT q.qid, cent.label,
+             round(sum((cent.c - q.qv[cent.pos + 1]) * (cent.c - q.qv[cent.pos + 1])), 9) AS d2
+      FROM cent, q
+      GROUP BY q.qid, cent.label
+    ), probes AS (
+      SELECT qid, label FROM (
+        SELECT qid, label,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, label) AS rk
+        FROM qdist
+      ) WHERE rk <= {_NPROBE}
+    ), cand AS (
+      SELECT p.qid, e.vec_id, e.v FROM e JOIN probes p ON e.label = p.label
+      WHERE e.vec_id >= {_BATCH_Q}
+    ), scored AS (
+      SELECT c.qid, c.vec_id,
+             round(list_inner_product(c.v, q.qv)
+                   / (sqrt(list_inner_product(c.v, c.v))
+                      * sqrt(list_inner_product(q.qv, q.qv))), 6) AS cosine
+      FROM cand c JOIN q USING (qid)
+    )
+    SELECT qid, vec_id, cosine,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    )
+    WHERE rank <= {_BATCH_K}
+    """,
+)
+def ext_ann_batch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 batch-through-index face (r4 verdict item 3) — the 100 TB shape
+    of ``ext_ann_batch``: the query set probes ``build_ivf_index``'s
+    prebuilt ``cell=``-partitioned corpus instead of exact-scanning Q×N.
+
+    Three stages, mirroring a real ANN coordinator:
+    (1) per-query coarse quantization — centroid distances computed from
+        the tiny index ``centroids/`` frame (never recomputed from the
+        corpus), top-``_NPROBE`` cells per query;
+    (2) the probe map (qid, cell, qv) — Q·nprobe rows — broadcasts, and
+        the index corpus is scanned ONCE, statically pruned to the UNION
+        of all queries' probe cells (one pruned scan amortized across the
+        whole batch, not Q scans);
+    (3) exact re-rank only on candidates, with the same two-stage
+        (per-partition, then global) row_number cut as the exact face, so
+        the shuffle stays at Q·P·k rows.
+
+    The returned plan contains zero raw-``embeddings.parquet`` scans and
+    one ``PartitionFilters``-pruned index scan (guarded in
+    tests/test_plan_properties.py)."""
+    import os
+
+    from pyspark.sql import Window
+
+    idx = build_ivf_index(spark, sf_dir)
+    # Query batch: Q rows, fetched once (vec_id pushed to the reader) and
+    # re-issued as a local relation — bounded by the batch size, the same
+    # driver boundary as the single-query face's index walk.
+    q_rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < _BATCH_Q)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q = spark.createDataFrame(
+        [(int(r.vec_id), [float(x) for x in r.embedding]) for r in q_rows],
+        "qid bigint, qv array<double>",
+    )
+    cent = spark.read.parquet(os.path.join(idx, "centroids"))
+    diff = F.col("c") - F.expr("qv[pos]")
+    qdist = (
+        cent.crossJoin(F.broadcast(q))
+        .select("qid", "label", (diff * diff).alias("sq"))
+        .groupBy("qid", "label")
+        .agg(F.round(F.sum("sq"), 9).alias("d2"))
+    )
+    probe_rows = (
+        qdist.withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("qid").orderBy("d2", "label")),
+        )
+        .where(F.col("rk") <= _NPROBE)
+        .select("qid", "label")
+        .collect()
+    )
+    probed_cells = sorted({r.label for r in probe_rows})
+    qv_by_id = {int(r.vec_id): [float(x) for x in r.embedding] for r in q_rows}
+    probe_map = spark.createDataFrame(
+        [(int(r.qid), r.label, qv_by_id[int(r.qid)]) for r in probe_rows],
+        "qid bigint, cell string, qv array<double>",
+    )
+    scored = (
+        spark.read.parquet(os.path.join(idx, "corpus"))
+        .where(F.col("cell").isin(probed_cells))
+        .where(F.col("vec_id") >= _BATCH_Q)
+        .join(F.broadcast(probe_map), "cell")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                F.expr(_DOT.format(a="v", b="qv"))
+                / (F.expr(_norm("v")) * F.expr(_norm("qv"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    order = (F.col("cosine").desc(), F.col("vec_id"))
+    local = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "lr", F.row_number().over(Window.partitionBy("qid", "pid").orderBy(*order))
+        )
+        .where(F.col("lr") <= _BATCH_K)
+        .drop("pid", "lr")
+    )
+    return local.withColumn(
+        "rank", F.row_number().over(Window.partitionBy("qid").orderBy(*order))
+    ).where(F.col("rank") <= _BATCH_K)

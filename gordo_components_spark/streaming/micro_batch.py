@@ -35,6 +35,23 @@ _RAW_SCHEMA = T.StructType(
 )
 
 
+def _pid_alive(pid: int) -> bool:
+    """Portable liveness probe: ``os.kill(pid, 0)`` works wherever Python
+    does (``/proc`` probing only works on Linux and on other hosts would
+    make every sibling look dead — exactly the concurrent-rmtree race the
+    PID token exists to prevent).  EPERM means the pid exists but belongs
+    to another user — still alive."""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    except OSError:
+        return True
+    return True
+
+
 def _replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:
     """Materialize events as an n-file parquet directory (micro-batch
     replay source, FIXTURES B5).  Timestamps land as µs TimestampType so
@@ -144,7 +161,7 @@ def run_streaming_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             for leaf in os.listdir(base):
                 if leaf.startswith(f"score-{sf_tag}-p"):
                     pid = leaf.rsplit("-p", 1)[-1]
-                    if not (pid.isdigit() and os.path.exists(f"/proc/{pid}")):
+                    if pid.isdigit() and not _pid_alive(int(pid)):
                         shutil.rmtree(os.path.join(base, leaf), ignore_errors=True)
         except OSError:
             pass

@@ -164,6 +164,18 @@ def test_minhash_single_scan_no_corpus_broadcast(spark, sf_dir):
     assert "BroadcastExchange" not in head
 
 
+def test_ivf_batch_probes_prebuilt_index(spark, sf_dir):
+    # round-5: the BATCH face must share the single-query face's scale
+    # shape — no raw-corpus scan in the returned plan, one statically
+    # cell-pruned index scan amortized across the whole query batch, and
+    # the Q·nprobe probe map as the broadcast side of the candidate join
+    plan = plan_of(spark, "ext_ann_batch_ivf", sf_dir)
+    assert "embeddings.parquet" not in plan
+    assert plan.count("Scan parquet") == 2  # formatted explain prints twice
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_ivf_probes_prebuilt_index(spark, sf_dir):
     # the IVF query must probe the prebuilt cell-partitioned index: zero
     # raw-corpus scans in the returned plan, exactly ONE parquet scan

@@ -40,6 +40,7 @@ HEAVY = (
     "ext_dedup_embed_cos",
     "ext_tfidf_similar",
     "ext_ann_ivf",
+    "ext_ann_batch_ivf",
     "ext_ann_rplsh",
     "ml_predict_batch",
     "pipe_decontaminate",
@@ -84,6 +85,25 @@ def main() -> None:
         print(f"{name:28s} sf0.1={t1:6.2f}s  10x={t10:6.2f}s  ratio={t10 / t1:4.1f}")
 
     worst = max(r["ratio"] for r in ratios.values())
+    # A 10x data replica on a fixed-core box should cost <= ~10x if the
+    # plan is linear; leave headroom for variance but FAIL the claim (and
+    # the process) when any operator blows past it so the committed
+    # artifact can never assert linearity that was not measured.
+    super_linear_threshold = 12.0
+    if worst <= super_linear_threshold:
+        verdict = (
+            f"no super-linear operator at one decade above the bench SF; "
+            f"worst ratio {worst} for 10x data"
+        )
+    else:
+        offenders = sorted(
+            (n for n, r in ratios.items() if r["ratio"] > super_linear_threshold),
+            key=lambda n: -ratios[n]["ratio"],
+        )
+        verdict = (
+            f"SUPER-LINEAR: worst ratio {worst} (> {super_linear_threshold}) "
+            f"for 10x data; offenders: {', '.join(offenders)}"
+        )
     doc = {
         "note": (
             "scale rehearsal: sf0.1 replicated 10x via tools/make_scale.py "
@@ -93,14 +113,14 @@ def main() -> None:
             "dominate. Reproduce: python tools/scale_bench.py"
         ),
         "heavy_set_ratios": ratios,
-        "verdict": (
-            f"no super-linear operator at one decade above the bench SF; "
-            f"worst ratio {worst} for 10x data"
-        ),
+        "verdict": verdict,
     }
     with open(out_path, "w") as fh:
         json.dump(doc, fh, indent=1)
     print(f"wrote {out_path}")
+    if worst > super_linear_threshold:
+        print(f"FAIL: {verdict}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
