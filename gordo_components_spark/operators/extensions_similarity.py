@@ -178,6 +178,31 @@ def ext_tfidf_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking key.  (MLlib HashingTF+IDF produces the same features as a
     pipeline stage — ``mllib_pipeline_anomaly`` covers that surface;
     VectorUDT can't cross Arrow, so similarity stays native.)"""
+    return _tfidf_similarity(spark, sf_dir)
+
+
+# Stop-word df ceiling for the capped face, as an exact rational of
+# n_docs (39/50 = 0.78) so the cut is integer arithmetic in both engines.
+# The fixture's 31-token vocabulary has 30 tokens at df ≈ 0.77–0.80 —
+# 0.78 genuinely prunes about half of them, visibly shrinking Σ postings².
+_TFIDF_DF_CAP = (39, 50)
+_TFIDF_PAIR_SALT = 4
+
+
+def _tfidf_similarity(
+    spark: SparkSession,
+    sf_dir: str,
+    df_cap: tuple[int, int] | None = None,
+    pair_salt: int = 1,
+) -> DataFrame:
+    """Shared TF-IDF pair-similarity core.  ``df_cap=(num, den)`` drops
+    tokens with df_t · den > num · n_docs (standard max-df stop-word
+    pruning — integer-exact, so DuckDB applies the identical cut);
+    ``pair_salt=S`` splits each (token, source, len_bucket) posting block
+    into S pair-join shards (side a keyed by ``pmod(hash(doc_id), S)``,
+    side b replicated to all S salts), so one hot token's p² pair volume
+    lands on S tasks instead of one.  Salting never changes the result —
+    it only re-shards where pairs are generated."""
     docs = load_table(spark, sf_dir, "documents")
     tok = (
         docs.select(
@@ -192,15 +217,21 @@ def ext_tfidf_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus size folded INTO the plan (1-row broadcast agg) — no eager
     # docs.count() at plan-build, so the query stays one lazy DAG and the
     # corpus is scanned exactly once
-    n_docs_df = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    idf = (
+    n_docs_df = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf_base = (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("df_t"))
         .crossJoin(F.broadcast(n_docs_df))
-        .select(
-            "token",
-            F.round(F.log((F.col("n_docs") + 1.0) / (F.col("df_t") + 1.0)), 9).alias("idf"),
+    )
+    if df_cap is not None:
+        # bigint-exact max-df cut: df_t/n_docs > num/den ⇒ stop word
+        num, den = df_cap
+        idf_base = idf_base.where(
+            F.col("df_t") * F.lit(den) <= F.col("n_docs") * F.lit(num)
         )
+    idf = idf_base.select(
+        "token",
+        F.round(F.log((F.col("n_docs") + 1.0) / (F.col("df_t") + 1.0)), 9).alias("idf"),
     )
     w = tok.join(idf, "token").select(
         "doc_id", "source", "len_bucket", "token", (F.col("tf") * F.col("idf")).alias("w")
@@ -216,19 +247,83 @@ def ext_tfidf_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("w") / F.col("nrm"), 9).alias("wn"),
         )
     )
-    a, b = wn.alias("a"), wn.alias("b")
+    cond = (
+        (F.col("a.token") == F.col("b.token"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    if pair_salt > 1:
+        # Split each posting block's p² pair volume across `pair_salt`
+        # shards: side a carries one salt per row, side b fans out to all
+        # salts.  Same pairs, S× the tasks on the hot block.
+        a = wn.withColumn("psalt", F.pmod(F.hash("doc_id"), F.lit(pair_salt))).alias("a")
+        b = wn.withColumn(
+            "psalt", F.explode(F.array(*[F.lit(i) for i in range(pair_salt)]))
+        ).alias("b")
+        cond = cond & (F.col("a.psalt") == F.col("b.psalt"))
+    else:
+        a, b = wn.alias("a"), wn.alias("b")
     dots = (
-        a.join(
-            b,
-            (F.col("a.token") == F.col("b.token"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        a.join(b, cond)
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.round(F.sum(F.col("a.wn") * F.col("b.wn")), 6).alias("cosine"))
     )
     return dots.where(F.col("cosine") > 0.3)
+
+
+@register(
+    "ext_tfidf_similar_capped",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, CAST(n_chars // 100 AS INT) AS len_bucket,
+             t.token, COUNT(*) AS tf
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+      GROUP BY doc_id, source, n_chars, t.token
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), idf AS (
+      SELECT token, round(ln((n.n_docs + 1.0) / (COUNT(*) + 1.0)), 9) AS idf
+      FROM tok, n GROUP BY token, n.n_docs
+      HAVING COUNT(*) * {_TFIDF_DF_CAP[1]} <= n.n_docs * {_TFIDF_DF_CAP[0]}
+    ), w AS (
+      SELECT tok.doc_id, tok.source, tok.len_bucket, tok.token, tok.tf * idf.idf AS w
+      FROM tok JOIN idf USING (token)
+    ), norms AS (
+      SELECT doc_id, round(sqrt(SUM(w * w)), 9) AS nrm FROM w GROUP BY doc_id
+    ), wn AS (
+      SELECT w.doc_id, w.source, w.len_bucket, w.token, round(w.w / norms.nrm, 9) AS wn
+      FROM w JOIN norms USING (doc_id)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(SUM(a.wn * b.wn), 6) AS cosine
+    FROM wn a JOIN wn b
+      ON a.token = b.token AND a.source = b.source
+     AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING round(SUM(a.wn * b.wn), 6) > 0.3
+    """,
+)
+def ext_tfidf_similar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 scale face of ``ext_tfidf_similar`` (r4 verdict item 4 — its
+    6.2× 10×-ratio was the worst remaining): identical pipeline plus the
+    two levers a 100 TB corpus needs because pair volume is Σ postings²:
+
+    - **max-df stop-word pruning** — tokens in more than 78 % of docs
+      (``_TFIDF_DF_CAP`` = 39/50, integer-exact in both engines) carry
+      near-zero IDF weight but dominate Σ postings²; dropping them
+      shrinks the join quadratically while barely moving cosines;
+    - **salted pair-join sharding** — each surviving hot (token, source,
+      len_bucket) block's p² pairs split across ``_TFIDF_PAIR_SALT``
+      tasks (side a salted by doc-hash, side b replicated), so one hot
+      token can never serialize the stage.
+
+    Norms are computed over the SURVIVING tokens (true max-df TF-IDF
+    semantics, matching sklearn's ``max_df`` — not a post-hoc filter),
+    which the oracle reproduces with the same integer HAVING cut."""
+    return _tfidf_similarity(
+        spark, sf_dir, df_cap=_TFIDF_DF_CAP, pair_salt=_TFIDF_PAIR_SALT
+    )
 
 
 _NPROBE = 3

@@ -31,6 +31,8 @@ QUERIES = [
     # round 5: the batch-through-IVF face shares the two-stage cut and
     # adds a pruned-scan + broadcast probe-map join to keep invariant
     "ext_ann_batch_ivf",
+    # round 5: salted pair-join sharding must not perturb the pair sums
+    "ext_tfidf_similar_capped",
 ]
 
 

@@ -39,6 +39,7 @@ HEAVY = (
     "ext_dedup_simhash",
     "ext_dedup_embed_cos",
     "ext_tfidf_similar",
+    "ext_tfidf_similar_capped",
     "ext_ann_ivf",
     "ext_ann_batch_ivf",
     "ext_ann_rplsh",
