@@ -284,6 +284,9 @@ def ml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
       model key, cache-hit proof (``ml_model_registry``)
     - ``train``     (O41): per-machine AE train + CV thresholds
     - ``forecast``  (O42): AR lookback forecaster per machine
+    - ``recurrent`` (O42): genuine LSTM AE per machine (gated cell +
+      BPTT; the r4 addition, witnessed here since ``ml_train_recurrent``
+      registers past the pinned 50-slot driver window)
     - ``predict``   (O43): mapInPandas batch inference
     - ``sink``      (O7): partitioned-parquet prediction sink, re-read
     - ``codec``     (O8): DataFrame⇄JSON and ⇄parquet-bytes roundtrips
@@ -310,6 +313,16 @@ def ml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         leg(
             "forecast",
             ml_forecast_ar(spark, sf_dir),
+            F.min(F.col("status") == "ok").cast("boolean"),
+        )
+    )
+    # round 5: the genuine-recurrence path gets a driver-witnessed row —
+    # ml_train_recurrent itself is registered past the pinned 50-slot
+    # window, so the lifecycle face carries its proof of life
+    out = out.unionByName(
+        leg(
+            "recurrent",
+            ml_train_recurrent(spark, sf_dir),
             F.min(F.col("status") == "ok").cast("boolean"),
         )
     )

@@ -66,6 +66,38 @@ def test_pack_prefix_sum_distributes_beyond_source_count(spark, sf_dir, monkeypa
     assert n_groups > n_sources
 
 
+def test_pack_slices_partition_doc_tokens(spark, sf_dir, monkeypatch):
+    """With a small budget (the fixture's packs barely straddle at the
+    default 2048), every doc's slice list must exactly partition
+    [0, n_toks): contiguous, ordered by pack_id, each slice at most one
+    budget long, and consistent with pipe_pack_sequences' start pack."""
+    from collections import defaultdict
+
+    from gordo_components_spark.operators import extensions_pipeline as ep
+
+    monkeypatch.setattr(ep, "_PACK_BUDGET", 64)
+    slices = defaultdict(list)
+    for r in ep.pipe_pack_slices(spark, sf_dir).collect():
+        slices[r.doc_id].append((r.pack_id, r.begin_tok, r.end_tok))
+    starts = {
+        r.doc_id: (r.pack_id, r.n_toks)
+        for r in ep.pipe_pack_sequences(spark, sf_dir).collect()
+    }
+    assert set(slices) == {d for d, (_, n) in starts.items() if n > 0}
+    n_multi = 0
+    for doc_id, sl in slices.items():
+        sl.sort()
+        first_pack, n_toks = starts[doc_id]
+        assert sl[0][0] == first_pack
+        assert sl[0][1] == 0 and sl[-1][2] == n_toks
+        n_multi += len(sl) > 1
+        for (p0, _, e0), (p1, b1, _) in zip(sl, sl[1:]):
+            assert p1 == p0 + 1 and b1 == e0  # contiguous doc coverage
+        for _, b, e in sl:
+            assert 0 < e - b <= 64
+    assert n_multi > 0  # the small budget must actually force straddles
+
+
 @pytest.mark.parametrize("name", QUERIES)
 def test_result_invariant_to_partition_count(spark, sf_dir, name):
     orig = spark.conf.get("spark.sql.shuffle.partitions")
