@@ -39,23 +39,31 @@ def main() -> None:
     times: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
     for name in names:
-        runs: list[float] = []
-        for _ in range(3):
+        def timed_run() -> float:
             # cold Spark cache each run: operators that persist an
             # intermediate (minhash signatures, tfidf postings) must pay
             # their materialization every time, so min measures the PLAN,
             # not a leftover cache from the previous repetition
             spark.catalog.clearCache()
             t0 = time.time()
-            df = registry[name].fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.time() - t0)
-        runs.sort()
+            registry[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            return time.time() - t0
+
+        runs = sorted(timed_run() for _ in range(3))
+        # sub-400 ms queries: scheduler/GC jitter is a visible fraction of
+        # the runtime, so 3 samples can misorder rounds (r4 verdict item
+        # 5: stream_tumbling_agg's +11% was within its own spread) — take
+        # two extra samples so min is a stable plan measurement
+        if runs[0] < 0.4:
+            runs = sorted(runs + [timed_run() for _ in range(2)])
         times[name] = round(runs[0], 4)
         spread[name] = {
             "min": round(runs[0], 4),
-            "median": round(runs[1], 4),
-            "max": round(runs[2], 4),
+            "median": round(runs[len(runs) // 2], 4),
+            "max": round(runs[-1], 4),
+            "n_runs": len(runs),
         }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
