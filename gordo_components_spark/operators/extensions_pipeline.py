@@ -616,3 +616,106 @@ def pipe_pack_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("end_tok"),
     )
+
+
+@register(
+    "pipe_pack_stats",
+    oracle=f"""
+    {_PACK_CUM_EXCL_SQL}
+    , spans AS (
+      SELECT doc_id, source, n_toks, cum_excl,
+             CAST(cum_excl // {_PACK_BUDGET} AS BIGINT) AS first_pack,
+             CAST((cum_excl + n_toks - 1) // {_PACK_BUDGET} AS BIGINT) AS last_pack
+      FROM packed
+      WHERE n_toks > 0
+    ), sliced AS (
+      SELECT doc_id, source,
+             CAST(first_pack + i AS BIGINT) AS pack_id,
+             LEAST(n_toks, (first_pack + i + 1) * {_PACK_BUDGET} - cum_excl)
+               - GREATEST(0, (first_pack + i) * {_PACK_BUDGET} - cum_excl) AS slice_toks
+      FROM (SELECT *, UNNEST(generate_series(0, last_pack - first_pack)) AS i
+            FROM spans)
+    )
+    SELECT source, pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(slice_toks) AS BIGINT) AS toks_filled,
+           floor(SUM(slice_toks) * 1000000.0 / {_PACK_BUDGET} + 0.5) / 1000000.0
+             AS fill_ratio
+    FROM sliced
+    GROUP BY source, pack_id
+    """,
+)
+def pipe_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack-level fill accounting — the padding-waste dashboard every
+    packing pipeline needs: per (source, pack), how many docs contribute
+    a slice, how many of the ``_PACK_BUDGET`` token slots are filled, and
+    the fill ratio (< 1 only for each stream's tail pack under
+    concat-and-chunk; with document-boundary packing variants this is THE
+    efficiency metric).
+
+    One groupBy over ``pipe_pack_slices``'s explode.  ``fill_ratio``
+    uses floor-shift rounding (CLAUDE.md convention) on an
+    exactly-representable quotient: toks·10⁶ is an exact integer and
+    /2048 is a power-of-two division, so both engines see the identical
+    double before the floor."""
+    slices = pipe_pack_slices(spark, sf_dir)
+    toks = F.sum(F.col("end_tok") - F.col("begin_tok"))
+    return slices.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        toks.cast("bigint").alias("toks_filled"),
+        (
+            F.floor(toks * 1000000.0 / _PACK_BUDGET + F.lit(0.5)) / 1000000.0
+        ).alias("fill_ratio"),
+    )
+
+
+@register(
+    "pipe_shuffle_global",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY {_BUCKET_DUCK.format(key="CAST(doc_id AS VARCHAR)")}, doc_id
+           ) - 1 AS BIGINT) AS shuffle_pos
+    FROM documents
+    """,
+)
+def pipe_shuffle_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: every doc gets a stable
+    position in a pseudo-random permutation (md5-bucket order, doc_id
+    tiebreak) — reproducible across runs, engines, and cluster sizes,
+    which ``df.orderBy(rand())`` is not.
+
+    Scale shape: a naive ``ROW_NUMBER() OVER (ORDER BY …)`` is a
+    single-task global sort window.  This face reuses the packing
+    family's two-pass decomposition instead: per-bucket counts (10 000
+    rows, tiny) → exclusive running offsets → broadcast back → shard-
+    local row_number per bucket.  Parallelism is the bucket count; no
+    task ever sees more than one bucket's docs."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.expr(_BUCKET_SPARK.format(key="CAST(doc_id AS STRING)"))
+        .cast("bigint")
+        .alias("_bucket"),
+    )
+    w_bucket = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        keyed.groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "_bucket",
+            F.coalesce(F.sum("_n").over(w_bucket), F.lit(0)).alias("_offset"),
+        )
+    )
+    w_local = Window.partitionBy("_bucket").orderBy("doc_id")
+    return (
+        keyed.join(F.broadcast(offsets), "_bucket")
+        .select(
+            "doc_id",
+            (F.col("_offset") + F.row_number().over(w_local) - 1)
+            .cast("bigint")
+            .alias("shuffle_pos"),
+        )
+    )
