@@ -186,7 +186,8 @@ def ext_tfidf_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The fixture's 31-token vocabulary has 30 tokens at df ≈ 0.77–0.80 —
 # 0.78 genuinely prunes about half of them, visibly shrinking Σ postings².
 _TFIDF_DF_CAP = (39, 50)
-_TFIDF_PAIR_SALT = 4
+_TFIDF_PAIR_SALT = 4  # max salt shards for one oversized block
+_TFIDF_BLOCK_CAP = 512  # postings per block before the salt kicks in
 
 
 def _tfidf_similarity(
@@ -198,11 +199,16 @@ def _tfidf_similarity(
     """Shared TF-IDF pair-similarity core.  ``df_cap=(num, den)`` drops
     tokens with df_t · den > num · n_docs (standard max-df stop-word
     pruning — integer-exact, so DuckDB applies the identical cut);
-    ``pair_salt=S`` splits each (token, source, len_bucket) posting block
-    into S pair-join shards (side a keyed by ``pmod(hash(doc_id), S)``,
-    side b replicated to all S salts), so one hot token's p² pair volume
-    lands on S tasks instead of one.  Salting never changes the result —
-    it only re-shards where pairs are generated."""
+    ``pair_salt=S`` enables SKEW-TARGETED pair-join sharding: blocks
+    whose posting count exceeds ``_TFIDF_BLOCK_CAP`` get
+    ``ceil(count/cap)`` (≤ S) salt shards — side a keyed by
+    ``pmod(hash(doc_id), n)``, side b replicated n× — while normal-sized
+    blocks pay ZERO replication (n=1).  One hot token's p² pair volume
+    lands on n tasks; a uniformly-sized corpus is untouched, so the salt
+    is free when there is no skew (the 10× rehearsal's distinct-source
+    replicas are exactly that case).  The per-block size frame is
+    vocabulary-bounded (≪ corpus), hence broadcastable.  Salting never
+    changes the result — it only re-shards where pairs are generated."""
     docs = load_table(spark, sf_dir, "documents")
     tok = (
         docs.select(
@@ -254,12 +260,24 @@ def _tfidf_similarity(
         & (F.col("a.doc_id") < F.col("b.doc_id"))
     )
     if pair_salt > 1:
-        # Split each posting block's p² pair volume across `pair_salt`
-        # shards: side a carries one salt per row, side b fans out to all
-        # salts.  Same pairs, S× the tasks on the hot block.
-        a = wn.withColumn("psalt", F.pmod(F.hash("doc_id"), F.lit(pair_salt))).alias("a")
-        b = wn.withColumn(
-            "psalt", F.explode(F.array(*[F.lit(i) for i in range(pair_salt)]))
+        block = ["token", "source", "len_bucket"]
+        nsalt = (
+            wn.groupBy(*block)
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .select(
+                *block,
+                F.least(
+                    F.lit(pair_salt),
+                    F.ceil(F.col("_bn") / F.lit(_TFIDF_BLOCK_CAP)),
+                )
+                .cast("int")
+                .alias("_nsalt"),
+            )
+        )
+        salted = wn.join(F.broadcast(nsalt), block)
+        a = salted.withColumn("psalt", F.pmod(F.hash("doc_id"), F.col("_nsalt"))).alias("a")
+        b = salted.withColumn(
+            "psalt", F.explode(F.expr("sequence(0, _nsalt - 1)"))
         ).alias("b")
         cond = cond & (F.col("a.psalt") == F.col("b.psalt"))
     else:
@@ -313,10 +331,12 @@ def ext_tfidf_similar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
       (``_TFIDF_DF_CAP`` = 39/50, integer-exact in both engines) carry
       near-zero IDF weight but dominate Σ postings²; dropping them
       shrinks the join quadratically while barely moving cosines;
-    - **salted pair-join sharding** — each surviving hot (token, source,
-      len_bucket) block's p² pairs split across ``_TFIDF_PAIR_SALT``
-      tasks (side a salted by doc-hash, side b replicated), so one hot
-      token can never serialize the stage.
+    - **skew-targeted pair-join salting** — a surviving (token, source,
+      len_bucket) block bigger than ``_TFIDF_BLOCK_CAP`` postings splits
+      its p² pairs across up to ``_TFIDF_PAIR_SALT`` tasks (side a
+      salted by doc-hash, side b replicated per-block only), so one hot
+      token can never serialize the stage while uniform corpora pay no
+      replication at all.
 
     Norms are computed over the SURVIVING tokens (true max-df TF-IDF
     semantics, matching sklearn's ``max_df`` — not a post-hoc filter),
@@ -854,3 +874,150 @@ def ext_ann_batch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local.withColumn(
         "rank", F.row_number().over(Window.partitionBy("qid").orderBy(*order))
     ).where(F.col("rank") <= _BATCH_K)
+
+
+# "Incoming batch" for the index-maintenance face: every 20th vector
+# plays the role of newly arrived embeddings to be routed into cells.
+_ASSIGN_MOD = 20
+_ASSIGN_REM = 3
+
+
+@register(
+    "ext_ann_assign_cells",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cent AS (
+      SELECT label, CAST(t.i AS INT) AS pos,
+             round(avg(v[t.i + 1]), 9) AS c
+      FROM e, range(64) t(i)
+      GROUP BY label, t.i
+    ), batch AS (
+      SELECT vec_id, v FROM e
+      WHERE vec_id % {_ASSIGN_MOD} = {_ASSIGN_REM}
+    ), dist AS (
+      SELECT b.vec_id, cent.label,
+             round(sum((cent.c - b.v[cent.pos + 1]) * (cent.c - b.v[cent.pos + 1])), 9) AS d2
+      FROM cent, batch b
+      GROUP BY b.vec_id, cent.label
+    )
+    SELECT vec_id, label AS cell, d2
+    FROM (
+      SELECT vec_id, label, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rk
+      FROM dist
+    )
+    WHERE rk = 1
+    """,
+)
+def ext_ann_assign_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 index WRITE path — the maintenance half every IVF deployment
+    needs and ``ext_ann_ivf``/``ext_ann_batch_ivf`` (the read paths)
+    assume: route a batch of newly arrived vectors to their nearest
+    coarse cell, i.e. the ``cell=`` partition each one would be appended
+    to.  At 100 TB this is the continuous index-upsert job: the coarse
+    quantizer (tiny) broadcasts, the incoming batch streams through one
+    scan, and the output is exactly the partition assignment for the
+    append — the raw corpus is never rescanned and cells never rebuilt
+    (periodic re-clustering is a separate offline job).
+
+    Centroid arithmetic is the index's own (round-9 averages, d2
+    tie-broken by label), so assignments agree bit-exactly with the
+    read path's probe selection."""
+    idx = build_ivf_index(spark, sf_dir)
+    import os
+
+    from pyspark.sql import Window
+
+    batch = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % _ASSIGN_MOD == _ASSIGN_REM
+    ).select("vec_id", F.col("embedding").alias("v"))
+    cent = spark.read.parquet(os.path.join(idx, "centroids"))
+    diff = F.col("c") - F.expr("v[pos]")
+    dist = (
+        cent.crossJoin(batch)
+        .select("vec_id", "label", (diff * diff).alias("sq"))
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sum("sq"), 9).alias("d2"))
+    )
+    return (
+        dist.withColumn(
+            "rk", F.row_number().over(Window.partitionBy("vec_id").orderBy("d2", "label"))
+        )
+        .where(F.col("rk") == 1)
+        .select("vec_id", F.col("label").alias("cell"), "d2")
+    )
+
+
+@register(
+    "ext_ann_quantized_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_min(CAST(embedding AS DOUBLE[])) AS lo,
+             list_max(CAST(embedding AS DOUBLE[])) AS hi
+      FROM embeddings
+    ), dq AS (
+      SELECT vec_id,
+             list_transform(v, x -> lo + floor((x - lo) / NULLIF(hi - lo, 0.0)
+                                               * 255.0 + 0.5) * (hi - lo) / 255.0) AS dv
+      FROM e
+    ), q AS (
+      SELECT v AS qv FROM e WHERE vec_id = {_QUERY_ID}
+    )
+    SELECT dq.vec_id,
+           round(list_inner_product(dq.dv, q.qv)
+                 / (sqrt(list_inner_product(dq.dv, dq.dv))
+                    * sqrt(list_inner_product(q.qv, q.qv))), 6) AS cosine
+    FROM dq, q
+    WHERE dq.vec_id <> {_QUERY_ID}
+    ORDER BY cosine DESC, dq.vec_id
+    LIMIT 10
+    """,
+)
+def ext_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3/E6 quantized-scan top-k — asymmetric distance computation
+    (ADC): the corpus is scanned in its int8 storage form
+    (``ext_embed_quantize``'s per-vector scale quantization, 8× smaller
+    than float64 — what a 100 TB vector corpus actually keeps hot) and
+    dequantized on the fly against the full-precision query.  Exact
+    brute force over the compressed representation: the plan is the same
+    broadcast + single scan + TakeOrderedAndProject as
+    ``ext_cosine_topk``; only the per-element expression changes, so the
+    accuracy/storage trade is measurable side-by-side (both faces share
+    ``_QUERY_ID``).
+
+    Dequantization uses ``floor(x+0.5)`` (engine round-half ties differ)
+    and the identical left-to-right fold in both engines, so scores are
+    bit-stable before the round-6 output."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.array_min("embedding").alias("lo"),
+        F.array_max("embedding").alias("hi"),
+    )
+    dq = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(v, x -> lo + floor((x - lo) / nullif(hi - lo, 0.0D)"
+            " * 255.0D + 0.5D) * (hi - lo) / 255.0D)"
+        ).alias("dv"),
+    )
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == _QUERY_ID)
+        .select(F.col("embedding").alias("qv"))
+    )
+    scored = (
+        dq.where(F.col("vec_id") != _QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                F.expr(_DOT.format(a="dv", b="qv"))
+                / (F.expr(_norm("dv")) * F.expr(_norm("qv"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), "vec_id").limit(10)
