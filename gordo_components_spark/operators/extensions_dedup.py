@@ -402,3 +402,79 @@ def ext_dedup_embed_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = F.round(F.expr(dot) / F.col("nn"), 6)
     return pairs.select("vec_a", "vec_b", cos.alias("cosine")).where(F.col("cosine") >= 0.30)
+
+
+_SUBSTR_K = 8  # tokens per exact-substring shingle
+
+
+@register(
+    "ext_dedup_substring",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), spans AS (
+      SELECT doc_id,
+             substr(md5(array_to_string(t[i.i + 1 : i.i + {_SUBSTR_K}], ' ')), 1, 16) AS g
+      FROM toks, UNNEST(generate_series(0, len(t) - {_SUBSTR_K})) i(i)
+      WHERE len(t) >= {_SUBSTR_K}
+    ), gd AS (
+      SELECT g FROM spans GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1
+    ), dup AS (
+      SELECT doc_id, COUNT(*) AS n_dup_spans
+      FROM spans JOIN gd USING (g)
+      GROUP BY doc_id
+    )
+    SELECT toks.doc_id,
+           CAST(GREATEST(len(toks.t) - {_SUBSTR_K} + 1, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(dup.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
+    FROM toks LEFT JOIN dup ON toks.doc_id = dup.doc_id
+    """,
+)
+def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/E2 exact SUBSTRING duplication — the span-granular dedup signal
+    pretraining pipelines run after doc-level dedup (a doc can be unique
+    while half its content is boilerplate copied across the corpus):
+    per doc, how many of its {_SUBSTR_K}-token shingle positions repeat
+    in at least one OTHER document.  Downstream, spans with
+    ``n_dup_spans/n_spans`` above a threshold get cut or down-weighted.
+
+    Scale shape: shingles travel as 16-hex-char md5 digests (fixed-width
+    shuffle keys, never the raw token windows — same convention as exact
+    dedup); one groupBy(gram) with a distinct-doc count finds cross-doc
+    repeats; the rejoin is gram-keyed (no pair blowup — unlike pair
+    similarity, span dedup needs no quadratic join at all).  All counts
+    are integers, so the oracle matches bit-exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    grams = F.expr(
+        f"transform(sequence(0, size(t) - {_SUBSTR_K}),"
+        f" i -> substr(md5(concat_ws(' ', slice(t, i + 1, {_SUBSTR_K}))), 1, 16))"
+    )
+    # persisted: both the cross-doc gram census and the per-doc rejoin
+    # probe this frame — without the cache the tokenize→shingle→md5 chain
+    # runs twice (at scale this materialization is the span INDEX)
+    spans = persist_tracked(
+        toks.where(F.size("t") >= _SUBSTR_K)
+        .select("doc_id", F.explode(grams).alias("g"))
+    )
+    gd = (
+        spans.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("g")
+    )
+    dup = (
+        spans.join(gd, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    return (
+        toks.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.greatest(F.size("t") - _SUBSTR_K + 1, F.lit(0))
+            .cast("bigint")
+            .alias("n_spans"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
+        )
+    )

@@ -38,6 +38,7 @@ HEAVY = (
     "ext_dedup_components",
     "ext_dedup_simhash",
     "ext_dedup_embed_cos",
+    "ext_dedup_substring",
     "ext_tfidf_similar",
     "ext_tfidf_similar_capped",
     "ext_ann_ivf",
