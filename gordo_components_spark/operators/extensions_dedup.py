@@ -407,6 +407,25 @@ def ext_dedup_embed_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUBSTR_K = 8  # tokens per exact-substring shingle
 
 
+def _substring_spans(spark: SparkSession, sf_dir: str):
+    """Shared span index for the substring-dedup family: (toks, spans)
+    where spans = (doc_id, pos, g) — g a 16-hex md5 digest of the
+    {K}-token shingle starting at 0-based token position pos.  The spans
+    frame is persisted: the census, the rejoin, and the cut all probe
+    it."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    grams = F.expr(
+        f"transform(sequence(0, size(t) - {_SUBSTR_K}),"
+        f" i -> substr(md5(concat_ws(' ', slice(t, i + 1, {_SUBSTR_K}))), 1, 16))"
+    )
+    spans = persist_tracked(
+        toks.where(F.size("t") >= _SUBSTR_K)
+        .select("doc_id", F.posexplode(grams).alias("pos", "g"))
+    )
+    return toks, spans
+
+
 @register(
     "ext_dedup_substring",
     oracle=f"""
@@ -444,19 +463,7 @@ def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeats; the rejoin is gram-keyed (no pair blowup — unlike pair
     similarity, span dedup needs no quadratic join at all).  All counts
     are integers, so the oracle matches bit-exactly."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
-    grams = F.expr(
-        f"transform(sequence(0, size(t) - {_SUBSTR_K}),"
-        f" i -> substr(md5(concat_ws(' ', slice(t, i + 1, {_SUBSTR_K}))), 1, 16))"
-    )
-    # persisted: both the cross-doc gram census and the per-doc rejoin
-    # probe this frame — without the cache the tokenize→shingle→md5 chain
-    # runs twice (at scale this materialization is the span INDEX)
-    spans = persist_tracked(
-        toks.where(F.size("t") >= _SUBSTR_K)
-        .select("doc_id", F.explode(grams).alias("g"))
-    )
+    toks, spans = _substring_spans(spark, sf_dir)
     gd = (
         spans.groupBy("g")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -477,4 +484,85 @@ def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_spans"),
             F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
         )
+    )
+
+
+@register(
+    "ext_dedup_substring_cut",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), spans AS (
+      SELECT doc_id, i.i AS pos,
+             substr(md5(array_to_string(t[i.i + 1 : i.i + {_SUBSTR_K}], ' ')), 1, 16) AS g
+      FROM toks, UNNEST(generate_series(0, len(t) - {_SUBSTR_K})) i(i)
+      WHERE len(t) >= {_SUBSTR_K}
+    ), gd AS (
+      SELECT g FROM spans GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1
+    ), covered AS (
+      SELECT DISTINCT doc_id, pos + j.j AS tok_idx
+      FROM spans JOIN gd USING (g), UNNEST(generate_series(0, {_SUBSTR_K - 1})) j(j)
+    ), tokens AS (
+      SELECT doc_id, j.j AS tok_idx, t[j.j + 1] AS tok
+      FROM toks, UNNEST(generate_series(0, len(t) - 1)) j(j)
+    ), kept AS (
+      SELECT tok.doc_id, tok.tok_idx, tok.tok
+      FROM tokens tok LEFT JOIN covered c
+        ON tok.doc_id = c.doc_id AND tok.tok_idx = c.tok_idx
+      WHERE c.doc_id IS NULL
+    )
+    SELECT t.doc_id,
+           COALESCE(string_agg(k.tok, ' ' ORDER BY k.tok_idx), '') AS clean_text,
+           CAST(len(t.t) - COUNT(k.tok) AS BIGINT) AS n_removed
+    FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
+    GROUP BY t.doc_id, len(t.t)
+    """,
+)
+def ext_dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRANSFORM half of substring dedup (``ext_dedup_substring`` is
+    the detector): rewrite each document with every cross-document
+    duplicated {K}-token span removed — the cut step a pretraining
+    pipeline actually applies to boilerplate (Lee et al.'s
+    train-data-dedup recipe, approximated at shingle granularity).
+
+    Plan: the persisted span index feeds the duplicate-gram census; the
+    covered token positions come from one bounded ``sequence(pos,
+    pos+K-1)`` explode (≤ K rows per duplicated span) and a distinct;
+    surviving tokens are a left-anti join away, and each doc reassembles
+    via sort_array(collect_struct) — per-doc, never a global sort.  All
+    volumes are linear in corpus tokens; the only wide ops are gram- and
+    (doc, pos)-keyed shuffles.  Output strings are exact, so the oracle
+    hash covers the rewritten text byte-for-byte."""
+    toks, spans = _substring_spans(spark, sf_dir)
+    gd = (
+        spans.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("g")
+    )
+    covered = (
+        spans.join(gd, "g")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + _SUBSTR_K - 1)
+            ).alias("tok_idx"),
+        )
+        .distinct()
+    )
+    tokens = toks.select("doc_id", F.posexplode("t").alias("tok_idx", "tok"))
+    kept = tokens.join(covered, ["doc_id", "tok_idx"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.expr("transform(sort_array(collect_list(struct(tok_idx, tok))), x -> x.tok)"),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return toks.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        (F.size("t") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
     )
