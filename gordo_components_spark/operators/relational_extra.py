@@ -166,3 +166,67 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return weekly.select("week", "approx_users", "n_days_merged")
+
+
+@register(
+    "agg_funnel_steps",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM ev WHERE event_type = 'signup'
+      GROUP BY user_id
+    ), s2 AS (
+      SELECT ev.user_id, MIN(ev.ts) AS t2
+      FROM ev JOIN s1 ON ev.user_id = s1.user_id
+      WHERE ev.event_type = 'click' AND ev.ts >= s1.t1
+      GROUP BY ev.user_id
+    ), s3 AS (
+      SELECT ev.user_id, MIN(ev.ts) AS t3
+      FROM ev JOIN s2 ON ev.user_id = s2.user_id
+      WHERE ev.event_type = 'purchase' AND ev.ts >= s2.t2
+      GROUP BY ev.user_id
+    )
+    SELECT
+      (SELECT COUNT(*) FROM s1) AS n_signup,
+      (SELECT COUNT(*) FROM s2) AS n_click_after,
+      (SELECT COUNT(*) FROM s3) AS n_purchase_after
+    """,
+)
+def agg_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (signup → click → purchase): a user
+    advances a step only with an event AT OR AFTER their previous step's
+    first completion — the sequential-dependency aggregation every
+    product-analytics engine ships (and plain per-type MIN gets wrong:
+    a click before signup must not count).
+
+    Plan: three per-user conditional min-aggregations chained by
+    equi-joins on user_id — every shuffle is on the same key, so the
+    exchanges co-locate and AQE reuses the partitioning; step frames
+    shrink monotonically (each is a subset of the previous step's
+    users).  Counts are integers — oracle-exact."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )

@@ -164,6 +164,16 @@ def test_minhash_single_scan_no_corpus_broadcast(spark, sf_dir):
     assert "BroadcastExchange" not in head
 
 
+def test_substring_dedup_probes_span_cache(spark, sf_dir):
+    # round-5: both substring faces must probe the persisted span index
+    # (tokenize→shingle→md5 must not run once per leg) and must contain
+    # no pair self-join — the census + rejoin are gram-keyed only
+    for name in ("ext_dedup_substring", "ext_dedup_substring_cut"):
+        plan = plan_of(spark, name, sf_dir)
+        assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_ivf_batch_probes_prebuilt_index(spark, sf_dir):
     # round-5: the BATCH face must share the single-query face's scale
     # shape — no raw-corpus scan in the returned plan, one statically
