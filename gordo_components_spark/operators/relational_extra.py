@@ -230,3 +230,52 @@ def agg_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_click_after")))
         .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchase_after")))
     )
+
+
+@register(
+    "agg_retention_cohorts",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 604800) AS BIGINT) AS week
+      FROM events
+    ), cohort AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT ev.user_id, cohort.cohort_week,
+             ev.week - cohort.cohort_week AS week_offset
+      FROM ev JOIN cohort ON ev.user_id = cohort.user_id
+    )
+    SELECT cohort_week, week_offset,
+           COUNT(*) AS n_active_users
+    FROM active
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle — users grouped by first-activity week,
+    counted once per subsequent active week offset (the other half of
+    product analytics next to ``agg_funnel_steps``).
+
+    Week index is integer epoch arithmetic (``unix_seconds div 604800``)
+    rather than ``date_trunc('week', …)`` — engines disagree on week
+    boundaries/starts, integer division cannot (CLAUDE.md's ≤1-day
+    alignment rule).  Both shuffles key on user_id, then one distinct on
+    the (cohort, offset, user) triple; all outputs are integers."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_timestamp(ts) div 604800").cast("bigint").alias("week"),
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = (
+        ev.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return active.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
