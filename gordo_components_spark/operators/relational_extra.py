@@ -279,3 +279,42 @@ def agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return active.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_active_users")
     )
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "reshape_pivot",
+    oracle=f"""
+    WITH ev AS (
+      SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day,
+             event_type
+      FROM events
+    )
+    SELECT day,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+               for t in _PIVOT_TYPES
+           )}
+    FROM ev GROUP BY day
+    """,
+)
+def reshape_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot (the dual of ``reshape_unpivot``): daily event
+    counts spread into one column per event type via ``groupBy().pivot()``
+    with an EXPLICIT value list — the open-ended form needs a first pass
+    to discover distinct values (a hidden collect at scale) and produces
+    nondeterministic column sets; pinning the list keeps the plan
+    single-pass and the schema stable.  Day index is integer epoch
+    arithmetic (same cross-engine rule as the cohort face); counts are
+    integers — oracle-exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_timestamp(ts) div 86400").cast("bigint").alias("day"),
+        "event_type",
+    )
+    wide = ev.groupBy("day").pivot("event_type", list(_PIVOT_TYPES)).count()
+    return wide.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in _PIVOT_TYPES],
+    )
