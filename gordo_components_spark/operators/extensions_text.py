@@ -39,11 +39,19 @@ def ext_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GPT-2-ish pre-tokenization classes: letter runs, digit runs, single
+# non-alphanumeric marks.  Kept to character classes only — a regex both
+# Java (Spark) and RE2-ish (DuckDB) engines interpret identically.
+_BPE_SPLIT_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
 @register(
     "ext_token_count",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens_ws,
+           CAST(len(regexp_extract_all(text, '{_BPE_SPLIT_RE}')) AS BIGINT)
+             AS tokens_regex,
            CAST(ceil(n_chars / 4.0) AS BIGINT) AS tokens_bpe_est,
            CAST(greatest(len(string_split(text, ' ')),
                          ceil(n_chars / 4.0)) AS BIGINT) AS tokens_budget
@@ -51,15 +59,19 @@ def ext_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting for training-budget accounting: whitespace count +
-    the chars/4 BPE estimate (the standard budgeting heuristic when the
-    real tokenizer isn't on the cluster), budget = max of both."""
+    """Token counting for training-budget accounting: whitespace count,
+    a BPE-ish regex pre-tokenization count (letter runs / digit runs /
+    punctuation marks — the SURVEY §2.11 'BPE-ish regex'), the chars/4
+    estimate (the budgeting heuristic when the real tokenizer isn't on
+    the cluster), and budget = max of ws and estimate."""
     docs = load_table(spark, sf_dir, "documents")
     ws = F.size(F.split("text", " ")).cast("bigint")
+    rx = F.size(F.expr(f"regexp_extract_all(text, '{_BPE_SPLIT_RE}', 0)")).cast("bigint")
     bpe = F.ceil(F.col("n_chars") / 4.0).cast("bigint")
     return docs.select(
         "doc_id",
         ws.alias("tokens_ws"),
+        rx.alias("tokens_regex"),
         bpe.alias("tokens_bpe_est"),
         F.greatest(ws, bpe).alias("tokens_budget"),
     )
