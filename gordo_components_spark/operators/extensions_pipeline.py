@@ -719,3 +719,32 @@ def pipe_shuffle_global(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("shuffle_pos"),
         )
     )
+
+
+_QUOTA_TOKENS = 1000  # per-source token budget for head sampling
+
+
+@register(
+    "pipe_quota_sample",
+    oracle=f"""
+    {_PACK_CUM_EXCL_SQL}
+    SELECT doc_id, source, n_toks, cum_excl
+    FROM packed
+    WHERE cum_excl < {_QUOTA_TOKENS}
+    """,
+)
+def pipe_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-quota sampling — the capping step mixture
+    pipelines run after ``pipe_mix_weights`` decides each source's token
+    budget: take documents in the deterministic stream order (doc_id)
+    until the source's quota is hit (the doc that crosses the budget is
+    kept, matching concat-and-chunk truncation semantics).
+
+    Rides ``_packed_tokens``'s two-pass distributed prefix sum, so the
+    running count that implements "until the quota" has #shard
+    parallelism, not #source — the whole point of the r4 prefix-sum
+    redesign is that EVERY cumulative-token consumer (packing, slicing,
+    shuffling, sampling) inherits the scale-safe decomposition.  The
+    quota filter is a plain WHERE on the exclusive running sum: exact
+    bigint arithmetic, no per-source loop, no driver state."""
+    return _packed_tokens(spark, sf_dir).where(F.col("cum_excl") < _QUOTA_TOKENS)

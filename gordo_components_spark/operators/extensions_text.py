@@ -279,3 +279,67 @@ def ext_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dup, 6).alias("dup_bigram_ratio"),
         (dup > 0.2).alias("is_repetitive"),
     )
+
+
+@register(
+    "ext_ngram_novelty",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(string_split(text,' ')[i:i+2], ' ')
+                                   FOR i IN range(1, len(string_split(text,' ')) - 1)])) AS gram
+      FROM documents
+    ), df AS (
+      SELECT gram, count(*) AS gdf FROM sh GROUP BY gram
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN d.gdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           floor(CAST(sum(CASE WHEN d.gdf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 1000000 + 0.5) / 1000000 AS novelty
+    FROM sh s JOIN df d USING (gram)
+    GROUP BY s.doc_id
+    """,
+)
+def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-document n-gram novelty — the corpus-level complement of
+    ``ext_text_repetition`` (which is intra-doc): per document, the
+    fraction of its distinct word-3-grams that appear in NO other
+    document.  Low novelty = boilerplate shared across the corpus
+    (licence headers, templates, scraped nav chrome); pipelines weight
+    or drop such docs before training.
+
+    Two gram-keyed shuffles, no pair join: explode distinct grams →
+    groupBy(gram) document-frequency (map-side partial agg, so hot grams
+    are skew-safe), then join the postings back on gram (linear in
+    Σ postings; AQE skew-join splits any hot-gram partition at scale)
+    → groupBy(doc).  The groupBy and join sides shuffle on the same key,
+    so the postings exchange is reused, and the wide shingle arrays
+    never cross a shuffle (grams explode AFTER the spread repartition —
+    same wire discipline as ``ext_dedup_ngram_jaccard``).  The novelty
+    ratio is floor-shift rounded: #novel/#grams is a small-denominator
+    rational, which CAN land on exact 6-dp half-ties (q | 10^7, e.g.
+    13/128), where the engines' round() algorithms diverge."""
+    from gordo_components_spark.operators.extensions_dedup import _SHINGLES
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    grams = (
+        docs.select("doc_id", "text")
+        .repartition(n)
+        .select("doc_id", F.explode(F.expr(_SHINGLES)).alias("gram"))
+    )
+    df_counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gdf"))
+    novel = F.sum(F.when(F.col("gdf") == 1, 1).otherwise(0))
+    return (
+        grams.join(df_counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            novel.cast("bigint").alias("n_novel"),
+            (
+                F.floor(novel.cast("double") / F.count(F.lit(1)) * 1000000 + F.lit(0.5))
+                / 1000000
+            ).alias("novelty"),
+        )
+    )

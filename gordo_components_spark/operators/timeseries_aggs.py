@@ -338,3 +338,46 @@ def agg_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(interp * 1000000 + 0.5) / 1000000).alias("value_interp"),
         F.col("v").isNull().alias("was_gap"),
     )
+
+
+@register(
+    "agg_sensor_gaps",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), g AS (
+      SELECT user_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_start,
+             ts AS gap_end
+      FROM e
+    )
+    SELECT user_id, gap_start, gap_end,
+           CAST(epoch_us(gap_end) - epoch_us(gap_start) AS BIGINT) AS gap_us
+    FROM g
+    WHERE gap_start IS NOT NULL
+      AND epoch_us(gap_end) - epoch_us(gap_start) > 86400000000
+    """,
+)
+def agg_sensor_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downtime / data-outage detection: per machine (user_id), every
+    interval between consecutive readings longer than 24 h — the
+    dead-sensor report feeding the reference's known-filter-periods
+    workflow (O12 consumes exactly these intervals as exclusions; cf.
+    ``dataset/filter_periods.py``).
+
+    One lag window per machine partition (the same partition-by-machine
+    invariant as every O22–O25 frame — no global sort, parallelism =
+    #machines).  Gap arithmetic is integer microseconds on the µs-
+    truncated timestamps, so both engines compare identical bigints."""
+    ev = load_table(spark, sf_dir, "events")
+    w = "PARTITION BY user_id ORDER BY ts, event_id"
+    prev = F.expr(f"lag(ts) OVER ({w})")
+    out = ev.select(
+        "user_id",
+        prev.alias("gap_start"),
+        F.col("ts").alias("gap_end"),
+        (F.unix_micros("ts") - F.unix_micros(prev)).alias("gap_us"),
+    )
+    return out.where(
+        F.col("gap_start").isNotNull() & (F.col("gap_us") > 86400000000)
+    )

@@ -236,3 +236,54 @@ def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
         zero.alias("n2"),
     )
     return rank_leg.unionByName(lag_leg).unionByName(range_leg)
+
+
+# Truncated dyadic EWMA: weights 2^-k, k=0..7.  The SAME SQL fragment is
+# compiled by both engines (oracle string and F.expr), so the float
+# expression TREE — not just the math — is identical: products are exact
+# power-of-two scalings, the sums fold left-associatively in textual
+# order, and the final division sees bit-identical operands.  No rounding
+# is needed (cf. window_lead_target's bit-exact copy rationale).
+def _ewma_sql(order: str, k: int = 8) -> str:
+    def lag(j: int) -> str:
+        return "value" if j == 0 else f"lag(value, {j}) OVER ({order})"
+
+    num = " + ".join(
+        f"(CASE WHEN {lag(j)} IS NULL THEN 0.0 ELSE {lag(j)} / {float(2**j)} END)"
+        for j in range(k)
+    )
+    den = " + ".join(
+        f"(CASE WHEN {lag(j)} IS NULL THEN 0.0 ELSE {1.0 / 2**j!r} END)"
+        for j in range(k)
+    )
+    return f"({num}) / ({den})"
+
+
+@register(
+    "window_ewma_batch",
+    oracle=f"""
+    SELECT event_id, user_id, value,
+           {_ewma_sql(_ORDER)} AS value_ewma
+    FROM events
+    """,
+)
+def window_ewma_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O25 addendum: exponentially-weighted smoothing as a BATCH window —
+    the deterministic face of ``stream_stateful_ewma``.  True recursive
+    EWMA needs per-row state (the streaming face has it); the batch form
+    truncates the tail at 8 lags, which for alpha=1/2 leaves a relative
+    error < 2^-8 — below any threshold the anomaly smoother consumes —
+    while staying a pure ROWS-frame window: per-machine partitions, no
+    state, no Python.
+
+    alpha is deliberately dyadic (1/2): every weight 2^-k is an exact
+    double, so weighting is exact scaling and the shared expression
+    fragment evaluates bit-identically in Spark and DuckDB — this face
+    needs NO rounding convention at all."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.expr(_ewma_sql(_ORDER)).alias("value_ewma"),
+    )

@@ -186,3 +186,72 @@ def test_tracked_caches_release(spark, sf_dir):
     released = caches.release_caches()
     assert released >= 1 and not caches._LIVE
     assert df.count() == n1  # still computable after release
+
+
+def test_sensor_gaps_are_positive_and_exceed_threshold(spark, sf_dir):
+    # round 5: every reported outage is a real >24h interval, and the
+    # integer-µs arithmetic matches the timestamp difference exactly
+    df = load_all()["agg_sensor_gaps"].fn(spark, sf_dir)
+    rows = df.limit(50).collect()
+    assert rows, "fixture has >24h per-machine gaps"
+    for r in rows:
+        assert r.gap_us > 86_400_000_000
+        delta_us = int((r.gap_end - r.gap_start).total_seconds() * 1_000_000)
+        assert delta_us == r.gap_us
+
+
+def test_ngram_novelty_bounds_and_counts(spark, sf_dir):
+    # novelty is a ratio of counted grams: 0 <= n_novel <= n_grams and
+    # the ratio matches the counts to floor-shift precision
+    rows = load_all()["ext_ngram_novelty"].fn(spark, sf_dir).collect()
+    assert rows
+    import math
+
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_grams
+        expect = math.floor(r.n_novel / r.n_grams * 1_000_000 + 0.5) / 1_000_000
+        assert r.novelty == expect
+
+
+def test_quota_sample_is_prefix_per_source(spark, sf_dir):
+    # the sampled set is exactly the docs whose exclusive running token
+    # count is under quota — i.e. a PREFIX of each source's doc_id order:
+    # every kept doc's predecessors in the same source are kept too
+    from gordo_components_spark.operators.extensions_pipeline import _QUOTA_TOKENS
+
+    kept = load_all()["pipe_quota_sample"].fn(spark, sf_dir).collect()
+    assert kept
+    by_source = {}
+    for r in kept:
+        by_source.setdefault(r.source, []).append(r)
+        assert r.cum_excl < _QUOTA_TOKENS
+    docs = load_table(spark, sf_dir, "documents")
+    all_ids = {
+        s: sorted(x.doc_id for x in g)
+        for s, g in __import__("itertools").groupby(
+            sorted(docs.select("doc_id", "source").collect(), key=lambda x: (x.source, x.doc_id)),
+            key=lambda x: x.source,
+        )
+    }
+    for s, rows in by_source.items():
+        kept_ids = sorted(r.doc_id for r in rows)
+        assert kept_ids == all_ids[s][: len(kept_ids)], f"non-prefix sample in {s}"
+
+
+def test_ewma_batch_truncation_and_warmup(spark, sf_dir):
+    # first row of each machine == raw value (weight renormalization),
+    # and the smoother is a convex combination: min<=ewma<=max of the
+    # trailing 8 values
+    df = load_all()["window_ewma_batch"].fn(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    first = (
+        ev.withColumn(
+            "rn", F.expr("row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)")
+        )
+        .where("rn = 1")
+        .select("event_id")
+    )
+    joined = df.join(first, "event_id").collect()
+    assert joined
+    for r in joined:
+        assert r.value_ewma == r.value
