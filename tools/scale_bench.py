@@ -48,6 +48,13 @@ HEAVY = (
     "pipe_decontaminate",
     "pipe_curation_e2e",
     "pipe_curation_write",
+    # round 5: the prefix-sum family (packing + quota sampling ride the
+    # same two-pass decomposition), the gram-df novelty score (two
+    # gram-keyed shuffles), and the per-machine gap windows
+    "pipe_pack_sequences",
+    "pipe_quota_sample",
+    "ext_ngram_novelty",
+    "agg_sensor_gaps",
 )
 
 
