@@ -748,3 +748,48 @@ def pipe_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     quota filter is a plain WHERE on the exclusive running sum: exact
     bigint arithmetic, no per-source loop, no driver state."""
     return _packed_tokens(spark, sf_dir).where(F.col("cum_excl") < _QUOTA_TOKENS)
+
+
+@register(
+    "pipe_weighted_sample",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      FROM documents
+    )
+    SELECT doc_id, source, n_toks,
+           CAST(LEAST(10000, n_toks * 200) AS BIGINT) AS keep_p_10k
+    FROM toks
+    WHERE {_BUCKET_DUCK.format(key="CAST(doc_id AS VARCHAR)")}
+          < LEAST(10000, n_toks * 200)
+    """,
+)
+def pipe_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-proportional importance sampling: each document is kept with
+    probability min(1, n_toks/50) — long documents (which dominate the
+    token budget) always survive, short ones are thinned — and the
+    emitted ``keep_p_10k`` is the inclusion probability (per-10000) a
+    downstream consumer uses for 1/p Horvitz-Thompson re-weighting, so
+    token statistics computed on the sample stay unbiased.
+
+    Same determinism machinery as ``pipe_stratified_sample``: membership
+    is the positional-hex md5 bucket vs an INTEGER weight — a pure
+    function of (doc_id, n_toks), identical on every engine, cluster
+    size, and partition layout; weights never touch floats, so the
+    oracle matches exactly.  One scan, no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(F.split("text", " ")).cast("bigint")
+    bucket = F.expr(_BUCKET_SPARK.format(key="CAST(doc_id AS STRING)"))
+    keep_p = F.least(F.lit(10000).cast("bigint"), n_toks * 200)
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            n_toks.alias("n_toks"),
+            keep_p.alias("keep_p_10k"),
+            bucket.alias("_bucket"),
+        )
+        .where(F.col("_bucket") < F.col("keep_p_10k"))
+        .drop("_bucket")
+    )

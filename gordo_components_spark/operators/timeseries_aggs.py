@@ -381,3 +381,66 @@ def agg_sensor_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(
         F.col("gap_start").isNotNull() & (F.col("gap_us") > 86400000000)
     )
+
+
+@register(
+    "agg_alert_episodes",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ), numbered AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM e
+    ), flagged AS (
+      SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS grp
+      FROM numbered
+      WHERE value > 100.0
+    )
+    SELECT user_id,
+           min(ts) AS episode_start,
+           max(ts) AS episode_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(value) AS peak_value
+    FROM flagged
+    GROUP BY user_id, grp
+    """,
+)
+def agg_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert-episode coalescing — the post-processing step between O44's
+    per-row anomaly scores and a pager: maximal runs of CONSECUTIVE
+    above-threshold readings per machine become one episode row
+    (start/end/size/peak).  Classic gaps-and-islands: the difference of
+    two row_numbers (all rows vs flagged rows) is constant exactly
+    within a consecutive run, so it is the episode key.
+
+    Scale shape: both row_numbers share one per-machine sort (two
+    windows over the same `PARTITION BY user_id ORDER BY ts, event_id`
+    frame collapse into a single WindowExec pass), then one groupBy on
+    (user_id, grp) — partial-agg combinable, no self-join, no island
+    loop.  max(value) is a bit-exact selection; the episode bounds are
+    µs-truncated timestamps — nothing needs a rounding convention."""
+    ev = load_table(spark, sf_dir, "events")
+    w = "PARTITION BY user_id ORDER BY ts, event_id"
+    numbered = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.expr(f"ROW_NUMBER() OVER ({w})").alias("rn"),
+        "event_id",
+    )
+    flagged = numbered.where(F.col("value") > 100.0).select(
+        "user_id",
+        "ts",
+        "value",
+        (F.col("rn") - F.expr(f"ROW_NUMBER() OVER ({w})")).alias("grp"),
+    )
+    return (
+        flagged.groupBy("user_id", "grp")
+        .agg(
+            F.min("ts").alias("episode_start"),
+            F.max("ts").alias("episode_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max("value").alias("peak_value"),
+        )
+        .drop("grp")
+    )

@@ -255,3 +255,34 @@ def test_ewma_batch_truncation_and_warmup(spark, sf_dir):
     assert joined
     for r in joined:
         assert r.value_ewma == r.value
+
+
+def test_alert_episodes_are_maximal_runs(spark, sf_dir):
+    # episode bounds ordered, peaks above threshold, and episodes within
+    # a machine never overlap (maximality of the island grouping)
+    rows = load_all()["agg_alert_episodes"].fn(spark, sf_dir).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        assert r.episode_start <= r.episode_end
+        assert r.peak_value > 100.0
+        assert r.n_events >= 1
+        by_user.setdefault(r.user_id, []).append(r)
+    for eps in by_user.values():
+        eps.sort(key=lambda r: r.episode_start)
+        for a, b in zip(eps, eps[1:]):
+            assert a.episode_end < b.episode_start
+
+
+def test_weighted_sample_keeps_all_heavy_docs(spark, sf_dir):
+    # inclusion probability saturates at n_toks >= 50: every such doc
+    # must be in the sample (p=1), and every emitted p matches its weight
+    docs = load_table(spark, sf_dir, "documents")
+    heavy = docs.where(F.size(F.split("text", " ")) >= 50).select("doc_id").collect()
+    assert heavy, "fixture has saturated-weight docs"
+    kept = load_all()["pipe_weighted_sample"].fn(spark, sf_dir).collect()
+    kept_ids = {r.doc_id for r in kept}
+    for r in heavy:
+        assert r.doc_id in kept_ids
+    for r in kept:
+        assert r.keep_p_10k == min(10000, r.n_toks * 200)
