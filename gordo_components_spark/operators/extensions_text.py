@@ -309,17 +309,23 @@ def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (licence headers, templates, scraped nav chrome); pipelines weight
     or drop such docs before training.
 
-    Two gram-keyed shuffles, no pair join: explode distinct grams →
-    groupBy(gram) document-frequency (map-side partial agg, so hot grams
-    are skew-safe), then join the postings back on gram (linear in
-    Σ postings; AQE skew-join splits any hot-gram partition at scale)
-    → groupBy(doc).  The groupBy and join sides shuffle on the same key,
-    so the postings exchange is reused, and the wide shingle arrays
-    never cross a shuffle (grams explode AFTER the spread repartition —
-    same wire discipline as ``ext_dedup_ngram_jaccard``).  The novelty
-    ratio is floor-shift rounded: #novel/#grams is a small-denominator
-    rational, which CAN land on exact 6-dp half-ties (q | 10^7, e.g.
-    13/128), where the engines' round() algorithms diverge."""
+    No pair join, no self-join, ONE corpus scan: the exploded
+    (doc, gram) postings shuffle on gram once, the per-gram document
+    frequency is a count window over that partitioning (an unbounded
+    frame needs no sort; WindowExec's buffer is spill-backed, so a
+    hot gram degrades to disk, not OOM — the same rows would sit in
+    the same reducer under any groupBy+join formulation, which would
+    also re-scan the corpus because column pruning makes the two
+    subtrees non-reusable), then one groupBy(doc) rolls up.  A
+    broadcast never appears: the gram dictionary at 100 TB is
+    corpus-scale and fits no executor (plan-guarded).  Explicit
+    numPartitions exempts both exchanges from AQE coalescing.  The
+    novelty ratio is floor-shift rounded: #novel/#grams is a
+    small-denominator rational, which CAN land on exact 6-dp
+    half-ties (q | 10^7, e.g. 13/128), where the engines' round()
+    algorithms diverge."""
+    from pyspark.sql import Window
+
     from gordo_components_spark.operators.extensions_dedup import _SHINGLES
 
     docs = load_table(spark, sf_dir, "documents")
@@ -328,12 +334,14 @@ def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "text")
         .repartition(n)
         .select("doc_id", F.explode(F.expr(_SHINGLES)).alias("gram"))
+        .repartition(n, "gram")
     )
-    df_counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gdf"))
+    with_df = grams.withColumn(
+        "gdf", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    )
     novel = F.sum(F.when(F.col("gdf") == 1, 1).otherwise(0))
     return (
-        grams.join(df_counts, "gram")
-        .groupBy("doc_id")
+        with_df.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_grams"),
             novel.cast("bigint").alias("n_novel"),

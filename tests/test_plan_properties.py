@@ -195,3 +195,26 @@ def test_ivf_probes_prebuilt_index(spark, sf_dir):
     assert "embeddings.parquet" not in plan
     assert plan.count("Scan parquet") == 2
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_alert_episodes_single_sort_no_join(spark, sf_dir):
+    # gaps-and-islands via double row_number: both windows and the final
+    # (user_id, grp) aggregate must ride ONE per-machine exchange+sort —
+    # no self-join, no second exchange (hash(user_id) already satisfies
+    # the grouping distribution)
+    plan = plan_of(spark, "agg_alert_episodes", sf_dir)
+    assert "Join" not in plan
+    # formatted explain lists nodes twice (tree + details)
+    assert plan.count("Exchange") == 2
+    assert plan.count("Sort") == 2
+
+
+def test_ngram_novelty_one_scan_no_join_no_broadcast(spark, sf_dir):
+    # the gram-df is a count window over the gram-partitioned postings:
+    # one corpus scan, no join (a groupBy+join formulation re-scans the
+    # corpus because pruning breaks subtree reuse), and never a
+    # broadcast — the gram dictionary is corpus-scale at 100 TB
+    plan = plan_of(spark, "ext_ngram_novelty", sf_dir)
+    assert plan.count("Scan parquet") == 2  # one node, listed twice
+    assert "Join" not in plan
+    assert "Broadcast" not in plan
