@@ -444,3 +444,115 @@ def agg_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
     )
+
+
+
+
+@register(
+    "agg_tag_correlation",
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+             time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS bucket,
+             avg(CASE WHEN event_type = 'error' THEN value END) AS x,
+             avg(CASE WHEN event_type = 'purchase' THEN value END) AS y
+      FROM events
+      GROUP BY 1, 2
+    ), p AS (
+      SELECT user_id,
+             CAST(round(x * 1000000000) AS BIGINT) AS x9,
+             CAST(round(y * 1000000000) AS BIGINT) AS y9
+      FROM b WHERE x IS NOT NULL AND y IS NOT NULL
+    ), m AS (
+      SELECT user_id,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(x9 AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(sum(CAST(y9 AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x9 AS HUGEINT) * y9) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(x9 AS HUGEINT) * x9) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(y9 AS HUGEINT) * y9) AS HUGEINT) AS syy
+      FROM p GROUP BY user_id HAVING count(*) >= 3
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_buckets,
+           CASE WHEN n * sxx = sx * sx OR n * syy = sy * sy THEN NULL ELSE
+             floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000 + 0.5)
+             / 1000000 END AS xy_corr,
+           floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * (n - 1) AS DOUBLE) / 1e18 * 1000000 + 0.5)
+           / 1000000 AS xy_covar,
+           CASE WHEN n * sxx = sx * sx THEN NULL ELSE
+             floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5)
+             / 1000000 END AS yx_slope
+    FROM m
+    """,
+)
+def agg_tag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tag dependence profile — the EDA step before picking a
+    machine's tag list: per machine, Pearson correlation, sample
+    covariance, and regression slope between two tags' daily mean
+    series ('error' vs 'purchase'), over buckets where both tags
+    reported (≥3 complete buckets, else no stable estimate).
+
+    Float discipline is the CLAUDE.md means convention taken to its
+    conclusion: naive ``corr``/``covar_samp`` aggregates diverge at the
+    6th decimal across engines (co-moment accumulation order), so the
+    bucket means are pinned to integer NANOS (round(x·1e9) as bigint)
+    and every co-moment (n, Σx, Σy, Σxy, Σxx, Σyy) is an EXACT
+    128-bit-integer sum — DECIMAL(38,0) arithmetic here, HUGEINT in
+    DuckDB.  The classic n·Σxy − Σx·Σy numerators are therefore
+    bit-identical integers on both engines; only the final
+    double-convert / sqrt / divide are float (IEEE-exact given
+    identical inputs, ±1 ulp on the 1e29-magnitude int→double
+    conversions), masked by floor-shift 6-dp rounding.  Degenerate
+    (constant-series) machines emit NULL corr/slope on both sides
+    rather than engine-specific inf/NaN.
+
+    Shape: two shuffles (bucket grid, then machine), all aggregates
+    partial-combinable; no self-join, no collect."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "user_id", F.window("ts", "1 day").start.alias("bucket")
+    ).agg(
+        F.avg(F.when(F.col("event_type") == "error", F.col("value"))).alias("x"),
+        F.avg(F.when(F.col("event_type") == "purchase", F.col("value"))).alias("y"),
+    )
+    p = b.where(F.col("x").isNotNull() & F.col("y").isNotNull()).select(
+        "user_id",
+        F.expr("CAST(round(x * 1000000000) AS DECIMAL(19,0))").alias("x9"),
+        F.expr("CAST(round(y * 1000000000) AS DECIMAL(19,0))").alias("y9"),
+    )
+    m = (
+        p.groupBy("user_id")
+        .agg(
+            F.expr("CAST(count(*) AS DECIMAL(10,0))").alias("n"),
+            F.expr("sum(x9)").alias("sx"),
+            F.expr("sum(y9)").alias("sy"),
+            F.expr("sum(CAST(x9 AS DECIMAL(16,0)) * CAST(y9 AS DECIMAL(16,0)))").alias("sxy"),
+            F.expr("sum(CAST(x9 AS DECIMAL(16,0)) * CAST(x9 AS DECIMAL(16,0)))").alias("sxx"),
+            F.expr("sum(CAST(y9 AS DECIMAL(16,0)) * CAST(y9 AS DECIMAL(16,0)))").alias("syy"),
+        )
+        .where(F.col("n") >= 3)
+    )
+    num_xy = "CAST(n * sxy - sx * sy AS DOUBLE)"
+    num_xx = "CAST(n * sxx - sx * sx AS DOUBLE)"
+    num_yy = "CAST(n * syy - sy * sy AS DOUBLE)"
+    return m.select(
+        "user_id",
+        F.expr("CAST(n AS BIGINT)").alias("n_buckets"),
+        F.expr(
+            f"CASE WHEN n * sxx = sx * sx OR n * syy = sy * sy THEN NULL ELSE "
+            f"floor({num_xy} / sqrt({num_xx} * {num_yy}) * 1000000 + 0.5) / 1000000 END"
+        ).alias("xy_corr"),
+        F.expr(
+            f"floor({num_xy} / CAST(n * (n - 1) AS DOUBLE) / 1e18 * 1000000 + 0.5)"
+            " / 1000000"
+        ).alias("xy_covar"),
+        F.expr(
+            f"CASE WHEN n * sxx = sx * sx THEN NULL ELSE "
+            f"floor({num_xy} / {num_xx} * 1000000 + 0.5) / 1000000 END"
+        ).alias("yx_slope"),
+    )

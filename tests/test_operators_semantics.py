@@ -286,3 +286,17 @@ def test_weighted_sample_keeps_all_heavy_docs(spark, sf_dir):
         assert r.doc_id in kept_ids
     for r in kept:
         assert r.keep_p_10k == min(10000, r.n_toks * 200)
+
+
+def test_tag_correlation_invariants(spark, sf_dir):
+    # Pearson bounds, covar/corr sign agreement, and slope sign agreement
+    rows = load_all()["agg_tag_correlation"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_buckets >= 3
+        if r.xy_corr is not None:
+            assert -1.000001 <= r.xy_corr <= 1.000001
+            if abs(r.xy_covar) > 1e-6:
+                assert (r.xy_corr > 0) == (r.xy_covar > 0)
+        if r.yx_slope is not None and abs(r.xy_covar) > 1e-6:
+            assert (r.yx_slope > 0) == (r.xy_covar > 0)
