@@ -234,3 +234,59 @@ def gen_synthetic_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("TIMESTAMP '2024-01-01 00:00:00' + id * INTERVAL 1 MINUTE").alias("ts"),
         F.round(F.sin(F.col("id") * 0.01) * 50.0 + 100.0, 6).alias("value"),
     )
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT CASE WHEN event_id % 2 = 0 THEN 'v1' ELSE 'v2' END AS gen,
+           CASE WHEN event_id % 2 = 0 THEN '(pre-evolution)' ELSE event_type END AS tag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: a 100 TB lake is never written by one code
+    version — old partitions lack columns newer ones carry.  The leg
+    materializes two hive-partitioned generations once (``gen=v1``
+    WITHOUT ``event_type`` — the column arrives in ``gen=v2``), then
+    reads the whole dataset back with ``mergeSchema`` + partition
+    discovery: v1 rows surface the new column as NULL, coalesced to an
+    explicit '(pre-evolution)' marker.  The oracle states the identical
+    semantics over the source view (the round trip is exact: epoch-µs
+    longs and raw doubles), per the CSV/ORC-leg convention.
+
+    At scale this is the footer-merge path: ``mergeSchema`` unions the
+    per-file parquet schemas in a distributed job instead of trusting
+    the first footer — the difference between a correct migration and
+    silently dropping a column added mid-corpus."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/gordo_spark_evo/{sf_tag}/events_evo"
+    ev = load_table(spark, sf_dir, "events")
+    v1_done = os.path.exists(os.path.join(out, "gen=v1", "_SUCCESS"))
+    v2_done = os.path.exists(os.path.join(out, "gen=v2", "_SUCCESS"))
+    if not (v1_done and v2_done):
+        base = ev.select(
+            "event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "event_type", "value"
+        )
+        (
+            base.where(F.col("event_id") % 2 == 0)
+            .drop("event_type")  # the old writer didn't know the column
+            .write.mode("overwrite")
+            .parquet(f"{out}/gen=v1")
+        )
+        (
+            base.where(F.col("event_id") % 2 == 1)
+            .write.mode("overwrite")
+            .parquet(f"{out}/gen=v2")
+        )
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.groupBy(
+        F.col("gen"),
+        F.coalesce("event_type", F.lit("(pre-evolution)")).alias("tag"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE)").alias("total_value"),
+    )
