@@ -215,3 +215,147 @@ def udaf_ts_cv_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.sqrt(sq_sum / n) * 1e6 + 0.5) / 1e6).alias("rmse"),
         )
     )
+
+
+# ---- distribution drift (train window vs serve window) -------------------
+#
+# The fixture spans 2024-01: train = first half, serve = second half.
+# 10 fixed-width value bins over [0, 500); the per-bin chi-square-style
+# term (p-q)^2/(p+q) is computed from INTEGER counts via the common-
+# denominator identity (c*m - d*n)^2 / (n*m*(c*m + d*n)) — every operand
+# below 2^53 enters float exactly, the remaining multiplies/divide are
+# per-row IEEE ops on identical inputs, so both engines produce the
+# bit-identical double before the floor-shift.  No transcendentals (a
+# PSI's ln(p/q) would diverge between libm builds — CLAUDE.md rule).
+_DRIFT_SPLIT = "TIMESTAMP '2024-01-16 00:00:00'"
+_DRIFT_COUNTS_SQL = f"""
+    e AS (
+      SELECT event_type,
+             CASE WHEN CAST(ts AS TIMESTAMP) < {_DRIFT_SPLIT} THEN 1 ELSE 0 END AS is_train,
+             LEAST(9, CAST(floor(value / 50.0) AS INT)) AS bin
+      FROM events
+    ), c AS (
+      SELECT event_type, bin,
+             CAST(SUM(is_train) AS BIGINT) AS c_train,
+             CAST(SUM(1 - is_train) AS BIGINT) AS c_serve
+      FROM e GROUP BY event_type, bin
+    ), t AS (
+      SELECT event_type,
+             CAST(SUM(c_train) AS BIGINT) AS n_train,
+             CAST(SUM(c_serve) AS BIGINT) AS n_serve
+      FROM c GROUP BY event_type
+    ), terms AS (
+      SELECT c.event_type, c.bin, c.c_train, c.c_serve, t.n_train, t.n_serve,
+             (CAST(c_train * n_serve - c_serve * n_train AS DOUBLE)
+              * CAST(c_train * n_serve - c_serve * n_train AS DOUBLE))
+             / (CAST(n_train AS DOUBLE) * CAST(n_serve AS DOUBLE)
+                * CAST(c_train * n_serve + c_serve * n_train AS DOUBLE)) AS term
+      FROM c JOIN t ON c.event_type = t.event_type
+      WHERE t.n_train > 0 AND t.n_serve > 0
+    )
+"""
+
+
+def _drift_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared core of the drift family: per-(tag, bin) integer counts in
+    the train/serve windows, tag totals broadcast back, and the per-bin
+    chi-square-style term (see the block comment above)."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.expr(f"CASE WHEN ts < {_DRIFT_SPLIT} THEN 1 ELSE 0 END").alias("is_train"),
+        F.expr("LEAST(9, CAST(floor(value / 50.0) AS INT))").alias("bin"),
+    )
+    c = e.groupBy("event_type", "bin").agg(
+        F.expr("CAST(SUM(is_train) AS BIGINT)").alias("c_train"),
+        F.expr("CAST(SUM(1 - is_train) AS BIGINT)").alias("c_serve"),
+    )
+    t = c.groupBy("event_type").agg(
+        F.expr("CAST(SUM(c_train) AS BIGINT)").alias("n_train"),
+        F.expr("CAST(SUM(c_serve) AS BIGINT)").alias("n_serve"),
+    )
+    terms = (
+        c.join(F.broadcast(t), "event_type")
+        .where((F.col("n_train") > 0) & (F.col("n_serve") > 0))
+        .withColumn(
+            "term",
+            F.expr(
+                "(CAST(c_train * n_serve - c_serve * n_train AS DOUBLE)"
+                " * CAST(c_train * n_serve - c_serve * n_train AS DOUBLE))"
+                " / (CAST(n_train AS DOUBLE) * CAST(n_serve AS DOUBLE)"
+                "    * CAST(c_train * n_serve + c_serve * n_train AS DOUBLE))"
+            ),
+        )
+    )
+    return terms
+
+
+@register(
+    "ml_drift_bins",
+    oracle=f"""
+    WITH {_DRIFT_COUNTS_SQL}
+    SELECT event_type, bin, c_train, c_serve,
+           floor(CAST(c_train AS DOUBLE) / n_train * 1000000 + 0.5) / 1000000 AS p_train,
+           floor(CAST(c_serve AS DOUBLE) / n_serve * 1000000 + 0.5) / 1000000 AS p_serve,
+           floor(term * 1000000 + 0.5) / 1000000 AS drift_term
+    FROM terms
+    """,
+)
+def ml_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-drift histogram — the MLOps check between O39's registry and
+    O43's batch scorer: per (tag, value-bin), the train-window vs
+    serve-window rates and the bin's chi-square-style drift contribution.
+    A serving pipeline alerts (and triggers rebuild, reference
+    ``watchman`` role) when a tag's summed contribution crosses a
+    threshold.
+
+    One scan, two groupBys (bin grid, then tag totals), one broadcast-
+    size join back — counts are integers end-to-end, so the rates and
+    terms are bit-identical doubles before the floor-shift (see module
+    comment)."""
+    terms = _drift_terms(spark, sf_dir)
+    return terms.select(
+        "event_type",
+        "bin",
+        "c_train",
+        "c_serve",
+        F.expr("floor(CAST(c_train AS DOUBLE) / n_train * 1000000 + 0.5) / 1000000").alias("p_train"),
+        F.expr("floor(CAST(c_serve AS DOUBLE) / n_serve * 1000000 + 0.5) / 1000000").alias("p_serve"),
+        F.expr("floor(term * 1000000 + 0.5) / 1000000").alias("drift_term"),
+    )
+
+
+@register(
+    "ml_drift_score",
+    oracle=f"""
+    WITH {_DRIFT_COUNTS_SQL}
+    SELECT event_type,
+           CAST(MAX(n_train) AS BIGINT) AS n_train,
+           CAST(MAX(n_serve) AS BIGINT) AS n_serve,
+           floor(list_reduce(list(term ORDER BY bin), (a, b) -> a + b)
+                 * 1000000 + 0.5) / 1000000 AS drift_score,
+           (list_reduce(list(term ORDER BY bin), (a, b) -> a + b) > 0.05)
+             AS needs_rebuild
+    FROM terms
+    GROUP BY event_type
+    """,
+)
+def ml_drift_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tag scalar drift score: the sum of ``ml_drift_bins``'s
+    chi-square-style contributions, plus the rebuild flag the watchman
+    consumes.  The cross-bin sum is an ORDERED left fold (sort by bin,
+    then aggregate) on BOTH engines — a plain SUM() would accumulate in
+    partition order and the two engines' ulp noise would disagree at
+    the floor boundary; folding ≤10 bit-identical terms in a fixed
+    order is itself bit-identical, so the score needs no tolerance."""
+    terms = _drift_terms(spark, sf_dir)
+    folded = (
+        "aggregate(array_sort(collect_list(struct(bin, term))),"
+        " CAST(0 AS DOUBLE), (a, x) -> a + x.term)"
+    )
+    return terms.groupBy("event_type").agg(
+        F.expr("CAST(MAX(n_train) AS BIGINT)").alias("n_train"),
+        F.expr("CAST(MAX(n_serve) AS BIGINT)").alias("n_serve"),
+        F.expr(f"floor({folded} * 1000000 + 0.5) / 1000000").alias("drift_score"),
+        F.expr(f"({folded} > 0.05)").alias("needs_rebuild"),
+    )

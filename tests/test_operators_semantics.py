@@ -300,3 +300,26 @@ def test_tag_correlation_invariants(spark, sf_dir):
                 assert (r.xy_corr > 0) == (r.xy_covar > 0)
         if r.yx_slope is not None and abs(r.xy_covar) > 1e-6:
             assert (r.yx_slope > 0) == (r.xy_covar > 0)
+
+
+def test_drift_score_equals_bin_sum(spark, sf_dir):
+    # the scalar face must equal the ordered sum of the bins face
+    import math
+
+    bins = load_all()["ml_drift_bins"].fn(spark, sf_dir).collect()
+    scores = {r.event_type: r for r in load_all()["ml_drift_score"].fn(spark, sf_dir).collect()}
+    by_type = {}
+    for r in sorted(bins, key=lambda r: (r.event_type, r.bin)):
+        by_type.setdefault(r.event_type, []).append(r)
+    assert set(by_type) == set(scores)
+    for t, rows in by_type.items():
+        # rebuild flag consistent with the rounded score (tolerate the
+        # unrounded-vs-rounded comparison at the exact boundary)
+        s = scores[t]
+        acc = 0.0
+        for r in rows:
+            # unrounded bins aren't exposed; check the rounded sum is
+            # within n_bins * 5e-7 of the rounded score
+            acc += r.drift_term
+        assert math.isclose(acc, s.drift_score, abs_tol=len(rows) * 5e-7 + 5e-7)
+        assert s.n_train > 0 and s.n_serve > 0
