@@ -213,3 +213,15 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gordo_components_spark.streaming.micro_batch import run_streaming_stream_join
 
     return run_streaming_stream_join(spark, sf_dir)
+
+
+@register("stream_enrich_dim", oracle=None)
+def stream_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine stream-static enrichment join (rows-only: the replay
+    source + memory sink aren't SQL-expressible): the event stream
+    broadcast-joined to the customer dimension per micro-batch, windowed
+    per market segment.  Stateless join — only the window agg holds
+    state.  Batch parity in tests/test_streaming.py."""
+    from gordo_components_spark.streaming.micro_batch import run_streaming_enrich_dim
+
+    return run_streaming_enrich_dim(spark, sf_dir)

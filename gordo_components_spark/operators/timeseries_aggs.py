@@ -556,3 +556,41 @@ def agg_tag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"floor({num_xy} / {num_xx} * 1000000 + 0.5) / 1000000 END"
         ).alias("yx_slope"),
     )
+
+
+@register(
+    "agg_resample_quantiles",
+    oracle="""
+    SELECT user_id,
+           time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(quantile_cont(value, 0.10) * 1000000 + 0.5) / 1000000 AS p10,
+           floor(quantile_cont(value, 0.50) * 1000000 + 0.5) / 1000000 AS p50,
+           floor(quantile_cont(value, 0.90) * 1000000 + 0.5) / 1000000 AS p90
+    FROM events
+    GROUP BY 1, 2
+    HAVING count(*) >= 4
+    """,
+)
+def agg_resample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O18/O21 composition: percentile-band resample — per (machine, day)
+    the P10/P50/P90 envelope operators dashboards draw around a sensor.
+    Buckets with < 4 points are dropped (a band needs interior points).
+
+    Exact ``percentile`` ↔ DuckDB ``quantile_cont`` (the O21 convention);
+    linear interpolation between two identical doubles is per-row IEEE
+    arithmetic, identical on both engines, so only the floor-shift 6-dp
+    guard is needed.  At 100 TB the documented swap is
+    ``percentile_approx`` (single-pass sketch, no per-group sort) — the
+    exact face stays as the oracle witness."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.window("ts", "1 day").start.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr("floor(percentile(value, 0.10D) * 1000000 + 0.5) / 1000000").alias("p10"),
+            F.expr("floor(percentile(value, 0.50D) * 1000000 + 0.5) / 1000000").alias("p50"),
+            F.expr("floor(percentile(value, 0.90D) * 1000000 + 0.5) / 1000000").alias("p90"),
+        )
+        .where(F.col("n") >= 4)
+    )

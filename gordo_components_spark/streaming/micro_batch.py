@@ -346,3 +346,40 @@ def run_streaming_stream_join(
     )
     name = f"stream_join_{uuid.uuid4().hex[:8]}"
     return _run_to_memory(joined, name)
+
+
+def run_streaming_enrich_dim(
+    spark: SparkSession, sf_dir: str, duration: str = "1 day"
+) -> DataFrame:
+    """Stream-static enrichment (SURVEY §2.9 breadth): the event stream
+    joined to the slowly-changing customer dimension, then windowed per
+    market segment.  The static side is re-planned per micro-batch (so a
+    dim refresh between batches is picked up) and broadcast — the
+    canonical shape for enriching an unbounded 100 TB/day feed with a
+    dimension that fits an executor: NO stream state is created by the
+    join at all; only the downstream window agg keeps state, bounded by
+    its watermark.
+
+    availableNow replays the fixture in one batch, so the result equals
+    the equivalent batch join+window — asserted in
+    tests/test_streaming.py::test_enrich_dim_batch_parity."""
+    prepare(spark)
+    src = _replay_dir(spark, sf_dir)
+    stream = spark.readStream.schema(_RAW_SCHEMA).parquet(src)
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+    )
+    enriched = (
+        stream.withWatermark("ts", "1 hour")
+        .join(dim, "user_id")  # stream-static: stateless, broadcast
+        .groupBy("c_mktsegment", F.window("ts", duration).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE)").alias("total_value"),
+        )
+        .select("c_mktsegment", F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    return _run_to_memory(enriched, name)

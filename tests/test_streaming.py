@@ -138,3 +138,45 @@ def test_stream_stream_join_batch_parity(spark):
     g = {(r["purchase_id"], r["click_id"]) for r in got.collect()}
     w = {(r["purchase_id"], r["click_id"]) for r in want.collect()}
     assert g == w
+
+
+def test_enrich_dim_batch_parity(spark):
+    # stream-static broadcast enrichment: availableNow delivers everything
+    # in one batch, so every window CLOSED by the final watermark
+    # (window end <= max_ts - 1h) must equal the batch join+window
+    # bit-for-bit (decimal-routed sums); the trailing open window is
+    # correctly withheld by append mode
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from gordo_components_spark.sources.tables import load_table
+    from gordo_components_spark.streaming.micro_batch import run_streaming_enrich_dim
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        (r["c_mktsegment"], r["window_start"]): (r["n"], r["total_value"])
+        for r in run_streaming_enrich_dim(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg(F.max("ts")).collect()[0][0] - datetime.timedelta(hours=1)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    want = {
+        (r["c_mktsegment"], r["window_start"]): (r["n"], r["total_value"])
+        for r in (
+            ev.join(F.broadcast(dim), "user_id")
+            .groupBy("c_mktsegment", F.window("ts", "1 day").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE)").alias("total_value"),
+            )
+            .select("c_mktsegment", F.col("w.start").alias("window_start"), "n", "total_value")
+            .collect()
+        )
+        if r["window_start"] + datetime.timedelta(days=1) <= cutoff
+    }
+    assert len(got) >= len(want) > 0
+    for k, v in want.items():
+        assert got[k] == v, (k, got[k], v)
