@@ -287,3 +287,85 @@ def window_ewma_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.expr(_ewma_sql(_ORDER)).alias("value_ewma"),
     )
+
+
+# Statistical-process-control z-score against a TRAILING baseline window
+# (the classic control-chart rule: |z| > 3 vs the prior 20 readings).
+# The fixture's values are exact 2-dp decimals, so v100 = round(v*100) is
+# an exact integer and the baseline moments S1=Σv100, S2=Σv100² are exact
+# bigints (max n·v100² ≈ 9.6e11 < 2^53) — z is then a per-row float
+# expression over bit-identical integer inputs: sqrt is IEEE
+# exact-rounded, so BOTH engines produce the identical double and the
+# face needs no rounding convention (same contract as window_ewma_batch).
+_SPC_FRAME = f"{_ORDER} ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING"
+_SPC_MOMENTS = (
+    ("n_base", f"CAST(count(v100) OVER ({_SPC_FRAME}) AS BIGINT)"),
+    ("s1", f"CAST(sum(v100) OVER ({_SPC_FRAME}) AS BIGINT)"),
+    ("s2", f"CAST(sum(v100 * v100) OVER ({_SPC_FRAME}) AS BIGINT)"),
+)
+_SPC_BASE = ", ".join(f"{e} AS {a}" for a, e in _SPC_MOMENTS)
+_SPC_Z = (
+    "CASE WHEN n_base * s2 - s1 * s1 > 0 THEN "
+    "CAST(v100 * n_base - s1 AS DOUBLE) "
+    "* sqrt(CAST(n_base * (n_base - 1) AS DOUBLE)) "
+    "/ (CAST(n_base AS DOUBLE) * sqrt(CAST(n_base * s2 - s1 * s1 AS DOUBLE))) "
+    "ELSE NULL END"
+)
+
+
+@register(
+    "window_spc_zscore",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CAST(round(value * 100) AS BIGINT) AS v100
+      FROM events
+    ), m AS (
+      SELECT event_id, user_id, value, v100, {_SPC_BASE}
+      FROM v
+    )
+    SELECT event_id, user_id, value,
+           CAST(n_base AS BIGINT) AS n_base,
+           {_SPC_Z} AS zscore,
+           (({_SPC_Z}) IS NOT NULL AND abs({_SPC_Z}) > 3.0) AS is_out
+    FROM m
+    WHERE n_base >= 12
+    """,
+)
+def window_spc_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O25/O44 adjacency — control-chart scoring WITHOUT a model: each
+    reading's z-score against its machine's trailing-20 baseline (frame
+    excludes the current row, so a spike can't inflate its own
+    baseline), flagged at |z| > 3 — the Shewhart rule a plant runs on
+    tags that don't justify an autoencoder.  Warm-up rows (< 12 prior
+    readings) are dropped; a constant baseline (zero variance) yields
+    NULL rather than engine-specific inf/NaN.
+
+    Exactness: baseline moments are integer sums of the 2-dp-exact
+    readings (see block comment) — no rounding convention needed, the
+    z doubles are bit-identical.  One window pass per machine partition
+    (the O22–O25 invariant); at 100 TB this is a single sort-free
+    rolling frame per machine, no shuffle beyond the partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v100"),
+    )
+    m = v.select(
+        "event_id",
+        "user_id",
+        "value",
+        "v100",
+        *[F.expr(e).alias(a) for a, e in _SPC_MOMENTS],
+    )
+    return m.where(F.col("n_base") >= 12).select(
+        "event_id",
+        "user_id",
+        "value",
+        F.col("n_base").cast("bigint").alias("n_base"),
+        F.expr(_SPC_Z).alias("zscore"),
+        F.expr(f"(({_SPC_Z}) IS NOT NULL AND abs({_SPC_Z}) > 3.0)").alias("is_out"),
+    )

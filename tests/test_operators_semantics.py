@@ -323,3 +323,35 @@ def test_drift_score_equals_bin_sum(spark, sf_dir):
             acc += r.drift_term
         assert math.isclose(acc, s.drift_score, abs_tol=len(rows) * 5e-7 + 5e-7)
         assert s.n_train > 0 and s.n_serve > 0
+
+
+def test_spc_zscore_matches_numpy_baseline(spark, sf_dir):
+    # cross-check a sample of z-scores against a straight numpy
+    # trailing-window computation (independent of both SQL engines)
+    import numpy as np
+
+    rows = load_all()["window_spc_zscore"].fn(spark, sf_dir).collect()
+    assert rows
+    ev = sorted(
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    series = {}
+    for r in ev:
+        series.setdefault(r.user_id, []).append((r.event_id, r.value))
+    expect = {}
+    for uid, vs in series.items():
+        vals = [v for _, v in vs]
+        for i, (eid, v) in enumerate(vs):
+            base = vals[max(0, i - 20):i]
+            if len(base) >= 12 and np.std(base, ddof=1) > 0:
+                expect[eid] = (v - np.mean(base)) / np.std(base, ddof=1)
+    checked = 0
+    for r in rows[:500]:
+        if r.zscore is not None and r.event_id in expect:
+            assert abs(r.zscore - expect[r.event_id]) < 1e-9
+            assert r.is_out == (abs(r.zscore) > 3.0)
+            checked += 1
+    assert checked > 100
