@@ -793,3 +793,165 @@ def pipe_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_bucket") < F.col("keep_p_10k"))
         .drop("_bucket")
     )
+
+
+_BPE_SEP = "▁"  # ▁ — SentencePiece-style merge marker, absent from the corpus
+_BPE_ITERS = 3
+
+
+def _bpe_iteration_sql(i: int) -> str:
+    """One DuckDB CTE block of the BPE induction (see pipe_bpe_merges)."""
+    return f"""
+    , pos_{i} AS (
+      SELECT doc_id, t, unnest(range(1, len(t))) AS p FROM toks_{i}
+    ), cnt_{i} AS (
+      SELECT t[p] AS lhs, t[p+1] AS rhs, count(*) AS c
+      FROM pos_{i} GROUP BY 1, 2
+    ), best_{i} AS (
+      SELECT lhs, rhs, c FROM cnt_{i} ORDER BY c DESC, lhs, rhs LIMIT 1
+    ), match_{i} AS (
+      SELECT x.doc_id, x.p FROM pos_{i} x CROSS JOIN best_{i} b
+      WHERE x.t[x.p] = b.lhs AND x.t[x.p+1] = b.rhs
+    ), m_{i} AS (
+      SELECT doc_id, p FROM (
+        SELECT doc_id, p,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, grp ORDER BY p) AS rn
+        FROM (SELECT doc_id, p,
+                     p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+              FROM match_{i})
+      ) WHERE rn % 2 = 1
+    ), toks_{i + 1} AS (
+      SELECT doc_id, list(tok ORDER BY q) AS t FROM (
+        SELECT x.doc_id, x.q,
+               CASE WHEN mq.p IS NOT NULL THEN b.lhs || '{_BPE_SEP}' || b.rhs
+                    ELSE x.t[x.q] END AS tok
+        FROM (SELECT doc_id, t, unnest(range(1, len(t)+1)) AS q FROM toks_{i}) x
+        CROSS JOIN best_{i} b
+        LEFT JOIN m_{i} mq ON mq.doc_id = x.doc_id AND mq.p = x.q
+        LEFT JOIN m_{i} mp ON mp.doc_id = x.doc_id AND mp.p = x.q - 1
+        WHERE mp.p IS NULL
+      ) GROUP BY doc_id
+    ), stats_{i} AS (
+      SELECT {i} AS it, b.lhs, b.rhs, CAST(b.c AS BIGINT) AS pair_count,
+             CAST((SELECT count(*) FROM m_{i}) AS BIGINT) AS merges_applied,
+             CAST((SELECT sum(len(t)) FROM toks_{i + 1}) AS BIGINT) AS n_tokens_after
+      FROM best_{i} b
+    )"""
+
+
+_BPE_ORACLE = (
+    "WITH toks_1 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)"
+    + "".join(_bpe_iteration_sql(i) for i in range(1, _BPE_ITERS + 1))
+    + " SELECT * FROM "
+    + " UNION ALL SELECT * FROM ".join(f"stats_{i}" for i in range(1, _BPE_ITERS + 1))
+)
+
+
+@register("pipe_bpe_merges", oracle=_BPE_ORACLE)
+def pipe_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary induction — BPE's training loop run as
+    corpus-scale dataframe algebra: per iteration, count every adjacent
+    token pair, pick the most frequent (ties broken lexicographically so
+    the vocabulary is reproducible), merge it GREEDILY left-to-right in
+    every document, repeat.  Emits the merge table (iteration, pair,
+    corpus pair-count, merges actually applied, corpus token count
+    after) — the artifact a tokenizer trainer persists.
+
+    Greedy non-overlap without per-doc sequential state: matches of the
+    best pair can only be adjacent in same-token runs (l==r chains), so
+    the classic gaps-and-islands double row_number selects every ODD
+    match within an island — exactly the left-to-right greedy result,
+    verified against an independent pure-Python BPE in
+    tests/test_operators_semantics.py.  All outputs are integers; the
+    oracle runs the identical algorithm as one generated CTE chain
+    (``_bpe_iteration_sql``).
+
+    Scale shape per iteration: pair counting is one explode + combinable
+    groupBy; the argmax is TakeOrdered(1); the 1-row winner broadcasts
+    into the match/rebuild steps, whose windows and equi-joins all
+    partition on doc_id — no pair joins, no driver loops, nothing
+    collected.  The per-iteration token frames are persist_tracked:
+    each is consumed by BOTH its stats row and the next iteration
+    (exactly the chunk files a real BPE trainer keeps between merge
+    rounds at 100 TB)."""
+    from gordo_components_spark.caches import persist_tracked
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).repartition(n)
+    el = "element_at(t, CAST({0} AS INT))"
+    stats = None
+    for i in range(1, _BPE_ITERS + 1):
+        toks = persist_tracked(toks)
+        pos = toks.where(F.expr("size(t) >= 2")).select(
+            "doc_id", "t", F.explode(F.expr("sequence(1, size(t) - 1)")).alias("p")
+        )
+        cnt = (
+            pos.select(
+                F.expr(el.format("p")).alias("lhs"),
+                F.expr(el.format("p + 1")).alias("rhs"),
+            )
+            .groupBy("lhs", "rhs")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = cnt.orderBy(F.desc("c"), "lhs", "rhs").limit(1)
+        match = (
+            pos.crossJoin(F.broadcast(best))
+            .where(
+                (F.expr(el.format("p")) == F.col("lhs"))
+                & (F.expr(el.format("p + 1")) == F.col("rhs"))
+            )
+            .select("doc_id", "p")
+        )
+        m = (
+            match.select(
+                "doc_id",
+                "p",
+                F.expr("p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p)").alias("grp"),
+            )
+            .select(
+                "doc_id",
+                "p",
+                F.expr("ROW_NUMBER() OVER (PARTITION BY doc_id, grp ORDER BY p)").alias("rn"),
+            )
+            .where(F.col("rn") % 2 == 1)
+            .select("doc_id", "p")
+        )
+        mq = m.select(F.col("doc_id").alias("mq_doc"), F.col("p").alias("mq_p"))
+        mp = m.select(F.col("doc_id").alias("mp_doc"), F.col("p").alias("mp_p"))
+        qrows = (
+            toks.select("doc_id", "t", F.explode(F.expr("sequence(1, size(t))")).alias("q"))
+            .crossJoin(F.broadcast(best))
+            .join(mq, (F.col("doc_id") == F.col("mq_doc")) & (F.col("mq_p") == F.col("q")), "left")
+            .join(mp, (F.col("doc_id") == F.col("mp_doc")) & (F.col("mp_p") == F.col("q") - 1), "left")
+            .where(F.col("mp_p").isNull())
+            .select(
+                "doc_id",
+                "q",
+                F.when(
+                    F.col("mq_p").isNotNull(),
+                    F.concat(F.col("lhs"), F.lit(_BPE_SEP), F.col("rhs")),
+                )
+                .otherwise(F.expr(el.format("q")))
+                .alias("tok"),
+            )
+        )
+        toks = qrows.groupBy("doc_id").agg(
+            F.expr("transform(array_sort(collect_list(struct(q, tok))), x -> x.tok)").alias("t")
+        )
+        merges = m.agg(F.count(F.lit(1)).cast("bigint").alias("merges_applied"))
+        after = toks.agg(F.sum(F.size("t")).cast("bigint").alias("n_tokens_after"))
+        stat_i = (
+            best.crossJoin(F.broadcast(merges))
+            .crossJoin(F.broadcast(after))
+            .select(
+                F.lit(i).alias("it"),
+                "lhs",
+                "rhs",
+                F.col("c").cast("bigint").alias("pair_count"),
+                "merges_applied",
+                "n_tokens_after",
+            )
+        )
+        stats = stat_i if stats is None else stats.unionByName(stat_i)
+    return stats

@@ -355,3 +355,44 @@ def test_spc_zscore_matches_numpy_baseline(spark, sf_dir):
             assert r.is_out == (abs(r.zscore) > 3.0)
             checked += 1
     assert checked > 100
+
+
+def test_bpe_merges_match_pure_python(spark, sf_dir):
+    # the dataframe BPE must equal an independent sequential Python BPE
+    # (greedy left-to-right merge, count-then-lexicographic tiebreak)
+    import collections
+
+    from gordo_components_spark.operators.extensions_pipeline import (
+        _BPE_ITERS,
+        _BPE_SEP,
+    )
+
+    got = sorted(
+        (r.it, r.lhs, r.rhs, r.pair_count, r.merges_applied, r.n_tokens_after)
+        for r in load_all()["pipe_bpe_merges"].fn(spark, sf_dir).collect()
+    )
+    docs = {
+        r.doc_id: r.text for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    toks = {d: t.split(" ") for d, t in docs.items()}
+    want = []
+    for it in range(1, _BPE_ITERS + 1):
+        cnt = collections.Counter()
+        for t in toks.values():
+            for a, b in zip(t, t[1:]):
+                cnt[(a, b)] += 1
+        (l, r), c = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        merges = 0
+        for d, t in toks.items():
+            res, i = [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == l and t[i + 1] == r:
+                    res.append(l + _BPE_SEP + r)
+                    i += 2
+                    merges += 1
+                else:
+                    res.append(t[i])
+                    i += 1
+            toks[d] = res
+        want.append((it, l, r, c, merges, sum(len(t) for t in toks.values())))
+    assert got == want
