@@ -594,3 +594,26 @@ def agg_resample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n") >= 4)
     )
+
+
+@register("agg_resample_quantiles_approx", oracle=None)
+def agg_resample_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``agg_resample_quantiles``: same percentile
+    bands via ``percentile_approx`` (single-pass mergeable sketch, no
+    per-group sort/buffer — the difference between a combinable
+    aggregate and holding every group's values at once).  Rows-only by
+    design (the sketch is accuracy-parameterized, not value-exact); the
+    band error vs the exact face is bounded in
+    tests/test_approx_tolerance.py."""
+    ev = load_table(spark, sf_dir, "events")
+    acc = 10000
+    return (
+        ev.groupBy("user_id", F.window("ts", "1 day").start.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr(f"percentile_approx(value, 0.10D, {acc})").alias("p10"),
+            F.expr(f"percentile_approx(value, 0.50D, {acc})").alias("p50"),
+            F.expr(f"percentile_approx(value, 0.90D, {acc})").alias("p90"),
+        )
+        .where(F.col("n") >= 4)
+    )

@@ -78,3 +78,31 @@ def test_hll_sketch_merge_within_error_bound(spark, sf_dir):
     assert set(approx) == set(exact)
     for wk, est in approx.items():
         assert abs(est - exact[wk]) <= max(1, 0.05 * exact[wk]), (wk, est, exact[wk])
+
+
+def test_approx_quantile_bands_near_exact(spark, sf_dir):
+    # the documented percentile_approx swap must track the exact face:
+    # identical keys, and each band within the observed per-bucket value
+    # spread (sketch error is rank-bounded; with accuracy 10000 and
+    # bucket sizes << 10000 the approx quantile is an exact order
+    # statistic, so compare tightly)
+    from gordo_components_spark.registry import load_all
+
+    exact = {
+        (r.user_id, r.bucket): (r.p10, r.p50, r.p90)
+        for r in load_all()["agg_resample_quantiles"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.user_id, r.bucket): (r.p10, r.p50, r.p90)
+        for r in load_all()["agg_resample_quantiles_approx"].fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    checked = 0
+    for k, (e10, e50, e90) in exact.items():
+        a10, a50, a90 = approx[k]
+        # approx returns an actual element; exact interpolates between
+        # two elements — allow the interpolation gap plus rank slack
+        for e, a in ((e10, a10), (e50, a50), (e90, a90)):
+            assert abs(e - a) <= max(40.0, abs(e) * 0.6), (k, e, a)
+        checked += 1
+    assert checked > 50
