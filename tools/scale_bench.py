@@ -55,6 +55,9 @@ HEAVY = (
     "pipe_quota_sample",
     "ext_ngram_novelty",
     "agg_sensor_gaps",
+    # round 5 late: the 3-iteration BPE induction (explode + groupBy +
+    # windowed rebuild per round — the heaviest multi-pass corpus op)
+    "pipe_bpe_merges",
 )
 
 
