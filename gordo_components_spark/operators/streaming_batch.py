@@ -179,12 +179,14 @@ def stream_genuine(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``foreachbatch``    (O33): micro-batch model scoring via foreachBatch
     - ``watermark_dedup`` (O37): dropDuplicatesWithinWatermark
     - ``stateful_ewma``   (O35): applyInPandasWithState across batches
+    - ``enrich_dim``      (r5): stream-static broadcast dim enrichment
 
     Batch↔stream parity for every stage is asserted in
     tests/test_streaming.py; the per-stage queries stay registered for
     the replica.  Summaries aggregate inside the plan (no driver-side
     collect of stage outputs)."""
     from gordo_components_spark.streaming.micro_batch import (
+        run_streaming_enrich_dim,
         run_streaming_scoring,
         run_streaming_stateful_ewma,
         run_streaming_tumbling_agg,
@@ -200,6 +202,7 @@ def stream_genuine(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.unionByName(leg("foreachbatch", run_streaming_scoring(spark, sf_dir)))
     out = out.unionByName(leg("watermark_dedup", run_streaming_watermark_dedup(spark, sf_dir)))
     out = out.unionByName(leg("stateful_ewma", run_streaming_stateful_ewma(spark, sf_dir)))
+    out = out.unionByName(leg("enrich_dim", run_streaming_enrich_dim(spark, sf_dir)))
     return out
 
 
