@@ -100,3 +100,94 @@ def api_model_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "machine string, model_key string, n_samples bigint, n_features int, "
         "total_threshold double, cache_hit boolean",
     )
+
+
+# ---- workflow generation (SURVEY §3.4, reference `gordo workflow
+# generate`: machine-config YAML → one training job per machine/tag) ----
+#
+# Machine configs are built deterministically from constants at module
+# import, so the expected expansion is known statically and the oracle
+# can declare it as a VALUES table: the driver then verifies that
+# Spark's actual UDTF machinery (Python YAML parsing inside an
+# arrow-batched lateral join) reproduces the declared job matrix.
+_WF_MACHINES = {
+    "machine-a": {"tags": ["click", "view"], "resolution": "10min", "kind": "feedforward", "n_splits": 3},
+    "machine-b": {"tags": ["click", "purchase", "view"], "resolution": "30min", "kind": "lstm", "n_splits": 3},
+    "machine-c": {"tags": ["error", "signup"], "resolution": "60min", "kind": "feedforward", "n_splits": 5},
+}
+
+
+def _wf_config_yaml(name: str) -> str:
+    import yaml
+
+    m = _WF_MACHINES[name]
+    return yaml.safe_dump(
+        {
+            "name": name,
+            "dataset": {"tags": m["tags"], "resolution": m["resolution"]},
+            "model": {"kind": m["kind"]},
+            "evaluation": {"cv_mode": "full_build", "n_splits": m["n_splits"]},
+        },
+        sort_keys=True,
+    )
+
+
+def _wf_expected_rows():
+    return [
+        (name, tag, m["resolution"], m["kind"], m["n_splits"])
+        for name, m in sorted(_WF_MACHINES.items())
+        for tag in m["tags"]
+    ]
+
+
+_WF_ORACLE = "SELECT * FROM (VALUES " + ", ".join(
+    f"('{m}', '{t}', '{r}', '{k}', {n})" for m, t, r, k, n in _wf_expected_rows()
+) + ") AS j(machine, tag, resolution, model_kind, n_splits)"
+
+
+@register("udtf_workflow_expand", oracle=_WF_ORACLE)
+def udtf_workflow_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.4 `gordo workflow generate` restated: machine-config YAML in,
+    one row per (machine, tag) training job out — the job matrix the
+    reference hands to Argo, here the frame a scheduler hands to
+    `groupBy(machine).applyInPandas(train)`.  Implemented as a Python
+    UDTF in a LATERAL join (the §2.10 table-function surface): YAML
+    parsing is genuinely Python, and it runs at the metadata layer
+    (hundreds of configs), never the data hot path.
+
+    The UDTF is arrow-batched (``useArrow=True`` →
+    ``ArrowEvalPythonUDTF`` — the sanctioned island node, NOT the
+    row-wise ``BatchEvalPython`` the plan audit hard-fails).  The
+    oracle is the statically-known job matrix: configs are module-level
+    constants, so the driver checks that the real UDTF machinery
+    reproduces the declared expansion bit-for-bit."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="machine string, tag string, resolution string, "
+        "model_kind string, n_splits int",
+        useArrow=True,
+    )
+    class WorkflowExpand:
+        def eval(self, name: str, cfg_yaml: str):
+            import yaml
+
+            cfg = yaml.safe_load(cfg_yaml)
+            for tag in cfg["dataset"]["tags"]:
+                yield (
+                    cfg["name"],
+                    tag,
+                    cfg["dataset"]["resolution"],
+                    cfg["model"]["kind"],
+                    int(cfg["evaluation"]["n_splits"]),
+                )
+
+    spark.udtf.register("workflow_expand", WorkflowExpand)
+    configs = spark.createDataFrame(
+        [(n, _wf_config_yaml(n)) for n in sorted(_WF_MACHINES)],
+        "name string, cfg string",
+    )
+    configs.createOrReplaceTempView("wf_configs")
+    return spark.sql(
+        "SELECT f.* FROM wf_configs c, LATERAL workflow_expand(c.name, c.cfg) f"
+    )

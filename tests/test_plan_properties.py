@@ -218,3 +218,19 @@ def test_ngram_novelty_one_scan_no_join_no_broadcast(spark, sf_dir):
     assert plan.count("Scan parquet") == 2  # one node, listed twice
     assert "Join" not in plan
     assert "Broadcast" not in plan
+
+
+def test_udtf_workflow_expand_is_arrow_island(spark, sf_dir):
+    # the table-function surface must be the arrow-batched UDTF node,
+    # never the row-wise BatchEvalPython the audit hard-fails; and the
+    # expansion must equal the statically-declared job matrix
+    from gordo_components_spark.operators.dataset_api import _wf_expected_rows
+
+    plan = plan_of(spark, "udtf_workflow_expand", sf_dir)
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "BatchEvalPython" not in plan
+    got = sorted(
+        tuple(r)
+        for r in load_all()["udtf_workflow_expand"].fn(spark, sf_dir).collect()
+    )
+    assert got == sorted(_wf_expected_rows())
