@@ -394,3 +394,50 @@ def ml_train_recurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _spread(feats).groupBy("user_id").applyInPandas(fn, schema)
+
+
+@register("ml_train_glm", oracle=None)
+def ml_train_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib supervised estimator face (BASELINE.json "MLlib for feature
+    engineering"): ONE global linear model trained data-parallel on the
+    whole corpus — the complement of the per-machine numpy islands
+    (model-parallel).  Regresses each machine-day's 'purchase' mean on
+    its 'error' mean — the same relationship ``agg_tag_correlation``
+    profiles, so the fitted slope is independently checkable against
+    closed-form OLS (tests/test_mllib_pipeline.py).
+
+    Rows-only by design (MLlib's L-BFGS path is iterative float); the
+    run uses ``solver="normal"`` (distributed normal equations: one
+    treeAggregate of X'X / X'y, exact in one pass — the 100 TB shape
+    for low-dimensional GLMs).  Output is the 1-row model card:
+    coefficient, intercept, RMSE, r², n."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    from gordo_components_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.groupBy("user_id", F.window("ts", "1 day").start.alias("bucket"))
+        .agg(
+            F.avg(F.when(F.col("event_type") == "error", F.col("value"))).alias("x"),
+            F.avg(F.when(F.col("event_type") == "purchase", F.col("value"))).alias("y"),
+        )
+        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    feats = VectorAssembler(inputCols=["x"], outputCol="features").transform(b)
+    lr = LinearRegression(featuresCol="features", labelCol="y", solver="normal")
+    model = lr.fit(feats)
+    s = model.summary
+    return spark.createDataFrame(
+        [
+            (
+                float(model.coefficients[0]),
+                float(model.intercept),
+                float(s.rootMeanSquaredError),
+                float(s.r2),
+                int(s.numInstances),
+            )
+        ],
+        "coef_x double, intercept double, rmse double, r2 double, n bigint",
+    )

@@ -20,3 +20,35 @@ def test_mllib_fit_score_persist(spark, sf_dir, tmp_path):
     b = loaded.transform(feats).select("pca").toPandas()
     for va, vb in zip(a["pca"], b["pca"]):
         np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+
+def test_glm_matches_closed_form_ols(spark, sf_dir):
+    # the distributed normal-equations GLM must match numpy's closed-form
+    # OLS on the same (x, y) pairs
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from gordo_components_spark.registry import load_all
+    from gordo_components_spark.sources.tables import load_table
+
+    card = load_all()["ml_train_glm"].fn(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.groupBy("user_id", F.window("ts", "1 day").start.alias("bucket"))
+        .agg(
+            F.avg(F.when(F.col("event_type") == "error", F.col("value"))).alias("x"),
+            F.avg(F.when(F.col("event_type") == "purchase", F.col("value"))).alias("y"),
+        )
+        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .collect()
+    )
+    x = np.array([r.x for r in b])
+    y = np.array([r.y for r in b])
+    A = np.stack([x, np.ones_like(x)], axis=1)
+    (coef, intercept), *_ = np.linalg.lstsq(A, y, rcond=None)
+    assert card.n == len(x)
+    assert abs(card.coef_x - coef) < 1e-6
+    assert abs(card.intercept - intercept) < 1e-6
+    resid = y - (coef * x + intercept)
+    assert abs(card.rmse - float(np.sqrt(np.mean(resid**2)))) < 1e-6
