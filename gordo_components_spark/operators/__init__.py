@@ -13,6 +13,7 @@ Module map (SURVEY.md §2 categories):
 - ``model_sql``           — SQL-expressible faces of the model plane (O40/O44–O46)
 - ``providers``           — O1–O5 scan/provider surface + partition pruning
 - ``dataset_api``         — public-API entries (TimeSeriesDataset/ModelBuilder/client)
+- ``extensions_corpus``   — corpus lifecycle: incremental dedup, snapshot diff, LM-OOV filter, heavy hitters
 - ``extensions_dedup``    — E1/E2 + SimHash/Jaccard/components dedup family
 - ``extensions_similarity`` — E3/E6 vector search (brute-force + IVF) & centroids
 - ``extensions_text``     — E4 text analysis (lang-id, quality, tokens, fingerprints)
@@ -23,6 +24,7 @@ Module map (SURVEY.md §2 categories):
 from gordo_components_spark.operators import (  # noqa: F401
     alignment,
     dataset_api,
+    extensions_corpus,
     extensions_dedup,
     extensions_multimodal,
     extensions_pipeline,

@@ -1,0 +1,389 @@
+"""Corpus lifecycle operators — the delta/versioning/LM layer a 100 TB
+training-data pipeline runs BETWEEN crawls: incremental dedup of a new
+batch against a persisted historical digest index, snapshot diffing of
+two corpus versions, n-gram-LM out-of-vocabulary quality filtering
+(CCNet-style), and two-pass heavy-hitter token mining (Misra–Gries
+candidate sketch + exact recount).
+
+All four faces are oracle-exact (integer / digest outputs only).  The
+scale posture that makes each honest at 100 TB is documented per
+operator; the common theme is *never rescan history*: the historical
+side is reduced once (digest index, bigram vocabulary, per-partition
+sketch) and only the delta / candidate set shuffles afterwards.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gordo_components_spark.registry import register
+from gordo_components_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs persisted historical digest index
+# ---------------------------------------------------------------------------
+
+_DEDUP_IDX_ROOT = "/tmp/gordo_spark_dedupidx"
+
+
+def build_dedup_index(spark: SparkSession, sf_dir: str, force: bool = False) -> str:
+    """Materialize the historical digest index ONCE per corpus: the
+    md5(text) set of the historical split, written as parquet partitioned
+    by ``hp=`` (first hex nibble, 16 partitions).
+
+    At 100 TB this is the whole point of *incremental* dedup: history is
+    scanned exactly once ever; every nightly delta batch joins against
+    this (much smaller) digest index instead of re-reading the corpus.
+    The ``hp=`` layout keeps the index droppable/compactable per shard
+    and gives the anti-join a pre-bucketed build side.
+
+    Same cache discipline as ``build_ivf_index`` (advisory-hardened):
+    fingerprint marker + payload-dir existence check, temp-dir build +
+    atomic rename so a concurrent builder can never expose a half-index.
+    """
+    base = os.path.basename(os.path.normpath(sf_dir))
+    root = f"{_DEDUP_IDX_ROOT}_{base}"
+    marker = os.path.join(root, "_BUILT.json")
+    payload = os.path.join(root, "hist")
+    import pyarrow.parquet as pq
+
+    n_rows = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    fp = {"sf_dir": sf_dir, "n_rows": n_rows, "v": 1}
+    if not force and os.path.isfile(marker) and os.path.isdir(payload):
+        try:
+            with open(marker) as fh:
+                if json.load(fh) == fp:
+                    return root
+        except (OSError, ValueError):
+            pass
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (
+        docs.where(F.col("doc_id") % 5 != 0)
+        .select(F.md5("text").alias("text_hash"))
+        .distinct()
+        .withColumn("hp", F.substring("text_hash", 1, 1))
+    )
+    tmp = f"{root}.tmp.{os.getpid()}"
+    hist.repartition("hp").write.mode("overwrite").partitionBy("hp").parquet(
+        os.path.join(tmp, "hist")
+    )
+    with open(os.path.join(tmp, "_BUILT.json"), "w") as fh:
+        json.dump(fp, fh)
+    if os.path.isdir(root):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+    os.replace(tmp, root)
+    return root
+
+
+@register(
+    "pipe_dedup_incremental",
+    oracle="""
+    WITH hist AS (
+      SELECT DISTINCT md5(text) AS text_hash FROM documents WHERE doc_id % 5 <> 0
+    ), batch AS (
+      SELECT doc_id, md5(text) AS text_hash FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, md5(text) AS text_hash
+      FROM documents WHERE doc_id % 7 = 0
+    ), intra AS (
+      SELECT text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_in_batch
+      FROM batch GROUP BY text_hash
+    )
+    SELECT i.text_hash, i.keep_id, CAST(i.n_in_batch AS BIGINT) AS n_in_batch
+    FROM intra i
+    WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.text_hash = i.text_hash)
+    """,
+)
+def pipe_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta-batch) exact dedup — the nightly-crawl shape of
+    E1: a new batch (fresh docs plus re-crawls of already-ingested
+    texts) is deduped first WITHIN the batch (min-doc_id wins per
+    digest), then against the HISTORICAL corpus via an anti-join on a
+    persisted digest index (``build_dedup_index``).  Output = the batch
+    survivors that have never been seen before.
+
+    100 TB shape: the historical corpus is never rescanned — its digest
+    set was reduced once into an ``hp=``-partitioned parquet index; a
+    delta batch is orders of magnitude smaller than history, so the
+    anti-join shuffles only (batch digests + index digests), both
+    digest-width, never text.  Intra-batch dedup is one combinable
+    groupBy on the digest.  The fixture models history as doc_id%5!=0
+    and the batch as doc_id%5=0 plus re-crawled copies (doc_id%7=0,
+    re-identified) so both the fresh-survivor and seen-before paths are
+    exercised."""
+    root = build_dedup_index(spark, sf_dir)
+    hist = spark.read.parquet(os.path.join(root, "hist")).select("text_hash")
+    docs = load_table(spark, sf_dir, "documents")
+    batch = (
+        docs.where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", F.md5("text").alias("text_hash"))
+        .unionAll(
+            docs.where(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.md5("text").alias("text_hash"),
+            )
+        )
+    )
+    intra = batch.groupBy("text_hash").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_in_batch")
+    )
+    return intra.join(hist, "text_hash", "left_anti").select(
+        "text_hash", "keep_id", F.col("n_in_batch").cast("long").alias("n_in_batch")
+    )
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff: corpus version v1 vs v2
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipe_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+    ), v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN md5(text || ' rev2') ELSE md5(text) END AS h
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id, md5(text || ' new') AS h
+      FROM documents WHERE doc_id % 17 = 0
+    )
+    SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           v1.h AS old_hash, v2.h AS new_hash
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.h <> v2.h
+    """,
+)
+def pipe_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the data-versioning primitive (what a lake
+    table format computes between two commits): full-outer join of two
+    corpus versions on the stable key, rows classified added / removed /
+    changed by digest comparison; unchanged rows are filtered out so the
+    result is delta-sized, not corpus-sized.
+
+    The fixture derives v2 from v1 deterministically (drop doc_id%13,
+    revise text of doc_id%11, add re-keyed doc_id%17 copies) so both
+    engines construct identical versions without extra fixtures.  100 TB
+    shape: one shuffle on the key for the join; comparing md5 digests
+    (not text) keeps shuffle rows digest-width — and with both versions
+    stored bucketed by doc_id the join needs no shuffle at all.  The
+    output is the CDC feed downstream incremental jobs consume."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", F.md5("text").alias("h"))
+    v2 = (
+        docs.where(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 11 == 0, F.md5(F.concat(F.col("text"), F.lit(" rev2"))))
+            .otherwise(F.md5("text"))
+            .alias("h"),
+        )
+        .unionAll(
+            docs.where(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.md5(F.concat(F.col("text"), F.lit(" new"))).alias("h"),
+            )
+        )
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    joined = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+    change = (
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.where(
+        F.col("a.doc_id").isNull()
+        | F.col("b.doc_id").isNull()
+        | (F.col("a.h") != F.col("b.h"))
+    ).select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        change.alias("change_type"),
+        F.col("a.h").alias("old_hash"),
+        F.col("b.h").alias("new_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram LM OOV-rate quality filter (CCNet-style, integer-exact)
+# ---------------------------------------------------------------------------
+
+_LM_MIN_COUNT = 2  # bigram must occur >= this often in train to enter the vocab
+
+
+@register(
+    "ext_lm_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, t[p] || ' ' || t[p+1] AS gram
+      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS p FROM tok)
+    ), vocab AS (
+      SELECT gram FROM grams WHERE doc_id % 10 < 8
+      GROUP BY gram HAVING COUNT(*) >= {_LM_MIN_COUNT}
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN v.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST((SUM(CASE WHEN v.gram IS NULL THEN 1 ELSE 0 END) * 1000)
+                // COUNT(*) AS BIGINT) AS oov_permille
+    FROM (SELECT * FROM grams WHERE doc_id % 10 >= 8) g
+    LEFT JOIN vocab v ON g.gram = v.gram
+    GROUP BY g.doc_id
+    """,
+)
+def ext_lm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-LM quality filtering, the integer-exact face (CCNet trains
+    a KenLM on a clean split and drops held-out docs the model finds
+    surprising): a bigram vocabulary is induced on the train split
+    (doc_id%10<8, min-count 2), and every held-out doc is scored by
+    its out-of-vocabulary bigram rate — high OOV-permille = the doc's
+    word transitions never occur in clean text (gibberish, boilerplate,
+    wrong-language), the exact signal perplexity filters threshold on.
+    All outputs are integers (count, count, floor-permille) so the
+    oracle is bit-exact; the log-prob variant of the same pipeline is
+    ``ext_lm_cross_entropy`` (rows-only — transcendentals are excluded
+    from checked outputs by repo convention).
+
+    100 TB shape: the vocabulary is corpus-scale (never broadcast,
+    plan-audited); grams shuffle once on the gram for both the vocab
+    reduction and the held-out probe join — a combinable groupBy and one
+    shuffle-hash left join, then a doc_id rollup.  The train side is
+    reduced to (gram) rows once; at scale the vocab would persist as an
+    index and nightly batches would join against it exactly like
+    ``pipe_dedup_incremental``'s digest index."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    bigrams = F.expr(
+        "transform(sequence(1, size(t) - 1),"
+        " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+    )
+    grams = (
+        docs.select("doc_id", F.split("text", " ").alias("t"))
+        .where(F.expr("size(t) >= 2"))
+        .select("doc_id", F.explode(bigrams).alias("gram"))
+    )
+    vocab = (
+        grams.where(F.col("doc_id") % 10 < 8)
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= _LM_MIN_COUNT)
+        .select("gram")
+    )
+    held = grams.where(F.col("doc_id") % 10 >= 8).repartition(n, "gram")
+    probed = held.join(vocab.withColumn("in_vocab", F.lit(1)), "gram", "left")
+    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        oov.alias("n_oov"),
+    ).select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("n_oov").cast("long").alias("n_oov"),
+        F.expr("CAST((n_oov * 1000) DIV n_bigrams AS BIGINT)").alias("oov_permille"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters: Misra-Gries candidates + exact recount (two-pass)
+# ---------------------------------------------------------------------------
+
+_HH_INV_PHI = 2000  # heavy hitter := global count > N / _HH_INV_PHI
+_HH_CAPACITY = 2047  # per-partition Misra-Gries capacity (>= _HH_INV_PHI - 1)
+
+
+def _misra_gries_partition(batches, capacity: int):
+    """Per-partition Misra–Gries summary over a token stream, vectorized:
+    chunk value_counts merge into a dict; when the dict exceeds
+    ``capacity``, subtract the (capacity+1)-th largest residual from all
+    entries and drop the non-positives (the batched decrement step).
+    Each decrement round debits >= capacity+1 counters, so total
+    per-item undercount <= Np/(capacity+1) — any token with local count
+    above that bound survives.  Emits (token, est) survivor rows plus
+    one (NULL, Np) stream-length row so pass 2 gets N for free."""
+    import pandas as pd
+
+    counts: dict[str, int] = {}
+    np_total = 0
+    for pdf in batches:
+        for toks in pdf["t"]:
+            np_total += len(toks)
+            vc = pd.Series(toks).value_counts()
+            for tok, c in vc.items():
+                counts[tok] = counts.get(tok, 0) + int(c)
+            if len(counts) > capacity:
+                ordered = sorted(counts.values(), reverse=True)
+                debit = ordered[capacity]
+                counts = {t: c - debit for t, c in counts.items() if c > debit}
+    out = pd.DataFrame(
+        {"token": list(counts.keys()) + [None], "est": list(counts.values()) + [np_total]}
+    )
+    yield out.astype({"est": "int64"})
+
+
+@register(
+    "agg_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT t.token FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+    ), tot AS (
+      SELECT COUNT(*) AS n FROM tok
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tok, tot
+    GROUP BY token, tot.n
+    HAVING COUNT(*) * {_HH_INV_PHI} > tot.n
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-token mining via the classic two-pass distributed heavy
+    hitter: pass 1 runs a Misra–Gries sketch per partition (bounded
+    memory — capacity 2047 counters regardless of vocabulary size) to
+    produce a candidate set plus the exact stream length; pass 2
+    recounts ONLY the candidates exactly and keeps those with count >
+    N/2000.
+
+    The sketch guarantee (any token with global count > N/2000 exceeds
+    Np/(capacity+1) in at least one partition by pigeonhole, so it
+    survives that partition's summary) means candidates ⊇ true heavy
+    hitters; the exact recount then removes false positives — so the
+    approximate pipeline's OUTPUT is exact, and the oracle is a plain
+    HAVING query.  This is how sketches should be used at 100 TB: the
+    full token groupBy would shuffle the corpus vocabulary; here pass 1
+    reduces each partition to <= capacity+1 rows driver-free, the
+    candidate set (<= capacity·partitions rows) broadcasts into pass 2's
+    semi-join, and only candidate occurrences reach the final combinable
+    groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    toks = docs.select(F.split("text", " ").alias("t")).repartition(n)
+    summaries = toks.mapInPandas(
+        lambda it: _misra_gries_partition(it, _HH_CAPACITY), "token string, est long"
+    )
+    from gordo_components_spark.caches import persist_tracked
+
+    summaries = persist_tracked(summaries)
+    total = summaries.where(F.col("token").isNull()).agg(F.sum("est").alias("n"))
+    candidates = summaries.where(F.col("token").isNotNull()).select("token").distinct()
+    occurrences = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    exact = (
+        occurrences.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * _HH_INV_PHI > F.col("n"))
+        .select("token", F.col("cnt").cast("long").alias("cnt"))
+    )
