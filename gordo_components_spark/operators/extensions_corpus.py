@@ -387,3 +387,242 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cnt") * _HH_INV_PHI > F.col("n"))
         .select("token", F.col("cnt").cast("long").alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE encode: apply the induced merge table corpus-wide (Arrow island)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_encode_oracle() -> str:
+    """Oracle for ``pipe_bpe_encode``: the SAME generated CTE chain that
+    verifies ``pipe_bpe_merges`` (the iterative corpus rebuild), but
+    selecting the FINAL token state instead of the merge stats — an
+    independent algorithm path from the Spark side's rank-ordered greedy
+    apply, so agreement is a strong cross-check of BPE semantics."""
+    from gordo_components_spark.operators.extensions_pipeline import (
+        _BPE_ITERS,
+        _bpe_iteration_sql,
+    )
+
+    return (
+        "WITH toks_1 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)"
+        + "".join(_bpe_iteration_sql(i) for i in range(1, _BPE_ITERS + 1))
+        + f" SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,"
+        f" array_to_string(t, '␟') AS toks FROM toks_{_BPE_ITERS + 1}"
+    )
+
+
+def _bpe_apply_batches(batches, merges: list):
+    """Greedy left-to-right application of the ranked merge list to each
+    doc's token sequence — identical semantics to one odd-island merge
+    pass per rank (what both the DF loop and the CTE oracle compute)."""
+    import pandas as pd
+
+    def encode(text: str) -> list:
+        toks = text.split(" ")
+        for lhs, rhs, joined in merges:
+            out, i, n = [], 0, len(toks)
+            while i < n:
+                if i + 1 < n and toks[i] == lhs and toks[i + 1] == rhs:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        return toks
+
+    for pdf in batches:
+        enc = [encode(t) for t in pdf["text"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_tokens": [len(t) for t in enc],
+                "toks": ["␟".join(t) for t in enc],
+            }
+        )
+
+
+@register("pipe_bpe_encode", oracle=_bpe_encode_oracle())
+def pipe_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale — the encode half of the BPE
+    loop (``pipe_bpe_merges`` is the train half): the induced merge
+    table (one row per rank — the trainer artifact, here collected from
+    the induction query itself; at scale it loads from the model
+    registry) is broadcast to an Arrow-batched ``mapInPandas`` island
+    that greedily applies each merge rank left-to-right per document.
+
+    The driver boundary is the merge TABLE (rank count rows — bounded by
+    the vocabulary budget, never by corpus size); the corpus itself is
+    encoded in one embarrassingly-parallel scan with zero shuffles.  The
+    oracle rebuilds the final token state through the generated
+    per-iteration CTE chain — a completely different algorithm shape
+    (corpus-wide odd-island rebuild per rank) that must agree
+    bit-exactly, token list and all."""
+    from gordo_components_spark.ml.islands import _spread
+    from gordo_components_spark.operators.extensions_pipeline import (
+        _BPE_SEP,
+        pipe_bpe_merges,
+    )
+
+    rows = pipe_bpe_merges(spark, sf_dir).select("it", "lhs", "rhs").orderBy("it").collect()
+    merges = [(r["lhs"], r["rhs"], f"{r['lhs']}{_BPE_SEP}{r['rhs']}") for r in rows]
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _spread(docs, ("doc_id",)).mapInPandas(
+        lambda it: _bpe_apply_batches(it, merges),
+        "doc_id long, n_tokens long, toks string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# LM cross-entropy (rows-only: transcendental outputs by design)
+# ---------------------------------------------------------------------------
+
+
+@register("ext_lm_cross_entropy")
+def ext_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The log-prob face of ``ext_lm_oov_rate`` — per held-out document,
+    add-one-smoothed bigram cross-entropy under the train-split LM:
+    H(d) = -(1/n) Σ ln((c(w1 w2)+1)/(c(w1)+V)), the CCNet/KenLM quality
+    score pipelines threshold on.  Registered rows-only: ln() outputs
+    are excluded from hash-checked faces by repo convention (engines'
+    libm may differ in the last ulp); numeric parity vs an independent
+    numpy LM is pinned in tests/test_corpus_lifecycle.py instead.
+
+    Same scale shape as the OOV face: bigram/unigram count reductions on
+    the train split (combinable groupBys, vocabulary never broadcast),
+    two shuffle joins on the gram keys, one doc_id rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    bigrams = F.expr(
+        "transform(sequence(1, size(t) - 1),"
+        " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+    )
+    grams = toks.where(F.expr("size(t) >= 2")).select(
+        "doc_id",
+        F.explode(bigrams).alias("gram"),
+    )
+    unis = toks.select("doc_id", F.explode("t").alias("w"))
+    train_g = grams.where(F.col("doc_id") % 10 < 8)
+    train_u = unis.where(F.col("doc_id") % 10 < 8)
+    big_c = train_g.groupBy("gram").agg(F.count(F.lit(1)).alias("c2"))
+    uni_c = train_u.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    v_size = uni_c.agg(F.count(F.lit(1)).alias("v"))
+    held = (
+        grams.where(F.col("doc_id") % 10 >= 8)
+        .withColumn("w", F.expr("split(gram, ' ')[0]"))
+        .repartition(n, "gram")
+    )
+    scored = (
+        held.join(big_c, "gram", "left")
+        .join(uni_c, "w", "left")
+        .crossJoin(F.broadcast(v_size))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + 1.0)
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+                )
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("nll"), 6).alias("cross_entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup: learned KMeans clusters as the blocking key (SemDeDup)
+# ---------------------------------------------------------------------------
+
+_SEM_K = 16  # clusters
+_SEM_M = 3  # multi-assignment spill: each vector joins its m nearest clusters
+_SEM_TAU = 0.30  # cosine threshold, matches ext_dedup_embed_cos
+
+
+@register("ext_dedup_semantic")
+def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: instead of a GIVEN blocking key
+    (``ext_dedup_embed_cos`` blocks on the fixture's label), LEARN the
+    blocks — MLlib KMeans (fixed seed) clusters the embedding space and
+    near-duplicate pairs are mined only WITHIN shared clusters, with
+    IVF-style MULTI-ASSIGNMENT: each vector spills into its m nearest
+    centroids, so pairs that straddle one cluster boundary are still
+    co-blocked (single-probe recall is poor exactly when the threshold
+    is a weak-similarity one like this fixture's tau=0.30; production
+    SemDeDup at tau~0.95 needs m=1).  Registered rows-only (KMeans is
+    iterative, not SQL-expressible); recall >= 0.75 vs the exact
+    all-pairs ground truth and the no-false-positive property are
+    pinned in tests/test_corpus_lifecycle.py.
+
+    100 TB shape: the k centroids are driver-small and broadcast; the
+    m-way assignment is one broadcast-join + per-vector rank (no
+    shuffle of the corpus beyond the cluster-id partitioning); the pair
+    join shuffles on cluster id, so pair volume is ~(m^2/k) of
+    all-pairs — at production k (thousands) the reduction is orders of
+    magnitude, while here k=16 keeps the fixture's clusters non-trivial.
+    A pair sharing several spill clusters is deduped by the final
+    distinct, which reuses the pair-join partitioning."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=_SEM_K, seed=7, maxIter=20).fit(feats)
+    centers = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster int, cv array<double>",
+    )
+    sqdist = (
+        "aggregate(zip_with(v, cv, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    assigned = (
+        emb.select("vec_id", F.col("embedding").alias("v"))
+        .crossJoin(F.broadcast(centers))
+        .withColumn("d2", F.expr(sqdist))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cluster").asc())
+            ),
+        )
+        .where(F.col("rn") <= _SEM_M)
+        .select("vec_id", "cluster", "v")
+        .withColumn(
+            "nrm",
+            F.sqrt(
+                F.expr(
+                    "aggregate(zip_with(v, v, (x, y) -> CAST(x AS DOUBLE) * y),"
+                    " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+                )
+            ),
+        )
+    )
+    dot = "aggregate(zip_with(a_v, b_v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.v").alias("a_v"),
+        F.col("b.v").alias("b_v"),
+        (F.col("a.nrm") * F.col("b.nrm")).alias("nn"),
+    )
+    cos = F.round(F.expr(dot) / F.col("nn"), 6)
+    return (
+        pairs.select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= _SEM_TAU)
+        .distinct()
+    )

@@ -116,3 +116,132 @@ def test_snapshot_diff_classes_are_exhaustive(spark):
             assert r["old_hash"] is None and r["new_hash"]
         else:
             assert r["new_hash"] is None and r["old_hash"]
+
+
+def test_lm_cross_entropy_matches_numpy(spark):
+    """Independent numpy bigram LM (add-one smoothing) must agree with the
+    Spark pipeline to float tolerance on every held-out doc."""
+    import math
+    from collections import Counter
+
+    from gordo_components_spark.operators.extensions_corpus import (
+        ext_lm_cross_entropy,
+    )
+    from gordo_components_spark.sources.tables import load_table
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, SF_SMALL, "documents").collect()
+    }
+    big_c, uni_c = Counter(), Counter()
+    for did, t in docs.items():
+        if did % 10 < 8:
+            uni_c.update(t)
+            big_c.update(zip(t, t[1:]))
+    v = len(uni_c)
+    want = {}
+    for did, t in docs.items():
+        if did % 10 >= 8 and len(t) >= 2:
+            nll = [
+                -math.log((big_c[(a, b)] + 1.0) / (uni_c[a] + v))
+                for a, b in zip(t, t[1:])
+            ]
+            want[did] = (len(nll), sum(nll) / len(nll))
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["cross_entropy"])
+        for r in ext_lm_cross_entropy(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(want)
+    for did in want:
+        assert got[did][0] == want[did][0]
+        assert abs(got[did][1] - want[did][1]) < 1e-5
+
+
+def test_bpe_encode_matches_reference_python(spark):
+    """Greedy rank-ordered merge application vs an independent pure-Python
+    BPE pass over the same induced merge table."""
+    from gordo_components_spark.operators.extensions_corpus import pipe_bpe_encode
+    from gordo_components_spark.operators.extensions_pipeline import (
+        _BPE_SEP,
+        pipe_bpe_merges,
+    )
+    from gordo_components_spark.sources.tables import load_table
+
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in pipe_bpe_merges(spark, SF_SMALL).orderBy("it").collect()
+    ]
+    got = {r["doc_id"]: r["toks"].split("␟") for r in pipe_bpe_encode(spark, SF_SMALL).collect()}
+
+    def ref_encode(toks):
+        for lhs, rhs in merges:
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == lhs and toks[i + 1] == rhs:
+                    out.append(lhs + _BPE_SEP + rhs)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        return toks
+
+    docs = load_table(spark, SF_SMALL, "documents").collect()
+    assert len(got) == len(docs)
+    n_merged_docs = 0
+    for r in docs:
+        want = ref_encode(r["text"].split(" "))
+        assert got[r["doc_id"]] == want
+        if any(_BPE_SEP in t for t in want):
+            n_merged_docs += 1
+    assert n_merged_docs > 0  # the merge table actually fired somewhere
+
+
+def test_semantic_dedup_recall_vs_exact(spark):
+    """Learned-cluster blocking must recover most of the exact all-pairs
+    near-duplicates on the fixture (single-probe ANN-style recall)."""
+    from pyspark.sql import functions as F
+
+    from gordo_components_spark.operators.extensions_corpus import (
+        _SEM_TAU,
+        ext_dedup_semantic,
+    )
+    from gordo_components_spark.sources.tables import load_table
+
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in ext_dedup_semantic(spark, SF_SMALL).collect()
+    }
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.sqrt(
+            F.expr(
+                "aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * y),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+        ).alias("nrm"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = "aggregate(zip_with(a_v, b_v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.v").alias("a_v"),
+            F.col("b.v").alias("b_v"),
+            (F.col("a.nrm") * F.col("b.nrm")).alias("nn"),
+        )
+        .select(
+            "vec_a", "vec_b", F.round(F.expr(dot) / F.col("nn"), 6).alias("cosine")
+        )
+        .where(F.col("cosine") >= _SEM_TAU)
+        .collect()
+    }
+    assert exact, "fixture has no near-dup pairs at tau"
+    assert got <= exact  # no false positives: within-cluster pairs are exact
+    recall = len(got) / len(exact)
+    assert recall >= 0.75, f"semantic recall {recall:.2f} too low"
