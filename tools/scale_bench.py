@@ -58,6 +58,14 @@ HEAVY = (
     # round 5 late: the 3-iteration BPE induction (explode + groupBy +
     # windowed rebuild per round — the heaviest multi-pass corpus op)
     "pipe_bpe_merges",
+    # round 5 corpus-lifecycle batch: delta dedup vs the persisted digest
+    # index, the bigram-vocab probe join, the MG-sketch two-pass heavy
+    # hitter, distributed BPE application, and KMeans-blocked pair join
+    "pipe_dedup_incremental",
+    "ext_lm_oov_rate",
+    "agg_heavy_hitters",
+    "pipe_bpe_encode",
+    "ext_dedup_semantic",
 )
 
 
