@@ -132,7 +132,11 @@ def pipe_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     intra = batch.groupBy("text_hash").agg(
         F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_in_batch")
     )
-    return intra.join(hist, "text_hash", "left_anti").select(
+    # the historical digest index is corpus-scale: it must never be a
+    # broadcast build side (plan-guarded) — the anti-join shuffles both
+    # sides on the digest, and with the index pre-partitioned by hp= a
+    # storage-aware engine co-locates it for free
+    return intra.join(hist.hint("SHUFFLE_HASH"), "text_hash", "left_anti").select(
         "text_hash", "keep_id", F.col("n_in_batch").cast("long").alias("n_in_batch")
     )
 
@@ -282,7 +286,11 @@ def ext_lm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gram")
     )
     held = grams.where(F.col("doc_id") % 10 >= 8).repartition(n, "gram")
-    probed = held.join(vocab.withColumn("in_vocab", F.lit(1)), "gram", "left")
+    # the vocabulary is corpus-scale at 100 TB: never a broadcast build
+    # side (plan-guarded) — both sides shuffle on the gram once
+    probed = held.join(
+        vocab.withColumn("in_vocab", F.lit(1)).hint("SHUFFLE_HASH"), "gram", "left"
+    )
     oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
     return probed.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
@@ -608,8 +616,14 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # the assignment subtree (scan + centroid join + rank window) feeds
+    # BOTH sides of the pair self-join: persist it once, like TF-IDF's
+    # inverted index, instead of recomputing per side
+    from gordo_components_spark.caches import persist_tracked
+
+    assigned = persist_tracked(assigned)
     dot = "aggregate(zip_with(a_v, b_v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-    a, b = assigned.alias("a"), assigned.alias("b")
+    a, b = assigned.alias("a"), assigned.alias("b").hint("SHUFFLE_HASH")
     pairs = a.join(
         b,
         (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.vec_id") < F.col("b.vec_id")),

@@ -234,3 +234,44 @@ def test_udtf_workflow_expand_is_arrow_island(spark, sf_dir):
         for r in load_all()["udtf_workflow_expand"].fn(spark, sf_dir).collect()
     )
     assert got == sorted(_wf_expected_rows())
+
+
+def test_lm_oov_vocab_never_broadcast(spark, sf_dir):
+    # the bigram vocabulary is corpus-scale at 100 TB: the held-out
+    # probe join must shuffle on the gram (SHUFFLE_HASH), never take
+    # the vocab as a broadcast build side
+    plan = plan_of(spark, "ext_lm_oov_rate", sf_dir)
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_incremental_dedup_index_never_broadcast(spark, sf_dir):
+    # the historical digest index is corpus-scale: the anti-join must
+    # shuffle both digest sides, and the index (not raw documents) must
+    # be the scan feeding it
+    plan = plan_of(spark, "pipe_dedup_incremental", sf_dir)
+    assert "ShuffledHashJoin LeftAnti" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "gordo_spark_dedupidx" in plan
+
+
+def test_heavy_hitters_sketch_then_broadcast_recount(spark, sf_dir):
+    # pass 1 must be the Arrow island (bounded-memory sketch), pass 2's
+    # recount must broadcast the CANDIDATE set (tiny by construction),
+    # and the scalar N frame rides the sanctioned 1-row BNLJ cross
+    plan = plan_of(spark, "agg_heavy_hitters", sf_dir)
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_persisted_assignment_no_pair_broadcast(spark, sf_dir):
+    # the clustered-and-assigned corpus feeds both pair-join sides from
+    # ONE persisted frame (not two scans of the assignment subtree), and
+    # the pair join shuffles on the learned cluster id — the corpus is
+    # never a broadcast build side; the only broadcast is the k-row
+    # centroid frame (sanctioned BNLJ cross)
+    plan = plan_of(spark, "ext_dedup_semantic", sf_dir)
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
