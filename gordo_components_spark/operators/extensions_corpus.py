@@ -640,3 +640,189 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cosine") >= _SEM_TAU)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 full-text search (query-side top-k over the inverted postings)
+# ---------------------------------------------------------------------------
+
+_BM25_QUERY = ("hash", "join", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+
+
+@register(
+    "ext_bm25_search",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t.token, COUNT(*) AS tf
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+      GROUP BY doc_id, t.token
+    ), dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(len(string_split(text, ' '))) / COUNT(*) AS avgdl
+      FROM documents
+    ), q AS (
+      SELECT unnest(['{_BM25_QUERY[0]}', '{_BM25_QUERY[1]}', '{_BM25_QUERY[2]}']) AS token
+    ), df AS (
+      SELECT tok.token, COUNT(*) AS df_t
+      FROM tok JOIN q USING (token) GROUP BY tok.token
+    ), idf AS (
+      SELECT token, round(ln((stats.n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0), 9) AS idf
+      FROM df, stats
+    ), scored AS (
+      SELECT tok.doc_id,
+             round(idf.idf * (tok.tf * ({_BM25_K1} + 1.0))
+                   / (tok.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                      + {_BM25_B} * dl.dl / stats.avgdl)), 9) AS part
+      FROM tok JOIN q ON tok.token = q.token
+      JOIN idf ON tok.token = idf.token
+      JOIN dl ON tok.doc_id = dl.doc_id
+      CROSS JOIN stats
+    )
+    SELECT doc_id, round(SUM(part), 6) AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT {_BM25_TOPK}
+    """,
+)
+def ext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-side full-text retrieval: BM25 (Lucene idf form) top-k over
+    the corpus for a fixed token query — the READ face of the inverted
+    index whose WRITE face is ``ext_tfidf_similar``'s postings build.
+
+    Float parity per registry conventions: idf and each per-term score
+    part ROUND(…,9) (per-row IEEE ops are bit-identical; only
+    accumulation order is not), per-doc sum ROUND(…,6), top-k with a
+    unique (score, doc_id) tiebreak.
+
+    100 TB shape: the query-token frame is rows-sized and broadcasts
+    into a semi-probe of the postings — only postings of queried tokens
+    flow, so work is Σ df(q_t), independent of corpus width; df/idf are
+    per-queried-token aggregates of that same pruned stream; the only
+    full-corpus touches are the doc-length projection and the 1-row
+    (N, avgdl) aggregate, both combinable scans (in a deployed system
+    dl/avgdl live in the index metadata, exactly like
+    ``build_ivf_index``'s centroid sidecar).  The final top-k is
+    TakeOrdered, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame([(t,) for t in _BM25_QUERY], "token string")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    qtoks = toks.join(F.broadcast(q), "token", "left_semi")
+    tf = qtoks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.size(F.split("text", " "))) / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = df_t.crossJoin(F.broadcast(stats)).select(
+        "token",
+        F.round(
+            F.log((F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0), 9
+        ).alias("idf"),
+    )
+    part = F.round(
+        F.col("idf")
+        * (F.col("tf") * (_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        ),
+        9,
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select("doc_id", part.alias("part"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cache invalidation (snapshot diff × embeddings)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipe_embed_invalidate",
+    oracle="""
+    WITH v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN md5(text || ' rev2') ELSE md5(text) END AS h
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id, md5(text || ' new') AS h
+      FROM documents WHERE doc_id % 17 = 0
+    ), delta AS (
+      SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+             CASE WHEN v1.doc_id IS NULL THEN 'added' ELSE 'changed' END AS reason
+      FROM (SELECT doc_id, md5(text) AS h FROM documents) v1
+      FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+      WHERE v2.doc_id IS NOT NULL AND (v1.doc_id IS NULL OR v1.h <> v2.h)
+    )
+    SELECT d.doc_id, d.reason,
+           CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END AS has_stale_vector
+    FROM delta d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def pipe_embed_invalidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cache invalidation — the maintenance join every
+    vector-indexed corpus needs after a crawl: docs whose text CHANGED
+    (stale vector must be re-embedded and the ANN index cell updated)
+    or were ADDED (no vector yet) in the new snapshot, flagged with
+    whether a stale vector currently exists.  Removed docs are the ANN
+    index's delete feed and ride ``pipe_snapshot_diff`` directly.
+
+    Composition face: reuses the snapshot-diff derivation (same v2
+    fixture) and joins the delta — delta-sized, not corpus-sized —
+    against the embeddings table on the shared id.  At 100 TB the
+    embeddings side is large but the probe side is the delta, so this
+    is a classic small-probe shuffle join; with embeddings bucketed by
+    vec_id it degenerates to a map-side lookup."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    v1 = docs.select("doc_id", F.md5("text").alias("h"))
+    v2 = (
+        docs.where(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 11 == 0, F.md5(F.concat(F.col("text"), F.lit(" rev2"))))
+            .otherwise(F.md5("text"))
+            .alias("h"),
+        )
+        .unionAll(
+            docs.where(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.md5(F.concat(F.col("text"), F.lit(" new"))).alias("h"),
+            )
+        )
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    delta = (
+        a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+        .where(
+            F.col("b.doc_id").isNotNull()
+            & (F.col("a.doc_id").isNull() | (F.col("a.h") != F.col("b.h")))
+        )
+        .select(
+            F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+            F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+            .otherwise(F.lit("changed"))
+            .alias("reason"),
+        )
+    )
+    return delta.join(emb, delta["doc_id"] == emb["vec_id"], "left").select(
+        "doc_id",
+        "reason",
+        F.when(F.col("vec_id").isNotNull(), 1).otherwise(0).alias("has_stale_vector"),
+    )

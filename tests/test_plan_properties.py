@@ -275,3 +275,13 @@ def test_semantic_dedup_persisted_assignment_no_pair_broadcast(spark, sf_dir):
     assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_bm25_pruned_postings_takeordered(spark, sf_dir):
+    # the query-token frame must broadcast into a semi-probe so only
+    # queried postings flow; the top-k must be TakeOrdered (never a
+    # global sort); the doc-length/stats sides stay combinable scans
+    plan = plan_of(spark, "ext_bm25_search", sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
