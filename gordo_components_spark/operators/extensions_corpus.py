@@ -50,7 +50,15 @@ def build_dedup_index(spark: SparkSession, sf_dir: str, force: bool = False) -> 
     payload = os.path.join(root, "hist")
     import pyarrow.parquet as pq
 
-    n_rows = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(doc_path):  # Spark-written table: sum fragment footers
+        n_rows = sum(
+            pq.read_metadata(os.path.join(doc_path, f)).num_rows
+            for f in os.listdir(doc_path)
+            if f.endswith(".parquet")
+        )
+    else:
+        n_rows = pq.read_metadata(doc_path).num_rows
     fp = {"sf_dir": sf_dir, "n_rows": n_rows, "v": 1}
     if not force and os.path.isfile(marker) and os.path.isdir(payload):
         try:
@@ -825,4 +833,200 @@ def pipe_embed_invalidate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "reason",
         F.when(F.col("vec_id").isNotNull(), 1).otherwise(0).alias("has_stale_vector"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter blocklist join (hand-rolled, engine-identical bit algebra)
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 4096  # m: filter width (64 bigint words)
+_BLOOM_HASHES = 3  # k: md5-hex-slice hash functions
+
+
+def _bloom_hash_sql(strpos_fn: str, key: str, slot: int) -> str:
+    """Hash ``slot`` (0-based) of the bloom family: three md5 hex digits
+    (positional-alphabet decode — NOT ascii(), whose codepoint bands are
+    non-uniform) starting at offset 1+3*slot, giving a uniform bit
+    position in [0, 4096).  The identical string compiles in Spark
+    (instr) and DuckDB (strpos), so both engines build the SAME filter,
+    false positives included."""
+    digit = "({f}('0123456789abcdef', substr(md5({k}), {i}, 1)) - 1)"
+    val = " + ".join(
+        digit.format(f=strpos_fn, k=key, i=1 + 3 * slot + n) + f" * {16 ** (2 - n)}"
+        for n in range(3)
+    )
+    return f"(({val}) % {_BLOOM_BITS})"
+
+
+def _bloom_positions(strpos_fn: str, key: str) -> list:
+    return [_bloom_hash_sql(strpos_fn, key, s) for s in range(_BLOOM_HASHES)]
+
+
+def _bloom_oracle() -> str:
+    probe = _bloom_positions("strpos", "d.text_hash")
+    build = _bloom_positions("strpos", "b.text_hash")
+    # 32-bit words: the max shift is 31, inside DuckDB's CHECKED bigint
+    # shift range (1 << 63 raises Out of Range there, found at sf0.1)
+    build_rows = " UNION ALL ".join(
+        f"SELECT {p} // 32 AS word_idx, ((CAST(1 AS BIGINT)) << ({p} % 32)) AS bit FROM blk b"
+        for p in build
+    )
+    probe_checks = " AND ".join(
+        f"((SELECT bits FROM bloom WHERE word_idx = {p} // 32) >> ({p} % 32)) & 1 = 1"
+        for p in probe
+    )
+    return f"""
+    WITH blk AS (
+      SELECT DISTINCT md5(text) AS text_hash FROM documents WHERE doc_id % 23 = 0
+    ), bloom AS (
+      SELECT word_idx, bit_or(bit) AS bits FROM ({build_rows}) GROUP BY word_idx
+    ), corpus AS (
+      SELECT doc_id, md5(text) AS text_hash FROM documents
+    ), candidates AS (
+      SELECT d.doc_id, d.text_hash FROM corpus d WHERE {probe_checks}
+    )
+    SELECT c.doc_id, c.text_hash,
+           CAST((SELECT COUNT(*) FROM candidates) AS BIGINT) AS n_bloom_candidates
+    FROM candidates c
+    WHERE EXISTS (SELECT 1 FROM blk b WHERE b.text_hash = c.text_hash)
+    """
+
+
+@register("ext_bloom_blocklist", oracle=_bloom_oracle())
+def ext_bloom_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist filtering via a hand-rolled Bloom filter — the classic
+    big-probe/small-build asymmetric join: the blocklist's k=3 md5-slice
+    hashes fold into a fixed 4096-bit filter (128 x 32-bit words) by one
+    bit_or aggregate; the filter BROADCASTS (it is constant-size no
+    matter how large the blocklist grows — the whole point vs
+    broadcasting the blocklist itself), the corpus probes it with pure
+    bit algebra, and surviving candidates are CONFIRMED by an exact
+    semi-join so false positives never reach the output.  Same
+    sketch-generates-candidates / exact-pass-confirms design as
+    ``agg_heavy_hitters``.
+
+    Because the hash family is the engines-identical positional-hex
+    decode (registry conventions; never ascii()), DuckDB builds the
+    bit-identical filter — the oracle therefore verifies the bloom
+    CONSTRUCTION (via the candidate count column, false positives and
+    all), not just the final exact join.  100 TB: probe is one scan with
+    a 512-byte broadcast; only bloom-positive rows (true hits + ~FP
+    rate) reach the confirm shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", F.md5("text").alias("text_hash"))
+    blk = (
+        docs.where(F.col("doc_id") % 23 == 0)
+        .select(F.md5("text").alias("text_hash"))
+        .distinct()
+    )
+    pos = _bloom_positions("instr", "text_hash")
+    build = None
+    for p in pos:
+        rows = blk.select(
+            F.expr(f"{p} div 32").alias("word_idx"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {p} % 32)").alias("bit"),
+        )
+        build = rows if build is None else build.unionAll(rows)
+    bloom = build.groupBy("word_idx").agg(F.expr("bit_or(bit)").alias("bits"))
+    # the filter is 128 words max — collect to a plain dict and ship it
+    # as a literal array expression (the broadcast-variable pattern; the
+    # driver boundary is the CONSTANT filter size, never data size)
+    words = {int(r["word_idx"]): int(r["bits"]) for r in bloom.collect()}
+    word_arr = ", ".join(
+        f"CAST({words.get(i, 0)} AS BIGINT)" for i in range(_BLOOM_BITS // 32)
+    )
+    checks = " AND ".join(
+        f"(element_at(bloomw, CAST({p} div 32 AS INT) + 1) >> ({p} % 32)) & 1 = 1"
+        for p in pos
+    )
+    candidates = (
+        corpus.withColumn("bloomw", F.expr(f"array({word_arr})"))
+        .where(F.expr(checks))
+        .select("doc_id", "text_hash")
+    )
+    from gordo_components_spark.caches import persist_tracked
+
+    candidates = persist_tracked(candidates)
+    n_cand = candidates.agg(F.count(F.lit(1)).cast("long").alias("n_bloom_candidates"))
+    return (
+        candidates.join(blk, "text_hash", "left_semi")
+        .crossJoin(F.broadcast(n_cand))
+        .select("doc_id", "text_hash", "n_bloom_candidates")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (multi-dimensional clustering for data skipping)
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 10  # per-dimension bits (1024 buckets each)
+_Z_FILE_CELLS = 4096  # z-cells per output file => <= 256 files
+
+
+def _z_interleave(div: str, x: str, y: str) -> str:
+    """Morton/Z-value bit interleave as pure integer arithmetic (no shift
+    operators, which differ across engines): bit b of x lands at 2b, of
+    y at 2b+1.  The identical template renders for Spark (`div`) and
+    DuckDB (`//`)."""
+    terms = []
+    for b in range(_Z_BITS):
+        terms.append(f"(({x} {div} {2 ** b}) % 2) * {2 ** (2 * b)}")
+        terms.append(f"(({y} {div} {2 ** b}) % 2) * {2 ** (2 * b + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+_Z_X = "(o_custkey % 1024)"
+_Z_Y_DUCK = "((CAST(o_orderdate AS DATE) - DATE '1992-01-01') % 1024)"
+_Z_Y_SPARK = "(datediff(CAST(o_orderdate AS DATE), DATE'1992-01-01') % 1024)"
+
+
+@register(
+    "pipe_zorder_layout",
+    oracle=f"""
+    WITH z AS (
+      SELECT o_custkey % 1024 AS xb,
+             (CAST(o_orderdate AS DATE) - DATE '1992-01-01') % 1024 AS yb,
+             {_z_interleave("//", _Z_X, _Z_Y_DUCK)} AS zval
+      FROM orders
+    )
+    SELECT zval // {_Z_FILE_CELLS} AS file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(xb) AS min_cust_bucket, MAX(xb) AS max_cust_bucket,
+           MIN(yb) AS min_day_bucket, MAX(yb) AS max_day_bucket
+    FROM z GROUP BY zval // {_Z_FILE_CELLS}
+    """,
+)
+def pipe_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering — the lakehouse OPTIMIZE
+    primitive for multi-dimensional data skipping: interleaving the bits
+    of two scan dimensions (customer bucket, order-day bucket) gives a
+    1-D sort key whose contiguous ranges are small RECTANGLES in both
+    dimensions, so per-file min/max statistics prune scans filtered on
+    EITHER dimension (a single-column sort only prunes its own column).
+    The emitted (file_id → count, min/max per dim) frame IS that
+    skipping metadata.
+
+    Scale honesty: file assignment is z DIV cells-per-file — a fixed
+    partition of the bounded z-space, so the layout is one
+    embarrassingly-parallel projection + combinable groupBy, NO global
+    sort and NO partition-less window (the row_number/NTILE formulation
+    would serialize the corpus through one task — the exact trap the
+    pack-sequences rework removed).  The interleave itself is pure
+    integer arithmetic rendered from one template for both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    z = orders.selectExpr(
+        f"{_Z_X} AS xb",
+        f"{_Z_Y_SPARK} AS yb",
+        f"{_z_interleave('div', _Z_X, _Z_Y_SPARK)} AS zval",
+    )
+    return (
+        z.groupBy(F.expr(f"zval div {_Z_FILE_CELLS}").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("xb").alias("min_cust_bucket"),
+            F.max("xb").alias("max_cust_bucket"),
+            F.min("yb").alias("min_day_bucket"),
+            F.max("yb").alias("max_day_bucket"),
+        )
     )

@@ -285,3 +285,22 @@ def test_bm25_pruned_postings_takeordered(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_zorder_no_global_sort_no_window(spark, sf_dir):
+    # the layout is a fixed partition of z-space: one projection + one
+    # combinable groupBy — a row_number/NTILE formulation (global sort
+    # through one task) must never reappear
+    plan = plan_of(spark, "pipe_zorder_layout", sf_dir)
+    assert "Window" not in plan
+    assert "Sort" not in plan
+    assert "Join" not in plan
+
+
+def test_bloom_blocklist_constant_filter_then_confirm(spark, sf_dir):
+    # the probe must carry the CONSTANT 128-word filter as a literal
+    # (broadcast-variable pattern), surviving candidates confirmed by a
+    # semi-join; the corpus itself is never a broadcast build side
+    plan = plan_of(spark, "ext_bloom_blocklist", sf_dir)
+    assert "LeftSemi" in plan
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan
