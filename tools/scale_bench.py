@@ -66,6 +66,12 @@ HEAVY = (
     "agg_heavy_hitters",
     "pipe_bpe_encode",
     "ext_dedup_semantic",
+    # plus the search/blocklist/layout/versioning faces
+    "ext_bm25_search",
+    "ext_bloom_blocklist",
+    "pipe_zorder_layout",
+    "pipe_snapshot_diff",
+    "pipe_embed_invalidate",
 )
 
 
