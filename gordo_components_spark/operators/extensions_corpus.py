@@ -555,9 +555,20 @@ def ext_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # semantic dedup: learned KMeans clusters as the blocking key (SemDeDup)
 # ---------------------------------------------------------------------------
 
-_SEM_K = 16  # clusters
+_SEM_K = 16  # cluster-count floor
 _SEM_M = 3  # multi-assignment spill: each vector joins its m nearest clusters
 _SEM_TAU = 0.30  # cosine threshold, matches ext_dedup_embed_cos
+_SEM_TARGET = 250  # target vectors per cluster — k grows with the corpus
+
+
+def _sem_k_for(n_rows: int) -> int:
+    """SemDeDup's k must SCALE with the corpus: with fixed k, cluster
+    size grows linearly and within-cluster pair volume quadratically —
+    the 10x rehearsal measured exactly that (ratio 30 at k=16) before k
+    was derived from the embeddings parquet footer, the same fix RP-LSH
+    got in round 3.  Constant target cluster size keeps pair volume
+    linear in n (~ n * target * m^2 / 2)."""
+    return max(_SEM_K, -(-n_rows // _SEM_TARGET))
 
 
 @register("ext_dedup_semantic")
@@ -587,13 +598,16 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
 
+    from gordo_components_spark.operators.extensions_similarity import _corpus_rows
+
     emb = load_table(spark, sf_dir, "embeddings")
+    k = _sem_k_for(_corpus_rows(sf_dir))
     feats = emb.select(
         "vec_id",
         F.col("embedding").alias("v"),
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
     )
-    model = KMeans(k=_SEM_K, seed=7, maxIter=20).fit(feats)
+    model = KMeans(k=k, seed=7, maxIter=20).fit(feats)
     centers = spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cluster int, cv array<double>",
