@@ -1044,3 +1044,126 @@ def pipe_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("yb").alias("max_day_bucket"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup-index merge (the commit half of the nightly cycle)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipe_dedup_index_merge",
+    oracle="""
+    WITH hist AS (
+      SELECT DISTINCT md5(text) AS text_hash FROM documents WHERE doc_id % 5 <> 0
+    ), batch AS (
+      SELECT md5(text) AS text_hash FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT md5(text) FROM documents WHERE doc_id % 7 = 0
+    ), survivors AS (
+      SELECT DISTINCT b.text_hash FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.text_hash = b.text_hash)
+    ), merged AS (
+      SELECT text_hash FROM hist UNION SELECT text_hash FROM survivors
+    )
+    SELECT substr(text_hash, 1, 1) AS hp,
+           CAST(COUNT(*) AS BIGINT) AS n_digests
+    FROM merged GROUP BY substr(text_hash, 1, 1)
+    """,
+)
+def pipe_dedup_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMMIT half of the incremental-dedup cycle
+    (``pipe_dedup_incremental`` is the read half): after a batch is
+    deduped, its surviving digests merge into the next index version.
+    Output is the per-``hp``-shard digest count — the compaction
+    manifest an index maintainer records per version.
+
+    100 TB shape: the merge never rewrites the whole index — each
+    ``hp=`` shard unions its existing digests with the (tiny) survivor
+    slice and deduplicates WITHIN the shard; the `hp` prefix is a
+    function of the digest, so survivors route to exactly one shard and
+    shards merge independently (embarrassingly parallel, one shuffle of
+    digest-width rows).  The fixture mirrors the read face's
+    history/batch split so both operators describe the same nightly
+    run."""
+    root = build_dedup_index(spark, sf_dir)
+    hist = spark.read.parquet(os.path.join(root, "hist")).select("text_hash")
+    docs = load_table(spark, sf_dir, "documents")
+    batch = (
+        docs.where(F.col("doc_id") % 5 == 0)
+        .select(F.md5("text").alias("text_hash"))
+        .unionAll(
+            docs.where(F.col("doc_id") % 7 == 0).select(F.md5("text").alias("text_hash"))
+        )
+        .distinct()
+    )
+    survivors = batch.join(hist.hint("SHUFFLE_HASH"), "text_hash", "left_anti")
+    merged = hist.unionAll(survivors).distinct()
+    return merged.groupBy(F.substring("text_hash", 1, 1).alias("hp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_digests")
+    )
+
+
+# ---------------------------------------------------------------------------
+# key-skew diagnostics (the observability face of the salting story)
+# ---------------------------------------------------------------------------
+
+_SKEW_TOPN = 10
+
+
+@register(
+    "agg_skew_profile",
+    oracle=f"""
+    WITH per_key AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM per_key
+    )
+    SELECT p.user_id, CAST(p.cnt AS BIGINT) AS cnt,
+           CAST((p.cnt * 1000) // (s.n_rows // s.n_keys) AS BIGINT)
+             AS x_mean_permille,
+           s.n_keys, s.n_rows, s.max_cnt
+    FROM per_key p CROSS JOIN stats s
+    ORDER BY p.cnt DESC, p.user_id LIMIT {_SKEW_TOPN}
+    """,
+)
+def agg_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics — the observability face behind
+    ``agg_salted_skew``'s mitigation: per-key row counts, the top-N
+    heaviest keys with their size as permille-of-mean, and the global
+    (n_keys, n_rows, max) profile a planner needs to DECIDE whether to
+    salt, how many salts, or whether AQE's skew threshold will fire.
+    Running this before a big join is how a pipeline avoids discovering
+    skew as a straggler task three hours in.
+
+    One combinable groupBy on the key, a 1-row stats aggregate
+    broadcast back over the per-key frame, TakeOrdered top-N with a
+    unique tiebreak.  All-integer outputs (floor-permille vs mean)."""
+    events = load_table(spark, sf_dir, "events")
+    per_key = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    from gordo_components_spark.caches import persist_tracked
+
+    per_key = persist_tracked(per_key)
+    stats = per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(stats))
+        .select(
+            "user_id",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.expr("CAST((cnt * 1000) DIV (n_rows DIV n_keys) AS BIGINT)").alias(
+                "x_mean_permille"
+            ),
+            "n_keys",
+            "n_rows",
+            "max_cnt",
+        )
+        .orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(_SKEW_TOPN)
+    )
