@@ -45,8 +45,15 @@ _LIVE: list[DataFrame] = []
 
 
 def operator_storage_level() -> StorageLevel:
-    name = os.environ.get("SPARK_GRAFT_CACHE_LEVEL", "MEMORY_AND_DISK").upper()
-    return _LEVELS.get(name, StorageLevel.MEMORY_AND_DISK)
+    # Default = whatever df.persist() itself defaults to on this Spark:
+    # on 4.x the bare MEMORY_AND_DISK constant is the SERIALIZED form,
+    # and silently substituting it for persist()'s deserialized default
+    # taxed every probe of a persisted index with ser/deser (measured
+    # ~10-20% on the minhash/tfidf headline queries — caught comparing
+    # r4→r5 bench).  DESER where it exists, plain otherwise.
+    default = "MEMORY_AND_DISK_DESER" if "MEMORY_AND_DISK_DESER" in _LEVELS else "MEMORY_AND_DISK"
+    name = os.environ.get("SPARK_GRAFT_CACHE_LEVEL", default).upper()
+    return _LEVELS.get(name, _LEVELS[default])
 
 
 def persist_tracked(df: DataFrame, level: StorageLevel | None = None) -> DataFrame:
