@@ -569,8 +569,8 @@ def ext_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(n, "gram")
     )
     scored = (
-        held.join(big_c, "gram", "left")
-        .join(uni_c, "w", "left")
+        held.join(big_c.hint("SHUFFLE_HASH"), "gram", "left")
+        .join(uni_c.hint("SHUFFLE_HASH"), "w", "left")
         .crossJoin(F.broadcast(v_size))
         .select(
             "doc_id",

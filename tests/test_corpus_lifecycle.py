@@ -245,3 +245,22 @@ def test_semantic_dedup_recall_vs_exact(spark):
     assert got <= exact  # no false positives: within-cluster pairs are exact
     recall = len(got) / len(exact)
     assert recall >= 0.75, f"semantic recall {recall:.2f} too low"
+
+
+def test_artifact_cache_fingerprint_staleness(tmp_path):
+    """A fingerprint mismatch (corpus changed) must recompute and
+    overwrite; a matching fingerprint must reuse without recompute."""
+    from gordo_components_spark.operators.extensions_corpus import _artifact_cache
+
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return {"x": len(calls)}
+
+    sf = str(tmp_path / "sfX")
+    first = _artifact_cache("pytest_probe", sf, {"n": 1}, compute)
+    again = _artifact_cache("pytest_probe", sf, {"n": 1}, compute)
+    stale = _artifact_cache("pytest_probe", sf, {"n": 2}, compute)
+    assert first == {"x": 1} and again == {"x": 1}  # cache hit, no recompute
+    assert stale == {"x": 2} and len(calls) == 2  # fingerprint change recomputes
