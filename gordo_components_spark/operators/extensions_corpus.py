@@ -1269,3 +1269,136 @@ def pipe_scd2_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     ).select("user_id", "event_type", "value", "valid_from")
+
+
+# ---------------------------------------------------------------------------
+# delta curation manifest (the nightly run end-to-end, funnel-accounted)
+# ---------------------------------------------------------------------------
+
+_DELTA_MIN_TOK = 20
+_DELTA_MAX_TOK = 1000
+_DELTA_LANGS = ("en", "de", "es", "fr")
+
+
+@register(
+    "pipe_delta_curation",
+    oracle=f"""
+    WITH hist AS (
+      SELECT DISTINCT md5(text) AS text_hash FROM documents WHERE doc_id % 5 <> 0
+    ), batch AS (
+      SELECT doc_id, text, lang, source, md5(text) AS text_hash
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text, lang, source, md5(text) AS text_hash
+      FROM documents WHERE doc_id % 7 = 0
+    ), intra AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
+      FROM batch
+    ), kept AS (
+      SELECT i.doc_id, i.text, i.lang, i.source, i.text_hash,
+             CASE WHEN EXISTS (SELECT 1 FROM hist h
+                               WHERE h.text_hash = i.text_hash) THEN 1 ELSE 0
+             END AS seen_before
+      FROM intra i WHERE i.rn = 1
+    ), scored AS (
+      SELECT *, len(string_split(text, ' ')) AS n_tok FROM kept
+    ), final AS (
+      SELECT *,
+             CASE WHEN seen_before = 0
+                   AND n_tok BETWEEN {_DELTA_MIN_TOK} AND {_DELTA_MAX_TOK}
+                   AND lang IN ('en', 'de', 'es', 'fr') THEN 1 ELSE 0
+             END AS survives
+      FROM scored
+    )
+    SELECT b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST((SELECT COUNT(*) FROM final f WHERE f.source = b.source)
+                AS BIGINT) AS n_after_intra,
+           CAST((SELECT COUNT(*) FROM final f
+                 WHERE f.source = b.source AND f.seen_before = 0)
+                AS BIGINT) AS n_unseen,
+           CAST((SELECT COUNT(*) FROM final f
+                 WHERE f.source = b.source AND f.survives = 1)
+                AS BIGINT) AS n_survivors,
+           CAST(COALESCE((SELECT SUM(f.n_tok) FROM final f
+                 WHERE f.source = b.source AND f.survives = 1), 0)
+                AS BIGINT) AS tok_total
+    FROM batch b GROUP BY b.source
+    """,
+)
+def pipe_delta_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly delta-curation run END-TO-END, funnel-accounted: a
+    crawl batch flows through intra-batch dedup (first-wins per digest)
+    → historical-index anti-probe (``build_dedup_index``) → quality
+    gates (token-length band, language allowlist) → per-source manifest
+    (candidates, post-dedup, unseen, survivors, token total).  The
+    output is the acceptance report a data-engineering run records per
+    source per night — and the input ``pipe_mix_weights`` consumes.
+
+    ONE lazy plan: digest window for intra-dedup, left-probe of the
+    digest index (seen_before flag rather than a filter, so the funnel
+    counts every stage from the same frame), native token count, one
+    conditional aggregate by source.  Nothing is collected; the funnel
+    stays combinable all the way down.  At 100 TB the only wide
+    exchanges are the digest window and the final source rollup."""
+    root = build_dedup_index(spark, sf_dir)
+    hist = spark.read.parquet(os.path.join(root, "hist")).select(
+        "text_hash", F.lit(1).alias("seen")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    batch = (
+        docs.where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text", "lang", "source", F.md5("text").alias("text_hash"))
+        .unionAll(
+            docs.where(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                "text",
+                "lang",
+                "source",
+                F.md5("text").alias("text_hash"),
+            )
+        )
+    )
+    from pyspark.sql import Window
+
+    intra = batch.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("text_hash").orderBy("doc_id"))
+    )
+    kept = (
+        intra.where(F.col("rn") == 1)
+        .join(hist.hint("SHUFFLE_HASH"), "text_hash", "left")
+        .withColumn("seen_before", F.when(F.col("seen").isNotNull(), 1).otherwise(0))
+        .withColumn("n_tok", F.size(F.split("text", " ")))
+    )
+    survives = (
+        (F.col("seen_before") == 0)
+        & F.col("n_tok").between(_DELTA_MIN_TOK, _DELTA_MAX_TOK)
+        & F.col("lang").isin(*_DELTA_LANGS)
+    ).cast("int")
+    final = kept.withColumn("survives", survives)
+    per_source_batch = batch.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    funnel = final.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_after_intra"),
+        F.sum(F.when(F.col("seen_before") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_unseen"),
+        F.sum("survives").cast("long").alias("n_survivors"),
+        F.coalesce(
+            F.sum(F.when(F.col("survives") == 1, F.col("n_tok"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("tok_total"),
+    )
+    # a source whose every candidate lost its digest race has no funnel
+    # row: LEFT join + coalesce keeps it at 0, matching the oracle's
+    # correlated COUNTs
+    return per_source_batch.join(funnel, "source", "left").select(
+        "source",
+        "n_candidates",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in ("n_after_intra", "n_unseen", "n_survivors", "tok_total")
+        ],
+    )
