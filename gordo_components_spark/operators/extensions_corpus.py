@@ -1402,3 +1402,26 @@ def pipe_delta_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in ("n_after_intra", "n_unseen", "n_survivors", "tok_total")
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming face of the incremental-dedup cycle
+# ---------------------------------------------------------------------------
+
+
+@register("stream_dedup_incremental")
+def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine Structured Streaming run of the nightly dedup
+    (rows-only): replayed crawl-batch file stream →
+    ``dropDuplicatesWithinWatermark`` on the content digest (in-stream
+    dedup, state bounded by the crawl-time watermark) → per-micro-batch
+    stream-static anti-join against the persisted digest index →
+    append-only survivor sink.  The surviving digest set must equal
+    ``pipe_dedup_incremental``'s (asserted in tests/test_streaming.py);
+    keep_id is arrival-order-dependent and deliberately out of the
+    contract."""
+    from gordo_components_spark.streaming.micro_batch import (
+        run_streaming_incremental_dedup,
+    )
+
+    return run_streaming_incremental_dedup(spark, sf_dir)

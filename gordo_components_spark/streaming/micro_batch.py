@@ -383,3 +383,89 @@ def run_streaming_enrich_dim(
     )
     name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
     return _run_to_memory(enriched, name)
+
+
+def run_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming face of the incremental-dedup nightly cycle
+    (``extensions_corpus.pipe_dedup_incremental`` is the batch face):
+    crawl-batch documents arrive as a replayed file stream; duplicates
+    WITHIN the stream are dropped by ``dropDuplicatesWithinWatermark``
+    on the content digest (state bounded by the crawl-time watermark —
+    viable on an unbounded feed), and each micro-batch anti-joins the
+    persisted historical digest index before appending survivors to the
+    sink.  The history probe is stream-static: re-planned per batch, no
+    stream state, so index compactions land between batches.
+
+    Batch parity (the surviving digest SET equals the batch face's —
+    keep_id depends on arrival order, so the set is the contract) is
+    asserted in tests/test_streaming.py."""
+    import shutil
+
+    from gordo_components_spark.operators.extensions_corpus import build_dedup_index
+
+    prepare(spark)
+    root = build_dedup_index(spark, sf_dir)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+
+    # replay source: the crawl batch (fresh docs + re-crawled texts) as a
+    # 3-file parquet dir with a synthetic crawl timestamp for the watermark
+    src = f"/tmp/gordo_spark_stream/{sf_tag}/docs_delta_replay"
+    if not os.path.isdir(src):
+        docs = load_table(spark, sf_dir, "documents")
+        batch = (
+            docs.where(F.col("doc_id") % 5 == 0)
+            .select("doc_id", F.md5("text").alias("text_hash"), "source")
+            .unionAll(
+                docs.where(F.col("doc_id") % 7 == 0).select(
+                    (F.col("doc_id") + 2000000).alias("doc_id"),
+                    F.md5("text").alias("text_hash"),
+                    "source",
+                )
+            )
+            .withColumn(
+                "crawl_ts",
+                F.expr(
+                    "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, doc_id % 86400)"
+                ),
+            )
+        )
+        batch.repartition(3).write.mode("overwrite").parquet(src)
+
+    schema = "doc_id bigint, text_hash string, source string, crawl_ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(src)
+    deduped = stream.withWatermark("crawl_ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["text_hash"]
+    )
+
+    for base in ("/tmp/gordo_spark_stream/sink", "/tmp/gordo_spark_stream/chk"):
+        try:
+            for leaf in os.listdir(base):
+                if leaf.startswith(f"incdedup-{sf_tag}-p"):
+                    pid = leaf.rsplit("-p", 1)[-1]
+                    if pid.isdigit() and not _pid_alive(int(pid)):
+                        shutil.rmtree(os.path.join(base, leaf), ignore_errors=True)
+        except OSError:
+            pass
+    leaf = f"incdedup-{sf_tag}-p{os.getpid()}"
+    sink_dir = f"/tmp/gordo_spark_stream/sink/{leaf}"
+    chk_dir = f"/tmp/gordo_spark_stream/chk/{leaf}"
+    for d in (sink_dir, chk_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    hist_path = os.path.join(root, "hist")
+
+    def probe_history(batch_df: DataFrame, batch_id: int) -> None:
+        hist = batch_df.sparkSession.read.parquet(hist_path).select("text_hash")
+        batch_df.join(hist.hint("SHUFFLE_HASH"), "text_hash", "left_anti").write.mode(
+            "append"
+        ).parquet(sink_dir)
+
+    spark.createDataFrame([], schema).write.mode("append").parquet(sink_dir)
+    q = (
+        deduped.writeStream.foreachBatch(probe_history)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", chk_dir)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink_dir)

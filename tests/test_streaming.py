@@ -180,3 +180,21 @@ def test_enrich_dim_batch_parity(spark):
     assert len(got) >= len(want) > 0
     for k, v in want.items():
         assert got[k] == v, (k, got[k], v)
+
+
+def test_incremental_dedup_stream_batch_parity(spark):
+    """The streaming survivors' digest SET must equal the batch face's
+    (keep_id is arrival-order-dependent; the set is the contract)."""
+    from gordo_components_spark.operators.extensions_corpus import (
+        pipe_dedup_incremental,
+    )
+    from gordo_components_spark.streaming.micro_batch import (
+        run_streaming_incremental_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["text_hash"] for r in run_streaming_incremental_dedup(spark, sf).collect()
+    }
+    want = {r["text_hash"] for r in pipe_dedup_incremental(spark, sf).collect()}
+    assert got == want and len(want) > 0
