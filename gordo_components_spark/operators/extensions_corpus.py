@@ -1425,3 +1425,92 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_streaming_incremental_dedup(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# canonical-document ranking (PageRank over the near-dup graph)
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 10
+_PR_DAMP = 0.85
+
+
+@register("ext_dedup_canonical_rank")
+def ext_dedup_canonical_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection over the near-duplicate graph:
+    PageRank on the similarity edges (label-blocked cosine pairs,
+    ``ext_dedup_embed_cos``'s graph), so each dup cluster keeps its most
+    CENTRAL member instead of the arbitrary min-id — the selection rule
+    curation pipelines actually want (the most-linked version of a
+    boilerplate family is usually the cleanest).  Registered rows-only
+    (iterative); numpy power-iteration parity at 1e-6 is pinned in
+    tests/test_corpus_lifecycle.py.
+
+    Spark shape per iteration: contributions = ranks ⋈ edges (shuffle on
+    src), then groupBy(dst) sum — two exchanges on the same keys, AQE
+    reuses the layout; ``localCheckpoint`` every 4 iterations cuts the
+    growing lineage exactly like ``ext_dedup_components``.  Degrees and
+    edges persist once (probed every iteration).  At 100 TB the graph is
+    edge-partitioned and the rank vector is corpus-wide — nothing
+    broadcasts, nothing collects; 10 fixed iterations ≈ the classic
+    batch PageRank schedule."""
+    from gordo_components_spark.caches import persist_tracked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dot = "aggregate(zip_with(a_v, b_v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("v"),
+        F.sqrt(
+            F.expr(
+                "aggregate(zip_with(embedding, embedding, (x, y) -> x * y),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+        ).alias("nrm"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            F.col("a.v").alias("a_v"),
+            F.col("b.v").alias("b_v"),
+            (F.col("a.nrm") * F.col("b.nrm")).alias("nn"),
+        )
+        .where(F.round(F.expr(dot) / F.col("nn"), 6) >= 0.30)
+        .select("src", "dst")
+    )
+    # undirected: symmetrize once, persist (probed every iteration)
+    edges = persist_tracked(
+        pairs.unionAll(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    )
+    nodes = persist_tracked(emb.select(F.col("vec_id").alias("src")))
+    n_nodes = nodes.count()  # scalar driver boundary: one count, bounded
+    degrees = persist_tracked(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ranks = nodes.select("src", F.lit(1.0 / n_nodes).alias("rank"))
+    teleport = (1.0 - _PR_DAMP) / n_nodes
+    for i in range(_PR_ITERS):
+        contribs = (
+            ranks.join(degrees, "src")
+            .join(edges, "src")
+            .select(F.col("dst").alias("src"), (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        summed = contribs.groupBy("src").agg(F.sum("c").alias("inflow"))
+        ranks = nodes.join(summed, "src", "left").select(
+            "src",
+            (F.lit(teleport) + F.lit(_PR_DAMP) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias(
+                "rank"
+            ),
+        )
+        if (i + 1) % 4 == 0:
+            ranks = ranks.localCheckpoint(eager=False)  # lineage cut
+    return ranks.select(
+        F.col("src").alias("vec_id"), F.round(F.col("rank") * n_nodes, 6).alias("rank_x_n")
+    )

@@ -264,3 +264,56 @@ def test_artifact_cache_fingerprint_staleness(tmp_path):
     stale = _artifact_cache("pytest_probe", sf, {"n": 2}, compute)
     assert first == {"x": 1} and again == {"x": 1}  # cache hit, no recompute
     assert stale == {"x": 2} and len(calls) == 2  # fingerprint change recomputes
+
+
+def test_canonical_rank_matches_numpy_power_iteration(spark):
+    """Spark PageRank vs an independent numpy power iteration on the same
+    similarity graph: per-node agreement to 1e-6 after 10 iterations,
+    dangling nodes held at teleport mass."""
+    import numpy as np
+
+    from gordo_components_spark.operators.extensions_corpus import (
+        _PR_DAMP,
+        _PR_ITERS,
+        ext_dedup_canonical_rank,
+    )
+    from gordo_components_spark.operators.extensions_corpus import load_table
+
+    got = {
+        r["vec_id"]: r["rank_x_n"]
+        for r in ext_dedup_canonical_rank(spark, SF_SMALL).collect()
+    }
+
+    emb = load_table(spark, SF_SMALL, "embeddings").collect()
+    ids = [r["vec_id"] for r in emb]
+    idx = {v: i for i, v in enumerate(ids)}
+    V = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    labels = np.array([r["label"] for r in emb])
+    nrm = np.sqrt((V.astype(np.float64) ** 2).sum(1))
+    n = len(ids)
+    adj = [[] for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1, n):
+            if labels[i] != labels[j]:
+                continue
+            cos = round(float(V[i] @ V[j]) / (nrm[i] * nrm[j]), 6)
+            if cos >= 0.30:
+                adj[i].append(j)
+                adj[j].append(i)
+    deg = np.array([len(x) for x in adj], dtype=np.float64)
+    rank = np.full(n, 1.0 / n)
+    tele = (1.0 - _PR_DAMP) / n
+    for _ in range(_PR_ITERS):
+        inflow = np.zeros(n)
+        for i in range(n):
+            if deg[i]:
+                share = rank[i] / deg[i]
+                for j in adj[i]:
+                    inflow[j] += share
+        rank = tele + _PR_DAMP * inflow
+    want = {ids[i]: round(rank[i] * n, 6) for i in range(n)}
+    assert set(got) == set(want)
+    diffs = [abs(got[v] - want[v]) for v in want]
+    assert max(diffs) < 1e-5, max(diffs)
+    # the graph is non-trivial: some node must beat the dangling baseline
+    assert max(got.values()) > round(tele * n, 6) + 0.01
