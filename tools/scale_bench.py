@@ -72,6 +72,8 @@ HEAVY = (
     "pipe_zorder_layout",
     "pipe_snapshot_diff",
     "pipe_embed_invalidate",
+    "pipe_delta_curation",
+    "ext_dedup_canonical_rank",
 )
 
 
