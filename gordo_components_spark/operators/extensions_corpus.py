@@ -1514,3 +1514,116 @@ def ext_dedup_canonical_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("src").alias("vec_id"), F.round(F.col("rank") * n_nodes, 6).alias("rank_x_n")
     )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy entity-resolution join (segment pigeonhole filter + exact verify)
+# ---------------------------------------------------------------------------
+
+_FUZZ_K = 2  # max substitutions tolerated => k+1 = 3 blocking segments
+_FUZZ_LEN = 12  # 12-hex record fingerprint, 3 segments of 4
+
+
+def _fuzz_segments(col: str) -> list:
+    """Split the 12-char fingerprint into 3 fixed segments (4 chars
+    each): with <= 2 substitutions, at least one segment is untouched
+    (pigeonhole), so candidates = pairs sharing ANY
+    (segment_id, segment_text).  Works because the fingerprint has
+    per-position entropy — segmenting a constant-prefix display name
+    instead degenerates to a cross join (measured before this design:
+    the 'Custom' segment matched everything)."""
+    seg = _FUZZ_LEN // (_FUZZ_K + 1)
+    return [f"substr({col}, {1 + i * seg}, {seg})" for i in range(_FUZZ_K + 1)]
+
+
+# deterministic corruption fixture: every 10th entity re-enters with a
+# dirty fingerprint — one flipped char (key%20=0) or two (other %10=0).
+# 'z'/'y' are outside the hex alphabet, so a flip is a guaranteed
+# mismatch and the true distance is exactly 1 or 2.
+_FUZZ_FP = "substr(md5(CAST(c_custkey AS {str_t})), 1, 12)"
+_FUZZ_DIRTY = """
+    CASE WHEN c_custkey % 20 = 0
+         THEN concat(substr({fp}, 1, 2), 'z', substr({fp}, 4))
+         ELSE concat(substr({fp}, 1, 5), 'z', substr({fp}, 7, 3), 'y',
+                     substr({fp}, 11))
+    END
+"""
+
+
+def _fuzz_dirty(str_t: str) -> str:
+    fp = _FUZZ_FP.format(str_t=str_t)
+    return _FUZZ_DIRTY.format(fp=fp)
+
+
+@register(
+    "join_fuzzy_hamming",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_custkey, {_FUZZ_FP.format(str_t="VARCHAR")} AS fp FROM customer
+    ), dirty AS (
+      SELECT c_custkey AS dirty_key, {_fuzz_dirty("VARCHAR")} AS dirty_fp
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT d.dirty_key, b.c_custkey AS match_key,
+           CAST(hamming(d.dirty_fp, b.fp) AS BIGINT) AS distance
+    FROM dirty d JOIN base b ON hamming(d.dirty_fp, b.fp) <= {_FUZZ_K}
+    """,
+)
+def join_fuzzy_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join: records whose fingerprint field was
+    corrupted by up to 2 character substitutions are matched back to the
+    clean master table.  The naive formulation is an O(n·m) cross join
+    with a distance predicate — the Spark plan instead uses the classic
+    **k+1-segment pigeonhole filter** (Pass-Join family): split each
+    fingerprint into k+1 fixed segments; <= k substitutions cannot touch
+    all of them, so every true match shares at least one exact
+    (segment_id, segment_text) — an EQUI-join key.  Candidates from that
+    shuffle join are deduped, then verified with the exact Hamming
+    distance, giving a provably complete result with no quadratic pair
+    volume (the oracle IS the naive cross join, so completeness is
+    hash-checked, not argued).
+
+    100 TB shape: both sides explode to k+1 segment rows (linear); the
+    candidate join shuffles on the segment key, and only candidates
+    (true matches + rare segment collisions — bounded by the
+    fingerprint's per-position entropy) pay the verify expression.  No
+    broadcast of either entity table; the same plan serves
+    dirty-to-master dedup, CDC late-record matching, and
+    crawl-vs-canonical reconciliation."""
+    ham = (
+        f"size(filter(sequence(1, {_FUZZ_LEN}), i ->"
+        " substr(dirty_fp, i, 1) <> substr(fp, i, 1)))"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    base = cust.select(
+        "c_custkey", F.expr(_FUZZ_FP.format(str_t="STRING")).alias("fp")
+    )
+    dirty = cust.where(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("dirty_key"),
+        F.expr(_fuzz_dirty("STRING")).alias("dirty_fp"),
+    )
+
+    def seg_explode(df: DataFrame, col: str):
+        return df.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("seg_id"), F.expr(e).alias("seg"))
+                        for i, e in enumerate(_fuzz_segments(col))
+                    ]
+                )
+            ).alias("s"),
+        ).select(*df.columns, "s.seg_id", "s.seg")
+
+    candidates = (
+        seg_explode(dirty, "dirty_fp")
+        .join(seg_explode(base, "fp").hint("SHUFFLE_HASH"), ["seg_id", "seg"])
+        .select("dirty_key", "dirty_fp", "c_custkey", "fp")
+        .distinct()
+    )
+    return candidates.select(
+        "dirty_key",
+        F.col("c_custkey").alias("match_key"),
+        F.expr(ham).cast("long").alias("distance"),
+    ).where(F.col("distance") <= _FUZZ_K)
