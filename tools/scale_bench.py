@@ -74,6 +74,7 @@ HEAVY = (
     "pipe_embed_invalidate",
     "pipe_delta_curation",
     "ext_dedup_canonical_rank",
+    "join_fuzzy_hamming",
 )
 
 
