@@ -112,7 +112,23 @@ def build_dedup_index(spark: SparkSession, sf_dir: str, force: bool = False) -> 
         import shutil
 
         shutil.rmtree(root, ignore_errors=True)
-    os.replace(tmp, root)
+    try:
+        os.replace(tmp, root)
+    except OSError:
+        # a concurrent builder won the swap: if its index carries the
+        # same fingerprint, use it and discard ours (the rmtree→replace
+        # window is not atomic for DIRECTORIES, unlike the JSON artifact
+        # cache's single-file replace)
+        import shutil
+
+        try:
+            with open(marker) as fh:
+                ok = json.load(fh) == fp
+        except (OSError, ValueError):
+            ok = False
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not ok:
+            raise
     return root
 
 
@@ -181,19 +197,43 @@ def pipe_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # snapshot diff: corpus version v1 vs v2
 # ---------------------------------------------------------------------------
 
-
-@register(
-    "pipe_snapshot_diff",
-    oracle="""
-    WITH v1 AS (
-      SELECT doc_id, md5(text) AS h FROM documents
-    ), v2 AS (
+# the deterministic v2 fixture shared by pipe_snapshot_diff and
+# pipe_embed_invalidate (drop doc_id%13, revise doc_id%11, add re-keyed
+# doc_id%17) — one definition so the faces can never desynchronize
+_V2_ORACLE = """
       SELECT doc_id,
              CASE WHEN doc_id % 11 = 0 THEN md5(text || ' rev2') ELSE md5(text) END AS h
       FROM documents WHERE doc_id % 13 <> 0
       UNION ALL
       SELECT doc_id + 3000000 AS doc_id, md5(text || ' new') AS h
       FROM documents WHERE doc_id % 17 = 0
+"""
+
+
+def _snapshot_v2(docs: DataFrame) -> DataFrame:
+    return (
+        docs.where(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 11 == 0, F.md5(F.concat(F.col("text"), F.lit(" rev2"))))
+            .otherwise(F.md5("text"))
+            .alias("h"),
+        )
+        .unionAll(
+            docs.where(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.md5(F.concat(F.col("text"), F.lit(" new"))).alias("h"),
+            )
+        )
+    )
+
+
+@register(
+    "pipe_snapshot_diff",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+    ), v2 AS ({_V2_ORACLE}
     )
     SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
            CASE WHEN v1.doc_id IS NULL THEN 'added'
@@ -220,21 +260,7 @@ def pipe_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is the CDC feed downstream incremental jobs consume."""
     docs = load_table(spark, sf_dir, "documents")
     v1 = docs.select("doc_id", F.md5("text").alias("h"))
-    v2 = (
-        docs.where(F.col("doc_id") % 13 != 0)
-        .select(
-            "doc_id",
-            F.when(F.col("doc_id") % 11 == 0, F.md5(F.concat(F.col("text"), F.lit(" rev2"))))
-            .otherwise(F.md5("text"))
-            .alias("h"),
-        )
-        .unionAll(
-            docs.where(F.col("doc_id") % 17 == 0).select(
-                (F.col("doc_id") + 3000000).alias("doc_id"),
-                F.md5(F.concat(F.col("text"), F.lit(" new"))).alias("h"),
-            )
-        )
-    )
+    v2 = _snapshot_v2(docs)
     a, b = v1.alias("a"), v2.alias("b")
     joined = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
     change = (
@@ -259,6 +285,22 @@ def pipe_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _LM_MIN_COUNT = 2  # bigram must occur >= this often in train to enter the vocab
+
+
+def _doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, gram) postings shared by both LM faces.  The
+    ``size(t) >= 2`` guard matters: Spark's ``sequence(1, 0)`` is the
+    DESCENDING [1, 0], so unguarded single-token docs would emit junk
+    grams instead of none."""
+    bigrams = F.expr(
+        "transform(sequence(1, size(t) - 1),"
+        " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+    )
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("t"))
+        .where(F.expr("size(t) >= 2"))
+        .select("doc_id", F.explode(bigrams).alias("gram"))
+    )
 
 
 @register(
@@ -305,15 +347,7 @@ def ext_lm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``pipe_dedup_incremental``'s digest index."""
     docs = load_table(spark, sf_dir, "documents")
     n = spark.sparkContext.defaultParallelism
-    bigrams = F.expr(
-        "transform(sequence(1, size(t) - 1),"
-        " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
-    )
-    grams = (
-        docs.select("doc_id", F.split("text", " ").alias("t"))
-        .where(F.expr("size(t) >= 2"))
-        .select("doc_id", F.explode(bigrams).alias("gram"))
-    )
+    grams = _doc_bigrams(docs)
     vocab = (
         grams.where(F.col("doc_id") % 10 < 8)
         .groupBy("gram")
@@ -518,7 +552,12 @@ def pipe_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return [[r["lhs"], r["rhs"]] for r in rows]
 
-    fp = {"n_docs": _table_rows(sf_dir, "documents"), "iters": _BPE_ITERS, "v": 1}
+    fp = {
+        "sf_dir": sf_dir,
+        "n_docs": _table_rows(sf_dir, "documents"),
+        "iters": _BPE_ITERS,
+        "v": 1,
+    }
     pairs = _artifact_cache("bpemerges", sf_dir, fp, induce)
     merges = [(lhs, rhs, f"{lhs}{_BPE_SEP}{rhs}") for lhs, rhs in pairs]
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -548,16 +587,8 @@ def ext_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     two shuffle joins on the gram keys, one doc_id rollup."""
     docs = load_table(spark, sf_dir, "documents")
     n = spark.sparkContext.defaultParallelism
-    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
-    bigrams = F.expr(
-        "transform(sequence(1, size(t) - 1),"
-        " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
-    )
-    grams = toks.where(F.expr("size(t) >= 2")).select(
-        "doc_id",
-        F.explode(bigrams).alias("gram"),
-    )
-    unis = toks.select("doc_id", F.explode("t").alias("w"))
+    grams = _doc_bigrams(docs)
+    unis = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     train_g = grams.where(F.col("doc_id") % 10 < 8)
     train_u = unis.where(F.col("doc_id") % 10 < 8)
     big_c = train_g.groupBy("gram").agg(F.count(F.lit(1)).alias("c2"))
@@ -635,10 +666,9 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
 
-    from gordo_components_spark.operators.extensions_similarity import _corpus_rows
-
     emb = load_table(spark, sf_dir, "embeddings")
-    k = _sem_k_for(_corpus_rows(sf_dir))
+    n_vecs = _table_rows(sf_dir, "embeddings")
+    k = _sem_k_for(n_vecs)
     feats = emb.select(
         "vec_id",
         F.col("embedding").alias("v"),
@@ -650,7 +680,7 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the centroid set is an OFFLINE artifact (like the IVF index):
     # fitted once per corpus fingerprint, reused across calls/sessions
-    fp = {"n": _corpus_rows(sf_dir), "k": k, "seed": 7, "v": 1}
+    fp = {"sf_dir": sf_dir, "n": n_vecs, "k": k, "seed": 7, "v": 1}
     centroids = _artifact_cache("semcent", sf_dir, fp, fit_centroids)
     centers = spark.createDataFrame(
         [(int(i), c) for i, c in enumerate(centroids)],
@@ -731,7 +761,7 @@ _BM25_TOPK = 10
       SELECT COUNT(*) AS n_docs, SUM(len(string_split(text, ' '))) / COUNT(*) AS avgdl
       FROM documents
     ), q AS (
-      SELECT unnest(['{_BM25_QUERY[0]}', '{_BM25_QUERY[1]}', '{_BM25_QUERY[2]}']) AS token
+      SELECT unnest([{', '.join(repr(t) for t in _BM25_QUERY)}]) AS token
     ), df AS (
       SELECT tok.token, COUNT(*) AS df_t
       FROM tok JOIN q USING (token) GROUP BY tok.token
@@ -785,11 +815,15 @@ def ext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avgdl"),
     )
     df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    # carry avgdl through the idf frame: a second crossJoin against a
+    # different projection of `stats` would defeat ReuseExchange and
+    # aggregate the corpus twice
     idf = df_t.crossJoin(F.broadcast(stats)).select(
         "token",
         F.round(
             F.log((F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0), 9
         ).alias("idf"),
+        "avgdl",
     )
     part = F.round(
         F.col("idf")
@@ -803,7 +837,6 @@ def ext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         tf.join(F.broadcast(idf), "token")
         .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats.select("avgdl")))
         .select("doc_id", part.alias("part"))
     )
     return (
@@ -821,14 +854,8 @@ def ext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipe_embed_invalidate",
-    oracle="""
-    WITH v2 AS (
-      SELECT doc_id,
-             CASE WHEN doc_id % 11 = 0 THEN md5(text || ' rev2') ELSE md5(text) END AS h
-      FROM documents WHERE doc_id % 13 <> 0
-      UNION ALL
-      SELECT doc_id + 3000000 AS doc_id, md5(text || ' new') AS h
-      FROM documents WHERE doc_id % 17 = 0
+    oracle=f"""
+    WITH v2 AS ({_V2_ORACLE}
     ), delta AS (
       SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
              CASE WHEN v1.doc_id IS NULL THEN 'added' ELSE 'changed' END AS reason
@@ -858,21 +885,7 @@ def pipe_embed_invalidate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
     v1 = docs.select("doc_id", F.md5("text").alias("h"))
-    v2 = (
-        docs.where(F.col("doc_id") % 13 != 0)
-        .select(
-            "doc_id",
-            F.when(F.col("doc_id") % 11 == 0, F.md5(F.concat(F.col("text"), F.lit(" rev2"))))
-            .otherwise(F.md5("text"))
-            .alias("h"),
-        )
-        .unionAll(
-            docs.where(F.col("doc_id") % 17 == 0).select(
-                (F.col("doc_id") + 3000000).alias("doc_id"),
-                F.md5(F.concat(F.col("text"), F.lit(" new"))).alias("h"),
-            )
-        )
-    )
+    v2 = _snapshot_v2(docs)
     a, b = v1.alias("a"), v2.alias("b")
     delta = (
         a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
@@ -1306,7 +1319,7 @@ _DELTA_LANGS = ("en", "de", "es", "fr")
       SELECT *,
              CASE WHEN seen_before = 0
                    AND n_tok BETWEEN {_DELTA_MIN_TOK} AND {_DELTA_MAX_TOK}
-                   AND lang IN ('en', 'de', 'es', 'fr') THEN 1 ELSE 0
+                   AND lang IN ({', '.join(repr(l) for l in _DELTA_LANGS)}) THEN 1 ELSE 0
              END AS survives
       FROM scored
     )
@@ -1485,7 +1498,10 @@ def ext_dedup_canonical_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.round(F.expr(dot) / F.col("nn"), 6) >= 0.30)
         .select("src", "dst")
     )
-    # undirected: symmetrize once, persist (probed every iteration)
+    # undirected: persist the (expensive) pair join FIRST, then
+    # symmetrize — otherwise the unpersisted subtree is embedded in both
+    # union legs and the cosine self-join runs twice
+    pairs = persist_tracked(pairs)
     edges = persist_tracked(
         pairs.unionAll(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     )
