@@ -406,8 +406,13 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, force: bool = False) -> st
         try:
             if not force and _index_valid():
                 return root
+            # sweep orphans: builds are flock-serialized, so any
+            # sibling {root}.tmp-* here belongs to a crashed builder
+            root_dir, root_base = os.path.split(root)
+            for leaf in os.listdir(root_dir):
+                if leaf.startswith(f"{root_base}.tmp-"):
+                    shutil.rmtree(os.path.join(root_dir, leaf), ignore_errors=True)
             tmp = f"{root}.tmp-{os.getpid()}"
-            shutil.rmtree(tmp, ignore_errors=True)
             emb = load_table(spark, sf_dir, "embeddings").select(
                 "vec_id", "label", F.col("embedding").alias("v")
             )
@@ -487,7 +492,9 @@ def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("embedding").alias("qv"))
         .head()[0]
     )
-    q = spark.createDataFrame([([float(x) for x in qv],)], "qv array<double>")
+    q = spark.createDataFrame(
+        [([float(x) for x in qv],)], "qv array<double>"
+    ).withColumn("qn", F.expr(_norm("qv")))
     cent = spark.read.parquet(os.path.join(idx, "centroids"))
     diff = F.col("c") - F.expr("qv[pos]")
     qdist = (
@@ -510,7 +517,7 @@ def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.round(
                 F.expr(_DOT.format(a="v", b="qv"))
-                / (F.expr(_norm("v")) * F.expr(_norm("qv"))),
+                / (F.expr(_norm("v")) * F.col("qn")),
                 6,
             ).alias("cosine"),
         )
@@ -540,19 +547,11 @@ def _rp_k_for(n_rows: int) -> int:
 
 def _corpus_rows(sf_dir: str) -> int:
     """Corpus-count estimate from parquet FOOTER metadata (driver-side,
-    no Spark job) — the index-time statistic that sizes K."""
-    import os
+    no Spark job) — the index-time statistic that sizes K.  Delegates to
+    the generalized ``extensions_corpus._table_rows``."""
+    from gordo_components_spark.operators.extensions_corpus import _table_rows
 
-    import pyarrow.parquet as pq
-
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    if os.path.isdir(path):
-        return sum(
-            pq.read_metadata(os.path.join(path, f)).num_rows
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-        )
-    return pq.read_metadata(path).num_rows
+    return _table_rows(sf_dir, "embeddings")
 
 
 def _rp_planes(k: int):
@@ -627,8 +626,13 @@ def ext_ann_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gordo_components_spark.ml.islands import _spread  # AQE-exempt repartition
 
     k = _rp_k_for(_corpus_rows(sf_dir))
-    buckets = _spread(emb, ("vec_id",)).mapInPandas(
-        _rp_bucket_batches(k), schema="vec_id bigint, table_id int, bucket bigint"
+    # persist: the query-probe extraction and the corpus candidate join
+    # are independent consumers — unpersisted, the full corpus LSH pass
+    # (repartition + numpy matmul island) would run TWICE per query
+    buckets = persist_tracked(
+        _spread(emb, ("vec_id",)).mapInPandas(
+            _rp_bucket_batches(k), schema="vec_id bigint, table_id int, bucket bigint"
+        )
     )
     probe_set = F.array(
         F.col("bucket"),
@@ -711,7 +715,9 @@ def ext_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").alias("v")
     )
     q = emb.where(F.col("vec_id") < _BATCH_Q).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.expr(_norm("v")).alias("qn"),
     )
     scored = (
         emb.where(F.col("vec_id") >= _BATCH_Q)
@@ -721,7 +727,7 @@ def ext_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.round(
                 F.expr(_DOT.format(a="v", b="qv"))
-                / (F.expr(_norm("v")) * F.expr(_norm("qv"))),
+                / (F.expr(_norm("v")) * F.col("qn")),
                 6,
             ).alias("cosine"),
         )
@@ -844,9 +850,11 @@ def ext_ann_batch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed_cells = sorted({r.label for r in probe_rows})
     qv_by_id = {int(r.vec_id): [float(x) for x in r.embedding] for r in q_rows}
     probe_map = spark.createDataFrame(
-        [(int(r.qid), r.label, qv_by_id[int(r.qid)]) for r in probe_rows],
-        "qid bigint, cell string, qv array<double>",
-    )
+        [(int(r.qid), int(r.label), qv_by_id[int(r.qid)]) for r in probe_rows],
+        # cell declared INT to match the partition-discovered index column
+        # (a string column here only joined through implicit coercion)
+        "qid bigint, cell int, qv array<double>",
+    ).withColumn("qn", F.expr(_norm("qv")))
     scored = (
         spark.read.parquet(os.path.join(idx, "corpus"))
         .where(F.col("cell").isin(probed_cells))
@@ -857,7 +865,7 @@ def ext_ann_batch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.round(
                 F.expr(_DOT.format(a="v", b="qv"))
-                / (F.expr(_norm("v")) * F.expr(_norm("qv"))),
+                / (F.expr(_norm("v")) * F.col("qn")),
                 6,
             ).alias("cosine"),
         )
@@ -935,7 +943,7 @@ def ext_ann_assign_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = spark.read.parquet(os.path.join(idx, "centroids"))
     diff = F.col("c") - F.expr("v[pos]")
     dist = (
-        cent.crossJoin(batch)
+        batch.crossJoin(F.broadcast(cent))
         .select("vec_id", "label", (diff * diff).alias("sq"))
         .groupBy("vec_id", "label")
         .agg(F.round(F.sum("sq"), 9).alias("d2"))
@@ -1006,7 +1014,7 @@ def ext_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         load_table(spark, sf_dir, "embeddings")
         .where(F.col("vec_id") == _QUERY_ID)
-        .select(F.col("embedding").alias("qv"))
+        .select(F.col("embedding").alias("qv"), F.expr(_norm("embedding")).alias("qn"))
     )
     scored = (
         dq.where(F.col("vec_id") != _QUERY_ID)
@@ -1015,7 +1023,7 @@ def ext_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.round(
                 F.expr(_DOT.format(a="dv", b="qv"))
-                / (F.expr(_norm("dv")) * F.expr(_norm("qv"))),
+                / (F.expr(_norm("dv")) * F.col("qn")),
                 6,
             ).alias("cosine"),
         )

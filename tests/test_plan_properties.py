@@ -304,3 +304,29 @@ def test_bloom_blocklist_constant_filter_then_confirm(spark, sf_dir):
     plan = plan_of(spark, "ext_bloom_blocklist", sf_dir)
     assert "LeftSemi" in plan
     assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan
+
+
+def test_assign_cells_broadcasts_quantizer(spark, sf_dir):
+    # the write-path cell assignment must broadcast the (tiny) centroid
+    # frame into the batch scan — never shuffle or nest-loop the batch
+    plan = plan_of(spark, "ext_ann_assign_cells", sf_dir)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantized_topk_is_single_scan_takeordered(spark, sf_dir):
+    # int8 asymmetric scan face: broadcast query + corpus scan +
+    # TakeOrdered top-k (same shape as ext_cosine_topk, per docstring) —
+    # never a global sort or a nested-loop pair join
+    plan = plan_of(spark, "ext_ann_quantized_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "ShuffledHashJoin" not in plan and "SortMergeJoin" not in plan
+
+
+def test_tfidf_capped_no_cartesian(spark, sf_dir):
+    # the skew-salted pair join must stay an equi-join on the salted
+    # block key: a CartesianProduct/BNLJ regression here is quadratic
+    plan = plan_of(spark, "ext_tfidf_similar_capped", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
