@@ -22,14 +22,21 @@ from gordo_components_spark.sources.tables import load_table
 
 
 def _bucket(key: str, strpos_fn: str) -> str:
-    """0..9999 deterministic bucket: first 4 md5 hex digits decoded via
-    position in the hex alphabet (strpos/instr are 1-based in both)."""
+    """UNIFORM 0..65535 deterministic bucket: first 4 md5 hex digits
+    decoded via position in the hex alphabet (strpos/instr are 1-based
+    in both).  Deliberately NOT reduced mod 10000: (0..65535) % 10000
+    makes buckets 0-6535 carry 7/65536 of the keys and 6536-9999 only
+    6/65536, skewing every per-10000 rate by up to +7% relative
+    (review-measured: the '80/10/10' split materialized as 83/9/8).
+    Per-10000 rates compare cross-multiplied instead:
+    bucket * 10000 < rate * 65536 — exact integers, no bias beyond the
+    unavoidable 1/65536 quantization."""
     digit = "({f}('0123456789abcdef', substr(md5({k}), {i}, 1)) - 1)"
     val = " + ".join(
         digit.format(f=strpos_fn, k=key, i=i) + f" * {16 ** (3 - n)}"
         for n, i in enumerate(range(1, 5))
     )
-    return f"(({val}) % 10000)"
+    return f"({val})"
 
 
 _BUCKET_SPARK = _bucket("{key}", "instr")
@@ -106,6 +113,13 @@ def pipe_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bad_enum"),
         (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("dup_keys"),
+        # LATENT cross-engine divergence (review-flagged, fixture-masked):
+        # Spark's get_json_object is lenient (accepts single quotes, raw
+        # control chars; returns NULL for 'nan') where DuckDB's
+        # json_valid is strict — today's fixtures contain zero rows where
+        # they disagree, and tests/test_corpus_lifecycle.py::
+        # test_json_validity_predicates_agree_on_fixture pins that
+        # precondition so a messier fixture fails loudly, not silently
         F.sum(F.when(F.expr("get_json_object(props, '$') IS NULL"), 1).otherwise(0))
         .cast("bigint")
         .alias("bad_json"),
@@ -113,6 +127,8 @@ def pipe_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RATES = {"en": 5000, "es": 1000, "de": 1000, "fr": 1000, "zh": 1000}  # per-10000
+_TRAIN_CUT = 52429  # ceil(0.8 * 65536) — train band on the 16-bit bucket
+_VAL_CUT = 58983  # ceil(0.9 * 65536)
 _RATE_CASE_SQL = "CASE lang " + " ".join(
     f"WHEN '{k}' THEN {v}" for k, v in _RATES.items()
 ) + " ELSE 0 END"
@@ -123,7 +139,8 @@ _RATE_CASE_SQL = "CASE lang " + " ".join(
     oracle=f"""
     SELECT doc_id, lang
     FROM documents
-    WHERE {_BUCKET_DUCK.format(key="CAST(doc_id AS VARCHAR)")} < {_RATE_CASE_SQL}
+    WHERE {_BUCKET_DUCK.format(key="CAST(doc_id AS VARCHAR)")} * 10000
+          < ({_RATE_CASE_SQL}) * 65536
     """,
 )
 def pipe_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,15 +151,15 @@ def pipe_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bucket = F.expr(_BUCKET_SPARK.format(key="CAST(doc_id AS STRING)"))
     rate = F.expr(_RATE_CASE_SQL)
-    return docs.where(bucket < rate).select("doc_id", "lang")
+    return docs.where(bucket * 10000 < rate * 65536).select("doc_id", "lang")
 
 
 @register(
     "pipe_train_split",
     oracle=f"""
     SELECT doc_id,
-           CASE WHEN {_BUCKET_DUCK.format(key="CAST(doc_id AS VARCHAR)")} < 8000 THEN 'train'
-                WHEN {_BUCKET_DUCK.format(key="CAST(doc_id AS VARCHAR)")} < 9000 THEN 'val'
+           CASE WHEN {_BUCKET_DUCK.format(key="CAST(doc_id AS VARCHAR)")} < {_TRAIN_CUT} THEN 'train'
+                WHEN {_BUCKET_DUCK.format(key="CAST(doc_id AS VARCHAR)")} < {_VAL_CUT} THEN 'val'
                 ELSE 'test' END AS split
     FROM documents
     """,
@@ -155,7 +172,10 @@ def pipe_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.expr(_BUCKET_SPARK.format(key="CAST(doc_id AS STRING)"))
     return docs.select(
         "doc_id",
-        F.when(bucket < 8000, "train").when(bucket < 9000, "val").otherwise("test").alias("split"),
+        F.when(bucket < _TRAIN_CUT, "train")
+        .when(bucket < _VAL_CUT, "val")
+        .otherwise("test")
+        .alias("split"),
     )
 
 
@@ -253,6 +273,9 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.size(F.split("text", " ")) >= 4)
         .select("doc_id", F.explode(F.expr(grams4)).alias("g"))
     )
+    # NOT persisted deliberately: the bench leg's doc_id%100 filter
+    # pushes into its own parquet scan, so it reads ~1% of the corpus —
+    # cheaper than materializing 100% of the gram explosion to share it
     bench = (
         g.where(F.col("doc_id") % 100 == 0)
         .select(F.col("doc_id").alias("bench_id"), "g")
@@ -319,6 +342,39 @@ def pipe_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared core of the curation family (pipe_curation_e2e is the
+    oracle-checked face, pipe_curation_write the materialization): gates
+    → dedup survivors → hash split.  One definition so the corpus
+    written to disk is always exactly what the checked pipeline
+    certifies.  ``gated`` is persist_tracked: the survivor groupBy and
+    the semi-join probe are independent consumers, and unpersisted each
+    re-scanned + re-tokenized the corpus."""
+    from gordo_components_spark.caches import persist_tracked
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_toks = F.size(toks)
+    gated = persist_tracked(
+        docs.where(
+            (n_toks >= 20)
+            & (F.size(F.array_distinct(toks)).cast("double") / n_toks >= 0.15)
+            & (F.col("lang") == "en")
+        ).select("doc_id", "source", "text", n_toks.alias("n_toks"))
+    )
+    surv = gated.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    bucket = F.expr(_BUCKET_SPARK.format(key="CAST(doc_id AS STRING)"))
+    return gated.join(surv.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id",
+        "source",
+        "n_toks",
+        F.when(bucket < _TRAIN_CUT, "train")
+        .when(bucket < _VAL_CUT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 @register(
     "pipe_curation_e2e",
     oracle=f"""
@@ -335,8 +391,8 @@ def pipe_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM gated GROUP BY md5(text)
     ), kept AS (
       SELECT g.doc_id, g.source, g.n_toks,
-             CASE WHEN {_BUCKET_DUCK.format(key="CAST(g.doc_id AS VARCHAR)")} < 8000 THEN 'train'
-                  WHEN {_BUCKET_DUCK.format(key="CAST(g.doc_id AS VARCHAR)")} < 9000 THEN 'val'
+             CASE WHEN {_BUCKET_DUCK.format(key="CAST(g.doc_id AS VARCHAR)")} < {_TRAIN_CUT} THEN 'train'
+                  WHEN {_BUCKET_DUCK.format(key="CAST(g.doc_id AS VARCHAR)")} < {_VAL_CUT} THEN 'val'
                   ELSE 'test' END AS split
       FROM gated g JOIN surv s ON g.doc_id = s.doc_id
     )
@@ -358,28 +414,7 @@ def pipe_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     standalone operator (md5 survivor = ext_dedup_exact, positional-hex
     bucket = pipe_train_split), so correctness composes — and the oracle
     checks the WHOLE pipeline, not the stages in isolation."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n_toks = F.size(toks)
-    gated = docs.where(
-        (n_toks >= 20)
-        & (F.size(F.array_distinct(toks)).cast("double") / n_toks >= 0.15)
-        & (F.col("lang") == "en")
-    ).select("doc_id", "source", "text", n_toks.alias("n_toks"))
-    surv = gated.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
-    bucket = F.expr(_BUCKET_SPARK.format(key="CAST(doc_id AS STRING)"))
-    kept = (
-        gated.join(surv.select("doc_id"), "doc_id", "left_semi")
-        .select(
-            "doc_id",
-            "source",
-            "n_toks",
-            F.when(bucket < 8000, "train")
-            .when(bucket < 9000, "val")
-            .otherwise("test")
-            .alias("split"),
-        )
-    )
+    kept = _curated_docs(spark, sf_dir)
     return kept.groupBy("split", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("n_toks").cast("bigint")).alias("n_tokens"),
@@ -401,25 +436,7 @@ def pipe_curation_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free ingestion."""
     import os
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n_toks = F.size(toks)
-    gated = docs.where(
-        (n_toks >= 20)
-        & (F.size(F.array_distinct(toks)).cast("double") / n_toks >= 0.15)
-        & (F.col("lang") == "en")
-    ).select("doc_id", "source", "text", n_toks.alias("n_toks"))
-    surv = gated.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
-    bucket = F.expr(_BUCKET_SPARK.format(key="CAST(doc_id AS STRING)"))
-    kept = gated.join(surv.select("doc_id"), "doc_id", "left_semi").select(
-        "doc_id",
-        "source",
-        "n_toks",
-        F.when(bucket < 8000, "train")
-        .when(bucket < 9000, "val")
-        .otherwise("test")
-        .alias("split"),
-    )
+    kept = _curated_docs(spark, sf_dir)
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     out = f"/tmp/gordo_spark_curated/{sf_tag}"
     kept.write.mode("overwrite").partitionBy("split").parquet(out)
@@ -761,8 +778,8 @@ def pipe_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, source, n_toks,
            CAST(LEAST(10000, n_toks * 200) AS BIGINT) AS keep_p_10k
     FROM toks
-    WHERE {_BUCKET_DUCK.format(key="CAST(doc_id AS VARCHAR)")}
-          < LEAST(10000, n_toks * 200)
+    WHERE {_BUCKET_DUCK.format(key="CAST(doc_id AS VARCHAR)")} * 10000
+          < LEAST(10000, n_toks * 200) * 65536
     """,
 )
 def pipe_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -790,7 +807,7 @@ def pipe_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             keep_p.alias("keep_p_10k"),
             bucket.alias("_bucket"),
         )
-        .where(F.col("_bucket") < F.col("keep_p_10k"))
+        .where(F.col("_bucket") * 10000 < F.col("keep_p_10k") * 65536)
         .drop("_bucket")
     )
 
@@ -894,7 +911,12 @@ def pipe_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("lhs", "rhs")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        best = cnt.orderBy(F.desc("c"), "lhs", "rhs").limit(1)
+        # best (explode + groupBy + TakeOrdered over the corpus) feeds
+        # match, qrows AND stat_i; m (two windows over match) feeds the
+        # mq join, the mp join and the merges count — unpersisted, each
+        # consumer re-ran the whole upstream pass (~5 redundant corpus
+        # aggregations per iteration, measured 17.5 s → ~8 s at sf0.1)
+        best = persist_tracked(cnt.orderBy(F.desc("c"), "lhs", "rhs").limit(1))
         match = (
             pos.crossJoin(F.broadcast(best))
             .where(
@@ -917,6 +939,7 @@ def pipe_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") % 2 == 1)
             .select("doc_id", "p")
         )
+        m = persist_tracked(m)
         mq = m.select(F.col("doc_id").alias("mq_doc"), F.col("p").alias("mq_p"))
         mp = m.select(F.col("doc_id").alias("mp_doc"), F.col("p").alias("mp_p"))
         qrows = (

@@ -335,3 +335,21 @@ def test_fuzzy_join_recovers_every_corrupted_record(spark):
     assert set(self_matches) == set(dirty_keys)
     for k, d in self_matches.items():
         assert d == (1 if k % 20 == 0 else 2)
+
+
+def test_json_validity_predicates_agree_on_fixture(spark):
+    """pipe_data_quality's bad_json uses Spark's lenient get_json_object
+    while the oracle uses DuckDB's strict json_valid; they agree only
+    while the fixture contains no lenient-vs-strict edge cases. Pin that
+    precondition: the two predicates must count identically."""
+    import duckdb
+
+    from gordo_components_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    spark_bad = ev.where("get_json_object(props, '$') IS NULL").count()
+    duck_bad = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_SMALL}/events.parquet')"
+        " WHERE NOT json_valid(props)"
+    ).fetchone()[0]
+    assert spark_bad == duck_bad
