@@ -52,10 +52,15 @@ def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # variable (transform over a 1-element wrapper array): naming split(...)
 # inline in the position lambda re-tokenizes the whole document per
 # shingle position — O(n²) per doc, measured 7× slower at sf0.1.
+# The size(t) >= 3 guard is load-bearing: sequence(0, size-3) goes
+# DESCENDING for shorter docs (e.g. [0, -1]) and slice(t, 0, 3) then
+# throws INVALID_PARAMETER_VALUE.START — one 2-token document would
+# kill the whole job, where the DuckDB oracles yield an empty list.
 _SHINGLES = (
-    "transform(array(split(text, ' ')), t -> "
+    "transform(array(split(text, ' ')), t -> CASE WHEN size(t) >= 3 THEN "
     "array_distinct(transform(sequence(0, size(t) - 3), "
-    "i -> concat_ws(' ', slice(t, i + 1, 3)))))[0]"
+    "i -> concat_ws(' ', slice(t, i + 1, 3)))) "
+    "ELSE array() END)[0]"
 )
 
 
@@ -69,8 +74,9 @@ _SHINGLES = (
       FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+           floor(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.shingles, b.shingles)))
+                 * 1000000 + 0.5) / 1000000 AS jaccard
     FROM sh a JOIN sh b
       ON a.source = b.source AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
@@ -127,9 +133,16 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.doc_id").alias("doc_b"),
         (inter / union).alias("jac_raw"),
     )
+    # floor-shift, not round(): |intersect|/|union| is a
+    # small-denominator rational — exactly the half-tie-prone shape
+    # where the engines' round() algorithms can diverge (CLAUDE.md)
     return (
         scored.where(F.col("jac_raw") > 0.01)
-        .select("doc_a", "doc_b", F.round("jac_raw", 6).alias("jaccard"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.floor(F.col("jac_raw") * 1000000 + F.lit(0.5)) / 1000000).alias("jaccard"),
+        )
     )
 
 
@@ -185,7 +198,7 @@ def ext_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("u").alias("a"), F.col("v").alias("b"))
 
     labels = doubled.select("doc_id", F.col("doc_id").alias("component"))
-    edges = edges.persist()
+    edges = persist_tracked(edges)
     labels = min_label_propagation(labels, edges, max_iters=10)
     edges.unpersist()  # loop done: only the final labels stay cached, and
     # they back the returned plan
@@ -219,7 +232,7 @@ def min_label_propagation(
     diameter; this is the billion-edge cadence (GraphFrames does the
     same every ~3 Pregel rounds).  Superseded generations are unpersisted
     as soon as the next one materializes."""
-    labels = labels.persist()
+    labels = persist_tracked(labels)
     for it in range(1, max_iters + 1):
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["doc_id"])
@@ -235,7 +248,7 @@ def min_label_propagation(
         if checkpoint_every and it % checkpoint_every == 0:
             updated = updated.localCheckpoint(eager=True)  # lineage cut
         else:
-            updated = updated.persist()
+            updated = persist_tracked(updated)
         changed = (
             updated.join(labels.withColumnRenamed("component", "old"), "doc_id")
             .where(F.col("component") != F.col("old"))
@@ -245,6 +258,16 @@ def min_label_propagation(
         labels = updated
         if changed == 0:
             break
+    else:
+        # the loop exhausted max_iters while labels were still moving:
+        # returning here would silently hand back PARTIAL components
+        # (same-component docs with different ids — transitive dups both
+        # marked survivors, the exact failure this operator prevents)
+        raise RuntimeError(
+            f"min_label_propagation did not converge in {max_iters} iterations "
+            f"({changed} labels still changing); the graph diameter exceeds "
+            "max_iters — raise max_iters or checkpoint_every cadence"
+        )
     return labels
 
 
@@ -323,7 +346,11 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(sha, "doc_a")
         .join(shb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.floor(jac * 1000000 + F.lit(0.5)) / 1000000).alias("jaccard"),
+        )
     )
 
 
@@ -340,16 +367,26 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     block-permuted index keys)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("tokens"))
-    # per-bit vote: sum over tokens of (bit set ? 1 : -1); bit = 1 if sum > 0
-    bit_exprs = [
-        f"(CASE WHEN aggregate(tokens, 0L, (acc, t) -> acc + "
-        f"CASE WHEN (xxhash64(t) >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
-        f"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << {i}"
-        for i in range(_SIMHASH_BITS)
-    ]
-    sim = toks.select(
-        "doc_id", F.expr(" + ".join(f"({e})" for e in bit_exprs)).alias("simhash")
+    # per-bit vote: sum over tokens of (bit set ? 1 : -1); bit = 1 if
+    # sum > 0.  ONE hash per token and ONE fold per document: tokens are
+    # hashed once into an array<long>, then a single aggregate carries a
+    # 32-counter accumulator (zip_with per element).  The previous form
+    # ran 32 independent aggregate() folds — every token hashed and the
+    # array traversed 32x (the same redundancy the MinHash signature
+    # fold eliminated, review-flagged here).
+    votes = (
+        "aggregate(transform(tokens, t -> xxhash64(t)), "
+        f"array_repeat(CAST(0 AS BIGINT), {_SIMHASH_BITS}), "
+        "(acc, h) -> zip_with(acc, sequence(0, %d), "
+        "(a, b) -> a + CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END))"
+        % (_SIMHASH_BITS - 1)
     )
+    bits = (
+        f"aggregate(zip_with({votes}, sequence(0, {_SIMHASH_BITS - 1}), "
+        "(v, b) -> CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), b) "
+        "ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    sim = toks.select("doc_id", F.expr(bits).alias("simhash"))
     return sim.select(
         "doc_id",
         "simhash",
