@@ -395,10 +395,20 @@ class ARForecaster(_Base):
         A, _ = self._windows(np.asarray(X, dtype=np.float64))
         return A @ self.coef_
 
+    def residuals(self, X: np.ndarray) -> np.ndarray:
+        """Per-window forecast errors (targets − predictions) with ONE
+        window construction — the public accessor island callers use
+        instead of pairing ``_windows`` with ``predict`` (which would
+        rebuild the window matrix twice and couple to a private)."""
+        A, Y = self._windows(np.asarray(X, dtype=np.float64))
+        if hasattr(self, "coef_"):  # linear closed form: reuse A directly
+            return Y - A @ self.coef_
+        return Y - self.predict(X)  # nonlinear subclasses route via predict
+
     def score(self, X: np.ndarray, y=None) -> float:
         X = np.asarray(X, dtype=np.float64)
         _, Y = self._windows(X)
-        err = Y - self.predict(X)
+        err = self.residuals(X)
         denom = Y.var(axis=0).sum()
         return float(1.0 - err.var(axis=0).sum() / denom) if denom else 0.0
 

@@ -38,22 +38,24 @@ def build_mllib_pipeline(k: int = 2) -> Pipeline:
     )
 
 
-def fit_and_score(features: DataFrame, k: int = 2) -> tuple[PipelineModel, DataFrame]:
-    """Fit the MLlib pipeline and emit reconstruction-residual anomaly
-    scores as column algebra over its outputs."""
+def score_residuals(model: PipelineModel, features: DataFrame) -> DataFrame:
+    """Reconstruction-residual anomaly scores as column algebra over the
+    fitted pipeline's outputs — the ONE definition both the fit path and
+    the loaded-model path score with (operator face and library face
+    must never drift).
+
+    MLlib's PCA.transform does NOT center (z = xᵀV with V orthonormal),
+    so ‖z‖ ≤ ‖x‖ always and residual² = ‖x‖² − ‖z‖² is the energy
+    outside the principal subspace."""
     from pyspark.ml.functions import vector_to_array
 
-    model = build_mllib_pipeline(k).fit(features)
-    # MLlib's PCA.transform does NOT center (z = xᵀV with V orthonormal),
-    # so ‖z‖ ≤ ‖x‖ always and residual² = ‖x‖² − ‖z‖² is the energy
-    # outside the principal subspace.
     scored = (
         model.transform(features)
         .withColumn("x", vector_to_array("features"))
         .withColumn("z", vector_to_array("pca"))
     )
     sq = "aggregate(zip_with({c}, {c}, (a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    out = scored.select(
+    return scored.select(
         "user_id",
         "bucket",
         F.round(
@@ -63,7 +65,13 @@ def fit_and_score(features: DataFrame, k: int = 2) -> tuple[PipelineModel, DataF
             9,
         ).alias("recon_error"),
     )
-    return model, out
+
+
+def fit_and_score(features: DataFrame, k: int = 2) -> tuple[PipelineModel, DataFrame]:
+    """Fit the MLlib pipeline and emit reconstruction-residual anomaly
+    scores (see ``score_residuals``)."""
+    model = build_mllib_pipeline(k).fit(features)
+    return model, score_residuals(model, features)
 
 
 def save_load_roundtrip(model: PipelineModel, path: str) -> PipelineModel:

@@ -101,16 +101,18 @@ def sink_predictions_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet — rows-only: returns the re-read sink contents)."""
     import os
 
-    from gordo_components_spark.ml.islands import machine_features, score_models, train_models
+    from gordo_components_spark.ml.islands import machine_features, score_models
 
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     out = f"/tmp/gordo_spark_sink/{sf_tag}/predictions"
     feats = machine_features(spark, sf_dir)
     scored = score_models(feats, trained_models(spark, sf_dir))
-    scored.withColumn("is_anomaly", F.col("is_anomaly").cast("string")).write.mode(
-        "overwrite"
-    ).partitionBy("is_anomaly").parquet(out)
-    return spark.read.parquet(out)
+    written = scored.withColumn("is_anomaly", F.col("is_anomaly").cast("string"))
+    written.write.mode("overwrite").partitionBy("is_anomaly").parquet(out)
+    # schema-pinned re-read: a zero-row partitioned write leaves only
+    # _SUCCESS, and schema INFERENCE would then crash the whole query
+    # instead of reporting an empty sink
+    return spark.read.schema(written.schema).parquet(out)
 
 
 @register("codec_roundtrip", oracle=None)
@@ -126,7 +128,19 @@ def codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from gordo_components_spark.sources.tables import load_table
 
-    df = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value").limit(200)
+    # orderBy before limit: an un-ordered LIMIT can return a DIFFERENT
+    # 200-row subset each of the six times this frame is re-executed
+    # (registry rule: LIMIT always carries a unique tiebreak), which
+    # would make the roundtrip flags compare different rows
+    df = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "value")
+        .orderBy("event_id")
+        .limit(200)
+    )
+    from gordo_components_spark.caches import persist_tracked
+
+    df = persist_tracked(df)
     via_json = dataframe_from_dict(spark, dataframe_to_dict(df), schema=df.schema)
     blob = dataframe_into_parquet_bytes(df)
     via_parquet = dataframe_from_parquet_bytes(spark, blob)
@@ -199,15 +213,19 @@ def ml_forecast_ar(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         model = ARForecaster(lookback_window=4, lookahead=1)
         model.fit(X)
-        _, targets = model._windows(X)
-        err = np.abs(targets - model.predict(X)).mean(axis=1)
+        err = np.abs(model.residuals(X)).mean(axis=1)
         return pd.DataFrame(
             [{"machine": machine, "n_samples": len(X), "status": "ok",
               "forecast_r2": model.score(X), "err_p99": float(np.quantile(err, 0.99))}]
         )
 
     schema = "machine string, n_samples bigint, status string, forecast_r2 double, err_p99 double"
-    return feats.groupBy("user_id").applyInPandas(fn, schema)
+    from gordo_components_spark.ml.islands import _spread
+
+    # _spread: without the explicit repartition AQE coalesces the
+    # MB-scale feature shuffle to ONE partition and every per-machine
+    # AR fit runs serially (the CLAUDE.md pandas-island invariant)
+    return _spread(feats).groupBy("user_id").applyInPandas(fn, schema)
 
 
 @register("mllib_pipeline_anomaly", oracle=None)
@@ -220,33 +238,29 @@ def mllib_pipeline_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from gordo_components_spark.ml.islands import machine_features
-    from gordo_components_spark.ml.mllib_pipeline import fit_and_score, save_load_roundtrip
+    from gordo_components_spark.ml.mllib_pipeline import (
+        fit_and_score,
+        save_load_roundtrip,
+        score_residuals,
+    )
 
     feats = machine_features(spark, sf_dir)
     model, _ = fit_and_score(feats)
     path = os.path.join(tempfile.mkdtemp(prefix="gordo_mllib_"), "pipeline_model")
     loaded = save_load_roundtrip(model, path)
-    from pyspark.ml.functions import vector_to_array
-
-    scored = loaded.transform(feats).withColumn(
-        "x", vector_to_array("features")
-    ).withColumn("z", vector_to_array("pca"))
-    sq = "aggregate(zip_with({c}, {c}, (a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    return scored.select(
-        "user_id",
-        "bucket",
-        F.round(
-            F.sqrt(F.greatest(F.expr(sq.format(c="x")) - F.expr(sq.format(c="z")), F.lit(0.0))),
-            9,
-        ).alias("recon_error"),
-    )
+    # score through the SHARED residual definition — the face witnesses
+    # that the loaded model reproduces the library path exactly
+    return score_residuals(loaded, feats)
 
 
 @register("ml_model_registry", oracle=None)
 def ml_model_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O38/O39/O32: compile the YAML definition, train one machine, dump
-    to the content-addressed registry, prove the cache hit — returned as
-    a tiny status frame (driver-side logic; registry ops are local)."""
+    """O38/O39/O32: compile the YAML definition, dump the compiled
+    pipeline to the content-addressed registry, prove the cache hit —
+    returned as a tiny status frame (driver-side logic; registry ops are
+    local).  The cache key is content-addressed over the CONFIG, so an
+    unfitted pipeline witnesses the O39 hit/miss contract; the fitted
+    path is exercised by ``ml_lifecycle``'s train leg."""
     import tempfile
 
     from gordo_components_spark.ml.islands import DEFAULT_MODEL_DEFINITION
@@ -266,12 +280,15 @@ def ml_model_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     roundtrip = into_definition(from_definition(canonical))
     with tempfile.TemporaryDirectory() as d:
         reg = ModelRegistry(d)
-        assert reg.check_cache(machine_config) is None
+        # reported as a column, not an assert: asserts vanish under -O
+        # and a failure should flag the row, not crash the harness query
+        empty_miss = reg.check_cache(machine_config) is None
         reg.dump(machine_config, from_definition(DEFAULT_MODEL_DEFINITION))
         hit = reg.check_cache(machine_config) == key
     return spark.createDataFrame(
-        [(key, hit, roundtrip == canonical)],
-        "model_key string, cache_hit boolean, definition_roundtrip boolean",
+        [(key, bool(empty_miss), hit, roundtrip == canonical)],
+        "model_key string, empty_cache_miss boolean, cache_hit boolean,"
+        " definition_roundtrip boolean",
     )
 
 
@@ -303,7 +320,9 @@ def ml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = leg(
         "registry",
         registry_df,
-        F.min(F.col("cache_hit") & F.col("definition_roundtrip")).cast("boolean"),
+        F.min(
+            F.col("empty_cache_miss") & F.col("cache_hit") & F.col("definition_roundtrip")
+        ).cast("boolean"),
     )
     trained = trained_models(spark, sf_dir)  # O39 cache: one fit feeds all stages
     out = out.unionByName(
@@ -327,15 +346,13 @@ def ml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     feats = machine_features(spark, sf_dir)
+    # ok = "stage produced output": min(lit(True)) is vacuously true on
+    # any rows and NULL (not false) on zero — it could never flag a
+    # silently-empty predict/sink stage
+    produced = (F.count(F.lit(1)) > 0).cast("boolean")
+    out = out.unionByName(leg("predict", predict_batch(feats, trained), produced))
     out = out.unionByName(
-        leg("predict", predict_batch(feats, trained), F.min(F.lit(True)).cast("boolean"))
-    )
-    out = out.unionByName(
-        leg(
-            "sink",
-            sink_predictions_parquet(spark, sf_dir),
-            F.min(F.lit(True)).cast("boolean"),
-        )
+        leg("sink", sink_predictions_parquet(spark, sf_dir), produced)
     )
     out = out.unionByName(
         leg(
