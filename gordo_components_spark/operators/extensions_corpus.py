@@ -132,6 +132,25 @@ def build_dedup_index(spark: SparkSession, sf_dir: str, force: bool = False) -> 
     return root
 
 
+def _delta_batch(docs: DataFrame) -> DataFrame:
+    """The crawl-batch fixture shared by the whole incremental-dedup
+    family (batch face, index merge, delta curation, streaming face):
+    fresh docs (doc_id%5==0) plus re-crawled copies of already-ingested
+    texts (doc_id%7==0, re-keyed +2000000).  One definition so the
+    faces and their parity tests can never desynchronize."""
+    fresh = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "text", "lang", "source", F.md5("text").alias("text_hash")
+    )
+    recrawl = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        F.md5("text").alias("text_hash"),
+    )
+    return fresh.unionAll(recrawl)
+
+
 @register(
     "pipe_dedup_incremental",
     oracle="""
@@ -171,16 +190,7 @@ def pipe_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = build_dedup_index(spark, sf_dir)
     hist = spark.read.parquet(os.path.join(root, "hist")).select("text_hash")
     docs = load_table(spark, sf_dir, "documents")
-    batch = (
-        docs.where(F.col("doc_id") % 5 == 0)
-        .select("doc_id", F.md5("text").alias("text_hash"))
-        .unionAll(
-            docs.where(F.col("doc_id") % 7 == 0).select(
-                (F.col("doc_id") + 2000000).alias("doc_id"),
-                F.md5("text").alias("text_hash"),
-            )
-        )
-    )
+    batch = _delta_batch(docs).select("doc_id", "text_hash")
     intra = batch.groupBy("text_hash").agg(
         F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_in_batch")
     )
@@ -1146,14 +1156,7 @@ def pipe_dedup_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = build_dedup_index(spark, sf_dir)
     hist = spark.read.parquet(os.path.join(root, "hist")).select("text_hash")
     docs = load_table(spark, sf_dir, "documents")
-    batch = (
-        docs.where(F.col("doc_id") % 5 == 0)
-        .select(F.md5("text").alias("text_hash"))
-        .unionAll(
-            docs.where(F.col("doc_id") % 7 == 0).select(F.md5("text").alias("text_hash"))
-        )
-        .distinct()
-    )
+    batch = _delta_batch(docs).select("text_hash").distinct()
     survivors = batch.join(hist.hint("SHUFFLE_HASH"), "text_hash", "left_anti")
     merged = hist.unionAll(survivors).distinct()
     return merged.groupBy(F.substring("text_hash", 1, 1).alias("hp")).agg(
@@ -1359,19 +1362,7 @@ def pipe_delta_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text_hash", F.lit(1).alias("seen")
     )
     docs = load_table(spark, sf_dir, "documents")
-    batch = (
-        docs.where(F.col("doc_id") % 5 == 0)
-        .select("doc_id", "text", "lang", "source", F.md5("text").alias("text_hash"))
-        .unionAll(
-            docs.where(F.col("doc_id") % 7 == 0).select(
-                (F.col("doc_id") + 2000000).alias("doc_id"),
-                "text",
-                "lang",
-                "source",
-                F.md5("text").alias("text_hash"),
-            )
-        )
-    )
+    batch = _delta_batch(docs)
     from pyspark.sql import Window
 
     intra = batch.withColumn(

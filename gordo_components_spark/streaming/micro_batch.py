@@ -52,47 +52,95 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
+def _replay_cache(spark: SparkSession, sf_dir: str, name: str, table: str, build):
+    """Fingerprinted, atomically-installed replay cache (review-hardened
+    to build_dedup_index's discipline): keyed by {sf_dir, footer row
+    count} so a regenerated fixture or same-basename corpus never serves
+    stale data; built into a pid-suffixed temp dir and os.replace'd so
+    two concurrent cold-cache sessions (pytest + bench — the exact race
+    the PID-token sink dirs exist for) can never corrupt the shared dir,
+    and a killed half-write is never visible."""
+    import json as _json
+    import shutil
+
+    from gordo_components_spark.operators.extensions_corpus import _table_rows
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/gordo_spark_stream/{sf_tag}/{name}"
+    marker = os.path.join(out, "_FP.json")
+    fp = {"sf_dir": sf_dir, "n_rows": _table_rows(sf_dir, table), "v": 1}
+    if os.path.isfile(marker):
+        try:
+            with open(marker) as fh:
+                if _json.load(fh) == fp:
+                    return out
+        except (OSError, ValueError):
+            pass
+    tmp = f"{out}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    build(tmp)
+    with open(os.path.join(tmp, "_FP.json"), "w") as fh:
+        _json.dump(fp, fh)
+    shutil.rmtree(out, ignore_errors=True)
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        # concurrent builder won the swap; adopt its dir if fingerprints
+        # match (content is deterministic), else surface the failure
+        try:
+            with open(marker) as fh:
+                ok = _json.load(fh) == fp
+        except (OSError, ValueError):
+            ok = False
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not ok:
+            raise
+    return out
+
+
 def _replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:
     """Materialize events as an n-file parquet directory (micro-batch
     replay source, FIXTURES B5).  Timestamps land as µs TimestampType so
     the streaming source needs no ns workaround."""
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    out = f"/tmp/gordo_spark_stream/{sf_tag}/events_replay"
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+
+    def build(tmp: str) -> None:
         (
             load_table(spark, sf_dir, "events")
             .select("event_id", "ts", "user_id", "event_type", "value")
             .repartition(n_files)
             .write.mode("overwrite")
-            .parquet(out)
+            .parquet(tmp)
         )
-    return out
+
+    return _replay_cache(spark, sf_dir, "events_replay", "events", build)
 
 
 def _run_to_memory(stream_df: DataFrame, query_name: str) -> DataFrame:
     """Execute an availableNow streaming query into a memory sink and
-    return the materialized result table."""
+    return the MATERIALIZED result (eager localCheckpoint), then drop
+    the sink table — uuid-named memory sinks otherwise accrete full
+    result sets in driver memory for the session lifetime.  The
+    checkpoint dir is removed in a finally so a raising query can't
+    leak it (the uuid leaves don't match the PID sweeper's prefixes)."""
     import shutil
 
     spark = stream_df.sparkSession
     chk = f"/tmp/gordo_spark_stream/chk/{query_name}-{uuid.uuid4().hex}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append" if stream_df.isStreaming and _is_append_safe(stream_df) else "complete")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", chk)
-        .start()
-    )
-    q.awaitTermination()
-    shutil.rmtree(chk, ignore_errors=True)  # memory sink: checkpoint is run-scoped
-    return spark.table(query_name)
-
-
-def _is_append_safe(df: DataFrame) -> bool:
-    # aggregations without watermark can't append; callers pass
-    # watermarked aggs (append) or dedup (append) here.
-    return True
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(query_name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(chk, ignore_errors=True)  # run-scoped checkpoint
+    spark.catalog.dropTempView(query_name)
+    return out
 
 
 def run_streaming_tumbling_agg(
@@ -174,6 +222,15 @@ def run_streaming_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     def score_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as FF
 
+        # the per-batch window aggregate is only correct when availableNow
+        # delivers the replay as ONE batch (no maxFilesPerTrigger set): a
+        # window spanning two batches would emit conflicting partial
+        # feature rows.  Fail loudly instead of silently mis-scoring.
+        if batch_id > 0:
+            raise RuntimeError(
+                "run_streaming_scoring requires single-batch delivery; "
+                f"got micro-batch {batch_id} — windowed features would be partial"
+            )
         feats = (
             batch_df.groupBy("user_id", FF.window("ts", "60 minutes").alias("w"))
             .agg(
@@ -189,13 +246,12 @@ def run_streaming_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # seed the sink with a 0-row frame carrying the score schema: a replay
     # source that yields zero micro-batches otherwise never creates the
-    # directory and the read below would raise PATH_NOT_FOUND
-    empty_feats = spark.createDataFrame(
-        [],
-        "user_id bigint, bucket timestamp, value__avg double, "
-        "value__max double, value__min double, value__count double",
-    )
-    score_models(empty_feats, models).write.mode("append").parquet(sink_dir)
+    # directory and the read below would raise PATH_NOT_FOUND.  Seed from
+    # the static SCORE_SCHEMA — scoring an empty frame would collect and
+    # broadcast every model blob just to materialize a schema.
+    from gordo_components_spark.ml.islands import SCORE_SCHEMA
+
+    spark.createDataFrame([], SCORE_SCHEMA).write.mode("append").parquet(sink_dir)
 
     q = (
         stream.writeStream.foreachBatch(score_batch)
@@ -237,9 +293,17 @@ def run_streaming_stateful_ewma(
             ewma, n, total = state.get
         else:
             ewma, n, total = None, 0, 0.0
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for v in pdf["value"]:
+        # concatenate ALL Arrow chunks before sorting: a per-chunk sort
+        # only orders within one ~10k-row chunk, so a key spilling over
+        # the Arrow batch size would fold the EWMA out of time order
+        # while LOOKING sorted.  (Cross-BATCH order still follows file
+        # arrival, as in any real stream — the EWMA contract is
+        # arrival-order within the watermark, exact time-order within a
+        # batch.)
+        chunks = list(pdfs)
+        rows = pd.concat(chunks) if chunks else pd.DataFrame()
+        if len(rows):
+            for v in rows.sort_values("ts")["value"]:
                 ewma = v if ewma is None else alpha * v + (1 - alpha) * ewma
                 n += 1
                 total += v
@@ -407,29 +471,23 @@ def run_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     root = build_dedup_index(spark, sf_dir)
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
 
-    # replay source: the crawl batch (fresh docs + re-crawled texts) as a
-    # 3-file parquet dir with a synthetic crawl timestamp for the watermark
-    src = f"/tmp/gordo_spark_stream/{sf_tag}/docs_delta_replay"
-    if not os.path.isdir(src):
+    # replay source: the SHARED crawl-batch fixture (_delta_batch — one
+    # definition with the batch faces, so parity can't silently drift)
+    # as a 3-file parquet dir with a synthetic crawl timestamp for the
+    # watermark, installed through the fingerprinted atomic cache
+    from gordo_components_spark.operators.extensions_corpus import _delta_batch
+
+    def build(tmp: str) -> None:
         docs = load_table(spark, sf_dir, "documents")
-        batch = (
-            docs.where(F.col("doc_id") % 5 == 0)
-            .select("doc_id", F.md5("text").alias("text_hash"), "source")
-            .unionAll(
-                docs.where(F.col("doc_id") % 7 == 0).select(
-                    (F.col("doc_id") + 2000000).alias("doc_id"),
-                    F.md5("text").alias("text_hash"),
-                    "source",
-                )
-            )
-            .withColumn(
-                "crawl_ts",
-                F.expr(
-                    "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, doc_id % 86400)"
-                ),
-            )
+        batch = _delta_batch(docs).select("doc_id", "text_hash", "source").withColumn(
+            "crawl_ts",
+            F.expr(
+                "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, doc_id % 86400)"
+            ),
         )
-        batch.repartition(3).write.mode("overwrite").parquet(src)
+        batch.repartition(3).write.mode("overwrite").parquet(tmp)
+
+    src = _replay_cache(spark, sf_dir, "docs_delta_replay", "documents", build)
 
     schema = "doc_id bigint, text_hash string, source string, crawl_ts timestamp"
     stream = spark.readStream.schema(schema).parquet(src)
