@@ -205,11 +205,15 @@ class TimeSeriesDataset:
         if self.provider is not None:
             df = self.provider(spark)
         else:
+            # pass the aware datetimes straight through: strftime used to
+            # drop a non-UTC offset's information (a +02:00 bound silently
+            # shifted the whole training window two hours); the loader now
+            # normalizes aware datetimes to UTC itself
             df = load_events_in_range(
                 spark,
                 sf_dir,
-                self.train_start_date.strftime("%Y-%m-%dT%H:%M:%S"),
-                self.train_end_date.strftime("%Y-%m-%dT%H:%M:%S"),
+                self.train_start_date,
+                self.train_end_date,
                 exclude=tuple(self.known_filter_periods),
             ).select(
                 "ts", F.col("event_type").alias("tag"), "value", F.col("user_id").alias("asset")

@@ -13,6 +13,8 @@ layout with identical code — only the path changes.
 
 from __future__ import annotations
 
+from datetime import datetime, timedelta, timezone
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gordo_components_spark.session import prepare
@@ -30,6 +32,25 @@ TABLES = (
     "embeddings",
 )
 
+# ns → µs truncation matching DuckDB's CAST(ns AS TIMESTAMP) — i.e.
+# FLOOR division.  Plain `div` truncates toward zero, which diverges for
+# pre-1970 (negative) nanos; exact integer floor-div, never ns/1000.0
+# (epoch-ns magnitudes exceed 2^53 and would lose precision in a double).
+_NS_TO_US = "(ts div 1000) - CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END"
+
+
+def _normalize_events_ts(df: DataFrame, ts_type: str | None) -> DataFrame:
+    """One definition of the events ts normalization for BOTH loader
+    paths (review-factored: the two copies were the exact class of
+    ns-handling drift CLAUDE.md warns about): raw-long (Spark ≤4.0
+    ``nanosAsLong``) floor-truncates ns→µs; ntz (4.1+ native nanos read)
+    casts to session-TZ timestamp (pinned UTC by ``prepare``)."""
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr(_NS_TO_US)))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table, normalizing its schema for the engine.
@@ -40,18 +61,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       ``timestamp_ntz`` truncated to µs — same values, different type.
       Both normalize to session-TZ TIMESTAMP here (the session is pinned
       UTC by ``prepare``), bit-identical to DuckDB's
-      ``CAST(ts AS TIMESTAMP)``.
+      ``CAST(ts AS TIMESTAMP)`` (floor truncation, including negatives).
     - ``embeddings.embedding`` is ``array<float>``; cast to
       ``array<double>`` once here so all downstream math is double.
     """
     prepare(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = _normalize_events_ts(df, dict(df.dtypes).get("ts"))
     if name == "embeddings":
         df = df.withColumn("embedding", F.col("embedding").cast("array<double>"))
     return df
@@ -61,20 +78,32 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     return tuple(load_table(spark, sf_dir, n) for n in names)
 
 
-def _epoch_us(ts: str) -> int:
-    from datetime import datetime, timezone
+def _as_utc(ts: str | datetime) -> datetime:
+    """Normalize a bound to an aware-UTC datetime.  Naive inputs are BY
+    CONTRACT UTC wall-clock (the fixtures are UTC); offset-bearing
+    inputs are CONVERTED (review-hardened: ``replace(tzinfo=utc)`` used
+    to silently discard an explicit +02:00, shifting the whole window)."""
+    dt = datetime.fromisoformat(ts) if isinstance(ts, str) else ts
+    if dt.tzinfo is None:
+        return dt.replace(tzinfo=timezone.utc)
+    return dt.astimezone(timezone.utc)
 
-    return int(
-        datetime.fromisoformat(ts).replace(tzinfo=timezone.utc).timestamp() * 1_000_000
-    )
+
+def _epoch_us(ts: str | datetime) -> int:
+    # exact integer µs — datetime.timestamp() routes through a double
+    # whose ~0.24 µs resolution at 2024 magnitudes can land fractional-
+    # second bounds 1 µs off the true value (cross-branch parity break)
+    return (
+        _as_utc(ts) - datetime(1970, 1, 1, tzinfo=timezone.utc)
+    ) // timedelta(microseconds=1)
 
 
 def load_events_in_range(
     spark: SparkSession,
     sf_dir: str,
-    from_ts: str | None = None,
-    to_ts: str | None = None,
-    exclude: tuple[tuple[str, str], ...] = (),
+    from_ts: str | datetime | None = None,
+    to_ts: str | datetime | None = None,
+    exclude: tuple[tuple[str | datetime, str | datetime], ...] = (),
 ) -> DataFrame:
     """O9/O12 pushdown-preserving events scan.
 
@@ -84,13 +113,18 @@ def load_events_in_range(
     ``[from_us·1000, to_us·1000)`` on the raw long — filter raw first
     (PushedFilters + row-group min/max skipping), convert after.  At
     100 TB this is the difference between a pruned scan and a full one.
+
+    Bounds accept ISO strings or datetimes (YAML configs resolve
+    unquoted timestamps to datetime objects — ``known_filter_periods``
+    used to crash on them); naive values are UTC by contract,
+    offset-bearing ones are converted.
     """
     prepare(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(df.dtypes).get("ts")
     raw_is_long = ts_type == "bigint"
 
-    def bound(ts_str: str) -> "F.Column":
+    def bound(ts_in: str | datetime) -> "F.Column":
         # the filter literal must match the SCAN's column type, or the
         # comparison casts the column and the predicate never reaches the
         # parquet reader (PushedFilters + row-group min/max skipping):
@@ -98,10 +132,11 @@ def load_events_in_range(
         # literal on 4.1+'s native nanos read (truncation is monotonic,
         # so the µs bound is exact in every representation)
         if raw_is_long:
-            return F.lit(_epoch_us(ts_str) * 1000)
+            return F.lit(_epoch_us(ts_in) * 1000)
+        utc_str = _as_utc(ts_in).replace(tzinfo=None).isoformat(sep=" ")
         if ts_type == "timestamp_ntz":
-            return F.lit(ts_str.replace("T", " ")).cast("timestamp_ntz")
-        return F.lit(ts_str).cast("timestamp")
+            return F.lit(utc_str).cast("timestamp_ntz")
+        return F.lit(utc_str).cast("timestamp")
 
     cond = F.lit(True)
     if from_ts is not None:
@@ -110,9 +145,4 @@ def load_events_in_range(
         cond = cond & (F.col("ts") < bound(to_ts))
     for lo, hi in exclude:
         cond = cond & ~((F.col("ts") >= bound(lo)) & (F.col("ts") < bound(hi)))
-    df = df.where(cond)
-    if raw_is_long:
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df
+    return _normalize_events_ts(df.where(cond), ts_type)

@@ -183,3 +183,33 @@ machines:
 """
     with pytest.raises(ConfigError):
         load_config(cfg)
+
+
+def test_time_bounds_accept_datetimes_and_convert_offsets(spark, sf_dir):
+    """Review-hardened bound contract: datetime objects work (YAML
+    resolves unquoted timestamps to datetimes), and an offset-bearing
+    bound selects the same rows as its UTC equivalent (the offset used
+    to be silently discarded, shifting the window)."""
+    from datetime import datetime, timedelta, timezone
+
+    from gordo_components_spark.sources.tables import load_events_in_range
+
+    lo_utc = "2024-01-05T00:00:00"
+    hi_utc = "2024-01-06T00:00:00"
+    base = load_events_in_range(spark, sf_dir, lo_utc, hi_utc).count()
+    # same instants as datetimes
+    as_dt = load_events_in_range(
+        spark,
+        sf_dir,
+        datetime(2024, 1, 5, tzinfo=timezone.utc),
+        datetime(2024, 1, 6, tzinfo=timezone.utc),
+    ).count()
+    # same instants expressed in +02:00 wall clock
+    tz2 = timezone(timedelta(hours=2))
+    as_offset = load_events_in_range(
+        spark,
+        sf_dir,
+        datetime(2024, 1, 5, 2, 0, tzinfo=tz2),
+        datetime(2024, 1, 6, 2, 0, tzinfo=tz2),
+    ).count()
+    assert base == as_dt == as_offset and base > 0
