@@ -18,6 +18,14 @@ from gordo_components_spark.registry import register
 from gordo_components_spark.sources.tables import load_table
 
 
+# predicates shared by the per-variant joins AND join_variants' union
+# face (one definition so the face can't silently diverge from the
+# variants it claims to mirror)
+_BIG_ORDER = 100000  # o_totalprice threshold (semi join)
+_URGENT = "1-URGENT"  # o_orderpriority (anti join)
+_THETA_DAYS = 30  # range-theta join interval
+
+
 def _dsum(expr: str, alias: str, scale: int = 8) -> "F.Column":
     """Exact cross-engine SUM: per-row double arithmetic is bit-identical
     across engines; route the accumulation through DECIMAL so summation
@@ -50,7 +58,7 @@ def _osum_cents(expr: str, alias: str) -> str:
     "agg_groupby_sum",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           {_osum('l_quantity', 'sum_qty')},
+           {_osum('l_quantity', 'sum_qty', scale=0)},
            {_osum_cents('l_extendedprice', 'sum_base_price_cents')},
            {_osum_cents('l_extendedprice * (1 - l_discount)', 'sum_disc_price_cents')},
            COUNT(*) AS count_order
@@ -63,7 +71,9 @@ def agg_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style hash aggregate (map-side partial agg, one shuffle)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        _dsum("l_quantity", "sum_qty"),
+        # scale 0: l_quantity is integral; scale 8's numerator would
+        # cross the ~2^53 DECIMAL→DOUBLE ulp cliff near sf1
+        _dsum("l_quantity", "sum_qty", scale=0),
         _dsum_cents("l_extendedprice", "sum_base_price_cents"),
         _dsum_cents("l_extendedprice * (1 - l_discount)", "sum_disc_price_cents"),
         F.count(F.lit(1)).alias("count_order"),
@@ -140,7 +150,7 @@ def agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
            CAST(GROUPING(l_linestatus) AS INT) AS g_status,
-           {_osum('l_quantity', 'sum_qty')},
+           {_osum('l_quantity', 'sum_qty', scale=0)},
            COUNT(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -152,7 +162,9 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").cast("int").alias("g_flag"),
         F.grouping("l_linestatus").cast("int").alias("g_status"),
-        _dsum("l_quantity", "sum_qty"),
+        # scale 0: l_quantity is integral; scale 8's numerator would
+        # cross the ~2^53 DECIMAL→DOUBLE ulp cliff near sf1
+        _dsum("l_quantity", "sum_qty", scale=0),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -229,40 +241,40 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_semi",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > {_BIG_ORDER})
     """,
 )
 def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join (EXISTS): customers with any big order."""
-    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > _BIG_ORDER)
     c = load_table(spark, sf_dir, "customer")
     return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
 
 
 @register(
     "join_anti",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey, c_name FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders
-                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '{_URGENT}')
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join (NOT EXISTS): customers with no urgent orders."""
-    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == _URGENT)
     c = load_table(spark, sf_dir, "customer")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
 @register(
     "join_range_theta",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey, COUNT(*) AS n_late
     FROM orders JOIN lineitem
       ON l_orderkey = o_orderkey
-     AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+     AND l_shipdate > o_orderdate + INTERVAL {_THETA_DAYS} DAY
     GROUP BY o_orderkey
     """,
 )
@@ -272,7 +284,7 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     cond = (li.l_orderkey == o.o_orderkey) & (
-        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")
+        li.l_shipdate > o.o_orderdate + F.expr(f"INTERVAL {_THETA_DAYS} DAYS")
     )
     return o.join(li, cond).groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_late"))
 
@@ -321,21 +333,21 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'semi' AS variant, c_mktsegment AS grp,
            COUNT(*) AS n, CAST(0 AS BIGINT) AS cents
     FROM customer
-    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > {_BIG_ORDER})
     GROUP BY c_mktsegment
     UNION ALL
     SELECT 'anti' AS variant, c_mktsegment AS grp,
            COUNT(*) AS n, CAST(0 AS BIGINT) AS cents
     FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders
-                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '{_URGENT}')
     GROUP BY c_mktsegment
     UNION ALL
     SELECT 'range_theta' AS variant, o_orderpriority AS grp,
            COUNT(*) AS n, CAST(0 AS BIGINT) AS cents
     FROM orders JOIN lineitem
       ON l_orderkey = o_orderkey
-     AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+     AND l_shipdate > o_orderdate + INTERVAL {_THETA_DAYS} DAY
     GROUP BY o_orderpriority
     """,
 )
@@ -371,14 +383,14 @@ def join_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lit("left_outer").alias("variant"), "grp", "n", zero)
     )
-    big = o.where(F.col("o_totalprice") > 100000)
+    big = o.where(F.col("o_totalprice") > _BIG_ORDER)
     semi = (
         c.join(big, c.c_custkey == big.o_custkey, "left_semi")
         .groupBy(F.col("c_mktsegment").alias("grp"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lit("semi").alias("variant"), "grp", "n", zero)
     )
-    urgent = o.where(F.col("o_orderpriority") == "1-URGENT")
+    urgent = o.where(F.col("o_orderpriority") == _URGENT)
     anti = (
         c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
         .groupBy(F.col("c_mktsegment").alias("grp"))
@@ -386,7 +398,7 @@ def join_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("anti").alias("variant"), "grp", "n", zero)
     )
     theta_cond = (li.l_orderkey == o.o_orderkey) & (
-        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")
+        li.l_shipdate > o.o_orderdate + F.expr(f"INTERVAL {_THETA_DAYS} DAYS")
     )
     theta = (
         o.join(li, theta_cond)
@@ -402,9 +414,9 @@ def join_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sort_by_ts",
     oracle="""
-    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+    SELECT event_id, user_id, ts,
            CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq
-    FROM events
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
     """,
 )
 def sort_by_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
