@@ -169,11 +169,11 @@ def _fshift(expr: str, alias: str) -> str:
     "tpch_q1",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           {_osum('l_quantity', 'sum_qty')},
+           {_osum('l_quantity', 'sum_qty', scale=0)},
            {_osum_cents('l_extendedprice', 'sum_base_price_cents')},
            {_osum_cents('l_extendedprice * (1 - l_discount)', 'sum_disc_price_cents')},
            {_osum_cents('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge_cents')},
-           {_fshift("CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*)", 'avg_qty')},
+           {_fshift("CAST(SUM(CAST(l_quantity AS DECIMAL(30,0))) AS DOUBLE) / COUNT(*)", 'avg_qty')},
            {_fshift(f"CAST({_osum_cents('l_extendedprice', 'x').rsplit(' AS x', 1)[0]} AS DOUBLE) / 100.0 / COUNT(*)", 'avg_price')},
            COUNT(*) AS count_order
     FROM lineitem
@@ -190,12 +190,14 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = "CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(30,8))), 2) * 100 AS BIGINT)"
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        _dsum("l_quantity", "sum_qty"),
+        # scale 0: l_quantity is integral (same headroom fix as
+        # agg_groupby_sum — scale 8 crosses the 2^53 cliff near sf5)
+        _dsum("l_quantity", "sum_qty", scale=0),
         _dsum_cents("l_extendedprice", "sum_base_price_cents"),
         _dsum_cents("l_extendedprice * (1 - l_discount)", "sum_disc_price_cents"),
         _dsum_cents("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge_cents"),
         F.expr(
-            "floor((CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*)) "
+            "floor((CAST(SUM(CAST(l_quantity AS DECIMAL(30,0))) AS DOUBLE) / COUNT(*)) "
             "* 1000000 + 0.5) / 1000000"
         ).alias("avg_qty"),
         F.expr(
@@ -335,7 +337,9 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate")
         .agg(
-            _dsum("l_quantity", "sum_qty"),
+            # scale 0: l_quantity is integral (same headroom fix as
+        # agg_groupby_sum — scale 8 crosses the 2^53 cliff near sf5)
+        _dsum("l_quantity", "sum_qty", scale=0),
             F.expr("SUM(CAST(l_quantity AS DECIMAL(30,8)))").alias("__dq"),
         )
         .where(F.col("__dq") > 250)

@@ -330,3 +330,19 @@ def test_tfidf_capped_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, "ext_tfidf_similar_capped", sf_dir)
     assert "CartesianProduct" not in plan
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_tpch_q6_full_pushdown_and_core_trio_shapes(spark, sf_dir):
+    # review gap: q3/q5/q6/q10 were absent from the plan ring. Q6's
+    # predicates must all reach the scan; q3/q10 broadcast their dims;
+    # q5's 6-way snowflake must never degrade to a cartesian/BNLJ
+    plan6 = plan_of(spark, "tpch_q6", sf_dir)
+    assert "PushedFilters" in plan6 and "GreaterThanOrEqual(l_discount" in plan6
+    assert "Join" not in plan6
+    for name in ("tpch_q3", "tpch_q10"):
+        plan = plan_of(spark, name, sf_dir)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+    plan5 = plan_of(spark, "tpch_q5", sf_dir)
+    assert "CartesianProduct" not in plan5
+    assert "BroadcastNestedLoopJoin" not in plan5
