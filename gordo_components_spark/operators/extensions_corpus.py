@@ -15,6 +15,7 @@ sketch) and only the delta / candidate set shuffles afterwards.
 from __future__ import annotations
 
 import json
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -637,6 +638,8 @@ _SEM_K = 16  # cluster-count floor
 _SEM_M = 3  # multi-assignment spill: each vector joins its m nearest clusters
 _SEM_TAU = 0.30  # cosine threshold, matches ext_dedup_embed_cos
 _SEM_TARGET = 250  # target vectors per cluster — k grows with the corpus
+_SEM_PROBE = 3  # coarse cells probed per vector in the two-level routing
+_SEM_FIT_CAP = 20_000  # per-cell Lloyd training-sample cap (FAISS-style)
 
 
 def _sem_k_for(n_rows: int) -> int:
@@ -647,6 +650,104 @@ def _sem_k_for(n_rows: int) -> int:
     got in round 3.  Constant target cluster size keeps pair volume
     linear in n (~ n * target * m^2 / 2)."""
     return max(_SEM_K, -(-n_rows // _SEM_TARGET))
+
+
+def _sem_fit_hierarchical(
+    spark: SparkSession, sf_dir: str, n_vecs: int, k: int, n_coarse: int
+) -> dict:
+    """Hierarchical centroid fit for the SemDeDup blocker, O(n*sqrt(k))
+    instead of a flat O(n*k) KMeans (which with k = n/target is
+    quadratic — round 5's worst rehearsal ratio):
+
+    1. coarse: MLlib KMeans with c = ceil(sqrt(k)) cells over the full
+       corpus (c is genuinely driver-small even at 100 TB — sqrt of the
+       fine count).
+    2. assign each vector its single nearest coarse cell (broadcast of
+       the c coarse centers, O(n*sqrt(k))).
+    3. fine: per-cell numpy Lloyd inside applyInPandas — each cell
+       trains k_i ~ k * n_i / n centroids on at most _SEM_FIT_CAP
+       deterministically-sampled cell members, so executor memory is
+       bounded regardless of corpus size.  Total fine work is
+       sum(n_i * k_i) ~ n * k / c = O(n*sqrt(k)).
+
+    Returns ``{"coarse": [c centers], "fine": [[cell, center], ...]}``
+    as a JSON-able offline artifact (same cache discipline as the IVF
+    index)."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    coarse_model = KMeans(k=n_coarse, seed=7, maxIter=20).fit(feats)
+    coarse = [[float(x) for x in c] for c in coarse_model.clusterCenters()]
+
+    cdf = spark.createDataFrame(
+        [(int(i), c) for i, c in enumerate(coarse)], "cell int, ccv array<double>"
+    )
+    csq = (
+        "aggregate(zip_with(v, ccv, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    from pyspark.sql import Window
+
+    routed = (
+        emb.select("vec_id", F.col("embedding").alias("v"))
+        .crossJoin(F.broadcast(cdf))
+        .withColumn("cd2", F.expr(csq))
+        .withColumn(
+            "crn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("cd2").asc(), F.col("cell").asc())
+            ),
+        )
+        .where(F.col("crn") == 1)
+        .select("cell", "vec_id", "v")
+    )
+
+    def lloyd_cell(pdf):
+        import pandas as pd
+
+        # group order is nondeterministic: sort before seeding
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        cell = int(pdf["cell"].iloc[0])
+        X = np.asarray([list(map(float, v)) for v in pdf["v"]], dtype=np.float64)
+        n_i = len(X)
+        k_i = max(1, min(n_i, round(k * n_i / max(1, n_vecs))))
+        rng = np.random.RandomState(7 + cell)
+        if n_i > _SEM_FIT_CAP:
+            X = X[rng.choice(n_i, size=_SEM_FIT_CAP, replace=False)]
+            n_i = _SEM_FIT_CAP
+        C = X[rng.choice(n_i, size=k_i, replace=False)].copy()
+        for _ in range(15):
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin drops ||x||^2
+            d = X @ C.T * -2.0 + (C * C).sum(1)[None, :]
+            a = d.argmin(1)
+            for j in range(k_i):
+                m = a == j
+                if m.any():
+                    C[j] = X[m].mean(0)
+        return pd.DataFrame(
+            {"cell": [cell] * k_i, "cv": [json.dumps(list(row)) for row in C]}
+        )
+
+    from gordo_components_spark.ml.islands import _spread
+
+    fine_rows = (
+        _spread(routed, ("cell",))
+        .groupBy("cell")
+        .applyInPandas(lloyd_cell, "cell int, cv string")
+        .collect()
+    )
+    fine = sorted(
+        ((int(r["cell"]), json.loads(r["cv"])) for r in fine_rows),
+        key=lambda t: (t[0], t[1]),
+    )
+    return {"coarse": coarse, "fine": [[c, v] for c, v in fine]}
 
 
 @register("ext_dedup_semantic")
@@ -664,45 +765,80 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs ground truth and the no-false-positive property are
     pinned in tests/test_corpus_lifecycle.py.
 
-    100 TB shape: the k centroids are driver-small and broadcast; the
-    m-way assignment is one broadcast-join + per-vector rank (no
-    shuffle of the corpus beyond the cluster-id partitioning); the pair
-    join shuffles on cluster id, so pair volume is ~(m^2/k) of
-    all-pairs — at production k (thousands) the reduction is orders of
-    magnitude, while here k=16 keeps the fixture's clusters non-trivial.
+    100 TB shape — TWO-LEVEL routing, because k must scale with the
+    corpus (``_sem_k_for``) and a flat vector x all-k-centroids
+    crossJoin is therefore O(n*k) = O(n^2/target), quadratic (the
+    round-5 rehearsal measured ratio 8.3).  Instead the k fine
+    centroids are grouped under c = ceil(sqrt(k)) coarse cells, fitted
+    hierarchically (coarse MLlib KMeans over the corpus, then a
+    per-cell numpy Lloyd inside applyInPandas — total fit work
+    O(n*sqrt(k)*iter), never O(n*k*iter)):
+
+    * routing: each vector crossJoins only the c coarse centers
+      (broadcast, O(n*sqrt(k))), keeps its _SEM_PROBE nearest cells,
+      then equi-joins the broadcast fine table ON the cell id — so it
+      ranks only ~probe*k/c fine centroids, O(n*sqrt(k)) total.  No
+      corpus-x-k nested-loop join exists anywhere in the plan
+      (guarded in tests/test_plan_properties.py).
+    * pair mining shuffles the n*m assignment rows on fine-cluster id
+      into a per-cluster BLAS island (one numpy matmul per bounded
+      cluster), so pair volume stays ~(m^2 * target / 2) * n — linear
+      in n — and the dot products are vectorized instead of ~23M
+      interpreted zip_with evaluations (the round-5 SQL self-join).
     A pair sharing several spill clusters is deduped by the final
-    distinct, which reuses the pair-join partitioning."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    distinct on the HALF_UP-rounded cosine."""
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
     n_vecs = _table_rows(sf_dir, "embeddings")
     k = _sem_k_for(n_vecs)
-    feats = emb.select(
-        "vec_id",
-        F.col("embedding").alias("v"),
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
-    )
-    def fit_centroids() -> list:
-        model = KMeans(k=k, seed=7, maxIter=20).fit(feats)
-        return [[float(x) for x in c] for c in model.clusterCenters()]
+    n_coarse = max(2, math.isqrt(k - 1) + 1)  # ceil(sqrt(k))
 
-    # the centroid set is an OFFLINE artifact (like the IVF index):
-    # fitted once per corpus fingerprint, reused across calls/sessions
-    fp = {"sf_dir": sf_dir, "n": n_vecs, "k": k, "seed": 7, "v": 1}
-    centroids = _artifact_cache("semcent", sf_dir, fp, fit_centroids)
-    centers = spark.createDataFrame(
-        [(int(i), c) for i, c in enumerate(centroids)],
-        "cluster int, cv array<double>",
+    fp = {
+        "sf_dir": sf_dir,
+        "n": n_vecs,
+        "k": k,
+        "c": n_coarse,
+        "seed": 7,
+        "v": 2,
+    }
+    art = _artifact_cache(
+        "semcent",
+        sf_dir,
+        fp,
+        lambda: _sem_fit_hierarchical(spark, sf_dir, n_vecs, k, n_coarse),
+    )
+    coarse = spark.createDataFrame(
+        [(int(i), c) for i, c in enumerate(art["coarse"])],
+        "cell int, ccv array<double>",
+    )
+    fine = spark.createDataFrame(
+        [(int(i), int(cell), cv) for i, (cell, cv) in enumerate(art["fine"])],
+        "cluster int, cell int, cv array<double>",
+    )
+    csqdist = (
+        "aggregate(zip_with(v, ccv, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
     sqdist = (
         "aggregate(zip_with(v, cv, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
         " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
-    assigned = (
+    routed = (
         emb.select("vec_id", F.col("embedding").alias("v"))
-        .crossJoin(F.broadcast(centers))
+        .crossJoin(F.broadcast(coarse))  # c = ceil(sqrt(k)) rows only
+        .withColumn("cd2", F.expr(csqdist))
+        .withColumn(
+            "crn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("cd2").asc(), F.col("cell").asc())
+            ),
+        )
+        .where(F.col("crn") <= _SEM_PROBE)
+        .select("vec_id", "cell", "v")
+    )
+    assigned = (
+        routed.join(F.broadcast(fine), "cell")  # equi-join: probe*k/c centroids/vector
         .withColumn("d2", F.expr(sqdist))
         .withColumn(
             "rn",
@@ -712,37 +848,60 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rn") <= _SEM_M)
         .select("vec_id", "cluster", "v")
-        .withColumn(
-            "nrm",
-            F.sqrt(
-                F.expr(
-                    "aggregate(zip_with(v, v, (x, y) -> CAST(x AS DOUBLE) * y),"
-                    " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-                )
-            ),
-        )
     )
-    # the assignment subtree (scan + centroid join + rank window) feeds
-    # BOTH sides of the pair self-join: persist it once, like TF-IDF's
-    # inverted index, instead of recomputing per side
-    from gordo_components_spark.caches import persist_tracked
+    # within-cluster pair mining as a BLAS island: the SQL self-join
+    # computes ~n * target * m^2 / 2 interpreted 64-dim zip_with dot
+    # products (25 s of the 10x rehearsal's 27 s); one numpy matmul per
+    # cluster does the same flops vectorized, ~20x faster, and shuffles
+    # only the n*m assignment rows instead of the full pair frame.
+    # Cluster sizes are bounded (~target * m) by the k derivation, so
+    # per-group memory is bounded; the row-block loop keeps a skewed
+    # cluster from materializing a quadratic similarity matrix at once.
+    tau_loose = _SEM_TAU - 1e-9  # final HALF_UP round happens Spark-side
 
-    assigned = persist_tracked(assigned)
-    dot = "aggregate(zip_with(a_v, b_v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-    a, b = assigned.alias("a"), assigned.alias("b").hint("SHUFFLE_HASH")
-    pairs = a.join(
-        b,
-        (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        F.col("a.v").alias("a_v"),
-        F.col("b.v").alias("b_v"),
-        (F.col("a.nrm") * F.col("b.nrm")).alias("nn"),
+    def cluster_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        X = np.asarray([list(map(float, v)) for v in pdf["v"]], dtype=np.float64)
+        n_i = len(X)
+        out_a, out_b, out_c = [], [], []
+        if n_i >= 2:
+            nrm = np.sqrt((X * X).sum(1))
+            B = 2048
+            for s in range(0, n_i, B):
+                blk = slice(s, min(s + B, n_i))
+                S = (X[blk] @ X.T) / np.outer(nrm[blk], nrm)
+                bi, bj = np.nonzero(S >= tau_loose)
+                gi = bi + s
+                keep = gi < bj  # vec_a < vec_b (ids ascending)
+                out_a.append(ids[gi[keep]])
+                out_b.append(ids[bj[keep]])
+                out_c.append(S[bi[keep], bj[keep]])
+        if not out_a:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64"),
+                                 "raw_cos": pd.Series(dtype="float64")})
+        return pd.DataFrame({
+            "vec_a": np.concatenate(out_a),
+            "vec_b": np.concatenate(out_b),
+            "raw_cos": np.concatenate(out_c),
+        })
+
+    from gordo_components_spark.ml.islands import _spread
+
+    mined = (
+        _spread(assigned, ("cluster",))
+        .groupBy("cluster")
+        .applyInPandas(cluster_pairs, "vec_a long, vec_b long, raw_cos double")
     )
-    cos = F.round(F.expr(dot) / F.col("nn"), 6)
+    # HALF_UP rounding in Spark (numpy's round is half-even — would
+    # produce false positives vs the exact ground truth on boundaries);
+    # distinct collapses pairs co-blocked in several spill clusters
     return (
-        pairs.select("vec_a", "vec_b", cos.alias("cosine"))
+        mined.select("vec_a", "vec_b", F.round(F.col("raw_cos"), 6).alias("cosine"))
         .where(F.col("cosine") >= _SEM_TAU)
         .distinct()
     )

@@ -265,16 +265,22 @@ def test_heavy_hitters_sketch_then_broadcast_recount(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_semantic_dedup_persisted_assignment_no_pair_broadcast(spark, sf_dir):
-    # the clustered-and-assigned corpus feeds both pair-join sides from
-    # ONE persisted frame (not two scans of the assignment subtree), and
-    # the pair join shuffles on the learned cluster id — the corpus is
-    # never a broadcast build side; the only broadcast is the k-row
-    # centroid frame (sanctioned BNLJ cross)
+def test_semantic_dedup_two_level_routing_no_flat_centroid_cross(spark, sf_dir):
+    # round-6 fix for the quadratic assignment: the ONLY nested-loop
+    # broadcast is the ceil(sqrt(k))-row COARSE cell table; the k-scale
+    # FINE centroid table must arrive via an equi BroadcastHashJoin on
+    # the routed cell id, never a crossJoin — that is what keeps
+    # assignment O(n*sqrt(k)) instead of O(n*k).  Pair mining is a
+    # per-cluster Arrow island (FlatMapGroupsInPandas) fed by an
+    # explicit repartition on the cluster id — no SQL pair self-join,
+    # no corpus broadcast.
     plan = plan_of(spark, "ext_dedup_semantic", sf_dir)
-    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan
-    assert "ShuffledHashJoin" in plan
-    assert "BroadcastHashJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastHashJoin" in plan  # fine centroids: equi-join on cell
+    # formatted explain prints each node twice (tree + details): <= 2
+    # occurrences means exactly ONE nested-loop join — the coarse cross
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "CartesianProduct" not in plan
 
 
 def test_bm25_pruned_postings_takeordered(spark, sf_dir):
