@@ -100,6 +100,7 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE r_name = 'ASIA'
     GROUP BY n_name
     """,
+    tags=("bench",),  # round-6: Q3/Q5/Q10 trio promoted per module docstring
 )
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 local-supplier volume: revenue where customer and supplier
@@ -138,6 +139,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
     GROUP BY c_custkey, c_name, n_name
     """,
+    tags=("bench",),  # round-6: Q3/Q5/Q10 trio promoted per module docstring
 )
 def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10 returned-items report: per-customer lost revenue from returns
