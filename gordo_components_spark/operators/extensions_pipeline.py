@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from gordo_components_spark.operators.relational import _fshift, _fshift_col
 from gordo_components_spark.registry import register
 from gordo_components_spark.sources.tables import load_table
 
@@ -294,7 +295,7 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipe_mix_weights",
-    oracle="""
+    oracle=f"""
     WITH per_source AS (
       SELECT source, COUNT(*) AS n_docs,
              SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
@@ -303,10 +304,9 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT SUM(n_tokens) AS t, COUNT(*) AS n_sources FROM per_source
     )
     SELECT source, n_docs, n_tokens,
-           floor(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE) * 1000000 + 0.5)
-             / 1000000 AS token_share,
-           floor((1.0 / n_sources) / (CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE))
-             * 1000000 + 0.5) / 1000000 AS sample_weight
+           {_fshift('CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE)', 'token_share')},
+           {_fshift('(1.0 / n_sources) / (CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE))',
+                    'sample_weight')}
     FROM per_source, tot
     """,
 )
@@ -329,15 +329,14 @@ def pipe_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     share = F.col("n_tokens").cast("double") / F.col("t").cast("double")
     # floor-shift, not round(x, 6): the shares are doubles and engine
     # round() half-tie algorithms differ (CLAUDE.md failure mode b)
-    fshift = lambda c: F.floor(c * 1000000 + 0.5) / 1000000  # noqa: E731
     return (
         per_source.crossJoin(F.broadcast(tot))
         .select(
             "source",
             "n_docs",
             "n_tokens",
-            fshift(share).alias("token_share"),
-            fshift((1.0 / F.col("n_sources")) / share).alias("sample_weight"),
+            _fshift_col(share).alias("token_share"),
+            _fshift_col((1.0 / F.col("n_sources")) / share).alias("sample_weight"),
         )
     )
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from gordo_components_spark.operators.relational import _fshift, _fshift_col
 from gordo_components_spark.registry import register
 from gordo_components_spark.sources.tables import load_table
 
@@ -281,9 +282,14 @@ def ext_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NOVELTY_FRAC = (
+    "CAST(sum(CASE WHEN d.gdf = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)"
+)
+
+
 @register(
     "ext_ngram_novelty",
-    oracle="""
+    oracle=f"""
     WITH sh AS (
       SELECT doc_id,
              unnest(list_distinct([array_to_string(string_split(text,' ')[i:i+2], ' ')
@@ -295,8 +301,7 @@ def ext_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.doc_id,
            CAST(count(*) AS BIGINT) AS n_grams,
            CAST(sum(CASE WHEN d.gdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
-           floor(CAST(sum(CASE WHEN d.gdf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / count(*) * 1000000 + 0.5) / 1000000 AS novelty
+           {_fshift(_NOVELTY_FRAC, 'novelty')}
     FROM sh s JOIN df d USING (gram)
     GROUP BY s.doc_id
     """,
@@ -345,9 +350,6 @@ def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_grams"),
             novel.cast("bigint").alias("n_novel"),
-            (
-                F.floor(novel.cast("double") / F.count(F.lit(1)) * 1000000 + F.lit(0.5))
-                / 1000000
-            ).alias("novelty"),
+            _fshift_col(novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
         )
     )

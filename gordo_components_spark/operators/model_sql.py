@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gordo_components_spark.functions.timeseries import pivot_wide, pivot_wide_sql
+from gordo_components_spark.operators.relational import _fshift, _fshift_col, _fshift_expr
 from gordo_components_spark.registry import register
 from gordo_components_spark.sources.tables import load_table
 
@@ -151,9 +152,19 @@ def udaf_anomaly_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CV_MAE = (
+    "CAST(SUM(CAST(abs(f.value - m.fold_mean) AS DECIMAL(30,8))) AS DOUBLE)"
+    " / COUNT(*)"
+)
+_CV_RMSE = (
+    "sqrt(CAST(SUM(CAST((f.value - m.fold_mean) * (f.value - m.fold_mean)"
+    " AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*))"
+)
+
+
 @register(
     "udaf_ts_cv_metrics",
-    oracle="""
+    oracle=f"""
     WITH folds AS (
       SELECT user_id, value,
              CAST(ntile(3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS fold
@@ -165,10 +176,8 @@ def udaf_anomaly_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT f.user_id, f.fold,
            COUNT(*) AS n,
-           floor(CAST(SUM(CAST(abs(f.value - m.fold_mean) AS DECIMAL(30,8))) AS DOUBLE)
-                 / COUNT(*) * 1000000 + 0.5) / 1000000.0 AS mae,
-           floor(sqrt(CAST(SUM(CAST((f.value - m.fold_mean) * (f.value - m.fold_mean)
-                 AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000.0 AS rmse
+           {_fshift(_CV_MAE, 'mae')},
+           {_fshift(_CV_RMSE, 'rmse')}
     FROM folds f JOIN mu m ON f.user_id = m.user_id AND f.fold = m.fold
     GROUP BY f.user_id, f.fold
     """,
@@ -211,8 +220,8 @@ def udaf_ts_cv_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             n.alias("n"),
             # floor-shift, not round(): engines disagree on exact half-ties
             # (Spark rounds the shortest decimal repr, DuckDB multiplies)
-            (F.floor(mae_sum / n * 1e6 + 0.5) / 1e6).alias("mae"),
-            (F.floor(F.sqrt(sq_sum / n) * 1e6 + 0.5) / 1e6).alias("rmse"),
+            _fshift_col(mae_sum / n).alias("mae"),
+            _fshift_col(F.sqrt(sq_sum / n)).alias("rmse"),
         )
     )
 
@@ -295,9 +304,9 @@ def _drift_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_DRIFT_COUNTS_SQL}
     SELECT event_type, bin, c_train, c_serve,
-           floor(CAST(c_train AS DOUBLE) / n_train * 1000000 + 0.5) / 1000000 AS p_train,
-           floor(CAST(c_serve AS DOUBLE) / n_serve * 1000000 + 0.5) / 1000000 AS p_serve,
-           floor(term * 1000000 + 0.5) / 1000000 AS drift_term
+           {_fshift('CAST(c_train AS DOUBLE) / n_train', 'p_train')},
+           {_fshift('CAST(c_serve AS DOUBLE) / n_serve', 'p_serve')},
+           {_fshift('term', 'drift_term')}
     FROM terms
     """,
 )
@@ -319,9 +328,9 @@ def ml_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin",
         "c_train",
         "c_serve",
-        F.expr("floor(CAST(c_train AS DOUBLE) / n_train * 1000000 + 0.5) / 1000000").alias("p_train"),
-        F.expr("floor(CAST(c_serve AS DOUBLE) / n_serve * 1000000 + 0.5) / 1000000").alias("p_serve"),
-        F.expr("floor(term * 1000000 + 0.5) / 1000000").alias("drift_term"),
+        F.expr(_fshift_expr("CAST(c_train AS DOUBLE) / n_train")).alias("p_train"),
+        F.expr(_fshift_expr("CAST(c_serve AS DOUBLE) / n_serve")).alias("p_serve"),
+        F.expr(_fshift_expr("term")).alias("drift_term"),
     )
 
 
@@ -332,8 +341,8 @@ def ml_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(MAX(n_train) AS BIGINT) AS n_train,
            CAST(MAX(n_serve) AS BIGINT) AS n_serve,
-           floor(list_reduce(list(term ORDER BY bin), (a, b) -> a + b)
-                 * 1000000 + 0.5) / 1000000 AS drift_score,
+           {_fshift('list_reduce(list(term ORDER BY bin), (a, b) -> a + b)',
+                      'drift_score')},
            (list_reduce(list(term ORDER BY bin), (a, b) -> a + b) > 0.05)
              AS needs_rebuild
     FROM terms
@@ -356,6 +365,6 @@ def ml_drift_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("event_type").agg(
         F.expr("CAST(MAX(n_train) AS BIGINT)").alias("n_train"),
         F.expr("CAST(MAX(n_serve) AS BIGINT)").alias("n_serve"),
-        F.expr(f"floor({folded} * 1000000 + 0.5) / 1000000").alias("drift_score"),
+        F.expr(_fshift_expr(folded)).alias("drift_score"),
         F.expr(f"({folded} > 0.05)").alias("needs_rebuild"),
     )

@@ -39,17 +39,41 @@ def _osum(expr: str, alias: str, scale: int = 8) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(30,{scale}))) AS DOUBLE) AS {alias}"
 
 
+def _sum_cents_expr(expr: str) -> str:
+    """Alias-less integer-cents SUM fragment (the one definition of the
+    cents convention — round-6 dedup of 7+ hand-inlined copies, two of
+    which did ``rsplit(' AS x')`` alias surgery on :func:`_osum_cents`
+    output to get this fragment back)."""
+    return f"CAST(round(SUM(CAST({expr} AS DECIMAL(30,8))), 2) * 100 AS BIGINT)"
+
+
 def _dsum_cents(expr: str, alias: str) -> "F.Column":
     """Money aggregate as exact integer cents: immune to DECIMAL→DOUBLE
     conversion ulp at any magnitude (found at sf0.1: 7.5e9 sums differed
     in the last ulp between engines)."""
-    return F.expr(
-        f"CAST(round(SUM(CAST({expr} AS DECIMAL(30,8))), 2) * 100 AS BIGINT)"
-    ).alias(alias)
+    return F.expr(_sum_cents_expr(expr)).alias(alias)
 
 
 def _osum_cents(expr: str, alias: str) -> str:
-    return f"CAST(round(SUM(CAST({expr} AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS {alias}"
+    return f"{_sum_cents_expr(expr)} AS {alias}"
+
+
+def _fshift_expr(expr: str) -> str:
+    """floor-shift HALF-UP rounding to 6 dp, alias-less SQL fragment:
+    ``floor(x·10⁶ + 0.5)/10⁶`` is bit-identical across engines given
+    exact inputs, whereas round() half-tie algorithms differ (Spark
+    rounds the shortest decimal repr, DuckDB multiplies) — registry
+    docstring convention, promoted here from tpch.py in round 6."""
+    return f"floor(({expr}) * 1000000 + 0.5) / 1000000"
+
+
+def _fshift(expr: str, alias: str) -> str:
+    return f"{_fshift_expr(expr)} AS {alias}"
+
+
+def _fshift_col(col: "F.Column") -> "F.Column":
+    """Column-API variant of :func:`_fshift_expr`."""
+    return F.floor(col * 1000000 + 0.5) / 1000000
 
 
 # --- 2.4 aggregations ------------------------------------------------------

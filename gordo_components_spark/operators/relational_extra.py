@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from gordo_components_spark.operators.relational import _osum_cents
 from gordo_components_spark.registry import register
 from gordo_components_spark.sources.tables import load_table
 
@@ -39,12 +40,12 @@ def join_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_grouping_sets",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
            CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
            CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
            COUNT(*) AS n,
-           CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS revenue_cents
+           {_osum_cents('o_totalprice', 'revenue_cents')}
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
     """,
@@ -53,12 +54,12 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS through the SQL front-end."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
     return spark.sql(
-        """
+        f"""
         SELECT o_orderstatus, o_orderpriority,
                CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
                CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
                COUNT(*) AS n,
-               CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS revenue_cents
+               {_osum_cents('o_totalprice', 'revenue_cents')}
         FROM orders_v
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         """

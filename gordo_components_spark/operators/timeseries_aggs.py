@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gordo_components_spark.functions.timeseries import resample
+from gordo_components_spark.operators.relational import _fshift, _fshift_col, _fshift_expr
 from gordo_components_spark.registry import register
 from gordo_components_spark.sources.tables import load_table
 
@@ -188,7 +189,7 @@ def agg_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_error_quantile",
-    oracle="""
+    oracle=f"""
     WITH mu AS (
       SELECT user_id,
              round(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 9) AS mean_v
@@ -198,8 +199,8 @@ def agg_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events e JOIN mu USING (user_id)
     )
     SELECT user_id,
-           floor(quantile_cont(err, 0.99) * 1000000 + 0.5) / 1000000.0 AS threshold_p99,
-           floor(quantile_cont(err, 0.50) * 1000000 + 0.5) / 1000000.0 AS err_median
+           {_fshift('quantile_cont(err, 0.99)', 'threshold_p99')},
+           {_fshift('quantile_cont(err, 0.50)', 'err_median')}
     FROM err GROUP BY user_id
     """,
 )
@@ -222,14 +223,22 @@ def agg_error_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.round(F.abs(F.col("value") - F.col("mean_v")), 9).alias("err")
     )
     return err.groupBy("user_id").agg(
-        (F.floor(F.expr("percentile(err, 0.99)") * 1e6 + 0.5) / 1e6).alias("threshold_p99"),
-        (F.floor(F.expr("percentile(err, 0.50)") * 1e6 + 0.5) / 1e6).alias("err_median"),
+        _fshift_col(F.expr("percentile(err, 0.99)")).alias("threshold_p99"),
+        _fshift_col(F.expr("percentile(err, 0.50)")).alias("err_median"),
     )
+
+
+_INTERP_CASE = (
+    "CASE WHEN v IS NOT NULL THEN v "
+    "ELSE prev_v + (next_v - prev_v) "
+    "* (CAST(epoch(bucket) - epoch(prev_t) AS DOUBLE) "
+    "/ CAST(epoch(next_t) - epoch(prev_t) AS DOUBLE)) END"
+)
 
 
 @register(
     "agg_resample_interp",
-    oracle="""
+    oracle=f"""
     WITH base AS (
       SELECT user_id, event_type,
              time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket,
@@ -255,11 +264,7 @@ def agg_error_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
     SELECT user_id, event_type, bucket,
-           floor((CASE WHEN v IS NOT NULL THEN v
-                       ELSE prev_v + (next_v - prev_v)
-                            * (CAST(epoch(bucket) - epoch(prev_t) AS DOUBLE)
-                               / CAST(epoch(next_t) - epoch(prev_t) AS DOUBLE))
-                  END) * 1000000 + 0.5) / 1000000 AS value_interp,
+           {_fshift(_INTERP_CASE, 'value_interp')},
            (v IS NULL) AS was_gap
     FROM joined
     """,
@@ -335,7 +340,7 @@ def agg_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "bucket",
-        (F.floor(interp * 1000000 + 0.5) / 1000000).alias("value_interp"),
+        _fshift_col(interp).alias("value_interp"),
         F.col("v").isNull().alias("was_gap"),
     )
 
@@ -448,9 +453,14 @@ def agg_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+_CORR_XY = "CAST(n * sxy - sx * sy AS DOUBLE)"
+_CORR_XX = "CAST(n * sxx - sx * sx AS DOUBLE)"
+_CORR_YY = "CAST(n * syy - sy * sy AS DOUBLE)"
+
+
 @register(
     "agg_tag_correlation",
-    oracle="""
+    oracle=f"""
     WITH b AS (
       SELECT user_id,
              time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS bucket,
@@ -476,17 +486,12 @@ def agg_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(n AS BIGINT) AS n_buckets,
            CASE WHEN n * sxx = sx * sx OR n * syy = sy * sy THEN NULL ELSE
-             floor(CAST(n * sxy - sx * sy AS DOUBLE)
-                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                          * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000 + 0.5)
-             / 1000000 END AS xy_corr,
-           floor(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * (n - 1) AS DOUBLE) / 1e18 * 1000000 + 0.5)
-           / 1000000 AS xy_covar,
+             {_fshift_expr(f"{_CORR_XY} / sqrt({_CORR_XX} * {_CORR_YY})")}
+           END AS xy_corr,
+           {_fshift(f"{_CORR_XY} / CAST(n * (n - 1) AS DOUBLE) / 1e18", 'xy_covar')},
            CASE WHEN n * sxx = sx * sx THEN NULL ELSE
-             floor(CAST(n * sxy - sx * sy AS DOUBLE)
-                   / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5)
-             / 1000000 END AS yx_slope
+             {_fshift_expr(f"{_CORR_XY} / {_CORR_XX}")}
+           END AS yx_slope
     FROM m
     """,
 )
@@ -537,36 +542,32 @@ def agg_tag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n") >= 3)
     )
-    num_xy = "CAST(n * sxy - sx * sy AS DOUBLE)"
-    num_xx = "CAST(n * sxx - sx * sx AS DOUBLE)"
-    num_yy = "CAST(n * syy - sy * sy AS DOUBLE)"
     return m.select(
         "user_id",
         F.expr("CAST(n AS BIGINT)").alias("n_buckets"),
         F.expr(
             f"CASE WHEN n * sxx = sx * sx OR n * syy = sy * sy THEN NULL ELSE "
-            f"floor({num_xy} / sqrt({num_xx} * {num_yy}) * 1000000 + 0.5) / 1000000 END"
+            f"{_fshift_expr(f'{_CORR_XY} / sqrt({_CORR_XX} * {_CORR_YY})')} END"
         ).alias("xy_corr"),
         F.expr(
-            f"floor({num_xy} / CAST(n * (n - 1) AS DOUBLE) / 1e18 * 1000000 + 0.5)"
-            " / 1000000"
+            _fshift_expr(f"{_CORR_XY} / CAST(n * (n - 1) AS DOUBLE) / 1e18")
         ).alias("xy_covar"),
         F.expr(
             f"CASE WHEN n * sxx = sx * sx THEN NULL ELSE "
-            f"floor({num_xy} / {num_xx} * 1000000 + 0.5) / 1000000 END"
+            f"{_fshift_expr(f'{_CORR_XY} / {_CORR_XX}')} END"
         ).alias("yx_slope"),
     )
 
 
 @register(
     "agg_resample_quantiles",
-    oracle="""
+    oracle=f"""
     SELECT user_id,
            time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS bucket,
            CAST(count(*) AS BIGINT) AS n,
-           floor(quantile_cont(value, 0.10) * 1000000 + 0.5) / 1000000 AS p10,
-           floor(quantile_cont(value, 0.50) * 1000000 + 0.5) / 1000000 AS p50,
-           floor(quantile_cont(value, 0.90) * 1000000 + 0.5) / 1000000 AS p90
+           {_fshift('quantile_cont(value, 0.10)', 'p10')},
+           {_fshift('quantile_cont(value, 0.50)', 'p50')},
+           {_fshift('quantile_cont(value, 0.90)', 'p90')}
     FROM events
     GROUP BY 1, 2
     HAVING count(*) >= 4
@@ -588,9 +589,9 @@ def agg_resample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id", F.window("ts", "1 day").start.alias("bucket"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.expr("floor(percentile(value, 0.10D) * 1000000 + 0.5) / 1000000").alias("p10"),
-            F.expr("floor(percentile(value, 0.50D) * 1000000 + 0.5) / 1000000").alias("p50"),
-            F.expr("floor(percentile(value, 0.90D) * 1000000 + 0.5) / 1000000").alias("p90"),
+            F.expr(_fshift_expr("percentile(value, 0.10D)")).alias("p10"),
+            F.expr(_fshift_expr("percentile(value, 0.50D)")).alias("p50"),
+            F.expr(_fshift_expr("percentile(value, 0.90D)")).alias("p90"),
         )
         .where(F.col("n") >= 4)
     )

@@ -15,11 +15,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from gordo_components_spark.operators.relational import _dsum, _dsum_cents, _osum, _osum_cents
+from gordo_components_spark.operators.relational import (
+    _dsum,
+    _dsum_cents,
+    _fshift,
+    _fshift_expr,
+    _osum,
+    _osum_cents,
+    _sum_cents_expr,
+)
 from gordo_components_spark.registry import register
 from gordo_components_spark.sources.tables import load_table
 
-_REV = "CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2) * 100 AS BIGINT)"
+_REV = _sum_cents_expr("l_extendedprice * (1 - l_discount)")
 
 
 @register(
@@ -57,9 +65,8 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q6",
-    oracle="""
-    SELECT CAST(round(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,8))), 2) * 100
-           AS BIGINT) AS revenue_cents,
+    oracle=f"""
+    SELECT {_osum_cents('l_extendedprice * l_discount', 'revenue_cents')},
            COUNT(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
@@ -80,9 +87,7 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.expr(
-            "CAST(round(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,8))), 2) * 100 AS BIGINT)"
-        ).alias("revenue_cents"),
+        _dsum_cents("l_extendedprice * l_discount", "revenue_cents"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -160,13 +165,6 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# floor-shift rounding (registry docstring): both engines compute the
-# double from EXACT integer/decimal inputs, so floor(x·10⁶ + 0.5)/10⁶ is
-# bit-identical — round() half-tie algorithms differ between engines.
-def _fshift(expr: str, alias: str) -> str:
-    return f"floor(({expr}) * 1000000 + 0.5) / 1000000 AS {alias}"
-
-
 @register(
     "tpch_q1",
     oracle=f"""
@@ -176,7 +174,7 @@ def _fshift(expr: str, alias: str) -> str:
            {_osum_cents('l_extendedprice * (1 - l_discount)', 'sum_disc_price_cents')},
            {_osum_cents('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge_cents')},
            {_fshift("CAST(SUM(CAST(l_quantity AS DECIMAL(30,0))) AS DOUBLE) / COUNT(*)", 'avg_qty')},
-           {_fshift(f"CAST({_osum_cents('l_extendedprice', 'x').rsplit(' AS x', 1)[0]} AS DOUBLE) / 100.0 / COUNT(*)", 'avg_price')},
+           {_fshift(f"CAST({_sum_cents_expr('l_extendedprice')} AS DOUBLE) / 100.0 / COUNT(*)", 'avg_price')},
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
@@ -190,7 +188,6 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp")
     )
-    cents = "CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(30,8))), 2) * 100 AS BIGINT)"
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         # scale 0: l_quantity is integral (same headroom fix as
         # agg_groupby_sum — scale 8 crosses the 2^53 cliff near sf5)
@@ -199,11 +196,12 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dsum_cents("l_extendedprice * (1 - l_discount)", "sum_disc_price_cents"),
         _dsum_cents("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge_cents"),
         F.expr(
-            "floor((CAST(SUM(CAST(l_quantity AS DECIMAL(30,0))) AS DOUBLE) / COUNT(*)) "
-            "* 1000000 + 0.5) / 1000000"
+            _fshift_expr("CAST(SUM(CAST(l_quantity AS DECIMAL(30,0))) AS DOUBLE) / COUNT(*)")
         ).alias("avg_qty"),
         F.expr(
-            f"floor((CAST({cents} AS DOUBLE) / 100.0 / COUNT(*)) * 1000000 + 0.5) / 1000000"
+            _fshift_expr(
+                f"CAST({_sum_cents_expr('l_extendedprice')} AS DOUBLE) / 100.0 / COUNT(*)"
+            )
         ).alias("avg_price"),
         F.count(F.lit(1)).alias("count_order"),
     )
@@ -276,14 +274,18 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q14_PROMO = "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END"
+
+
 @register(
     "tpch_q14",
     oracle=f"""
-    SELECT {_osum_cents("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 'promo_cents')},
+    SELECT {_osum_cents(_Q14_PROMO, 'promo_cents')},
            {_osum_cents('l_extendedprice * (1 - l_discount)', 'total_cents')},
            {_fshift(
-               "100.0 * CAST(" + _osum_cents("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 'x').rsplit(' AS x', 1)[0]
-               + " AS DOUBLE) / CAST(" + _osum_cents('l_extendedprice * (1 - l_discount)', 'y').rsplit(' AS y', 1)[0] + " AS DOUBLE)", 'promo_pct')}
+               f"100.0 * CAST({_sum_cents_expr(_Q14_PROMO)} AS DOUBLE)"
+               f" / CAST({_sum_cents_expr('l_extendedprice * (1 - l_discount)')} AS DOUBLE)",
+               'promo_pct')}
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-07-01 00:00:00'
@@ -298,17 +300,15 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp"))
     )
     p = load_table(spark, sf_dir, "part")
-    promo = "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END"
-    pc = f"CAST(round(SUM(CAST({promo} AS DECIMAL(30,8))), 2) * 100 AS BIGINT)"
-    tc = "CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2) * 100 AS BIGINT)"
+    pc = _sum_cents_expr(_Q14_PROMO)
+    tc = _sum_cents_expr("l_extendedprice * (1 - l_discount)")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            _dsum_cents(promo, "promo_cents"),
+            _dsum_cents(_Q14_PROMO, "promo_cents"),
             _dsum_cents("l_extendedprice * (1 - l_discount)", "total_cents"),
             F.expr(
-                f"floor((100.0 * CAST({pc} AS DOUBLE) / CAST({tc} AS DOUBLE)) "
-                "* 1000000 + 0.5) / 1000000"
+                _fshift_expr(f"100.0 * CAST({pc} AS DOUBLE) / CAST({tc} AS DOUBLE)")
             ).alias("promo_pct"),
         )
     )
@@ -338,14 +338,14 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate")
-        .agg(
-            # scale 0: l_quantity is integral (same headroom fix as
-        # agg_groupby_sum — scale 8 crosses the 2^53 cliff near sf5)
-        _dsum("l_quantity", "sum_qty", scale=0),
-            F.expr("SUM(CAST(l_quantity AS DECIMAL(30,8)))").alias("__dq"),
-        )
-        .where(F.col("__dq") > 250)
-        .drop("__dq")
+        # scale 0: l_quantity is integral (same headroom fix as
+        # agg_groupby_sum — scale 8 crosses the 2^53 cliff near sf5).
+        # The HAVING filters on sum_qty directly: per-order quantity
+        # sums are far below 2^53, so the DECIMAL→DOUBLE cast is exact
+        # and a second aggregate buffer for the filter buys nothing
+        # (round-6 simplification of the old __dq re-aggregation).
+        .agg(_dsum("l_quantity", "sum_qty", scale=0))
+        .where(F.col("sum_qty") > 250)
         .orderBy(F.col("sum_qty").desc(), "o_orderkey")
         .limit(25)
     )
@@ -509,13 +509,13 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q22",
-    oracle="""
+    oracle=f"""
     WITH avg_bal AS (
       SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS a
       FROM customer WHERE c_acctbal > 0.0
     )
     SELECT cntrycode, COUNT(*) AS numcust,
-           CAST(round(SUM(CAST(c_acctbal AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS totacctbal_cents
+           {_osum_cents('c_acctbal', 'totacctbal_cents')}
     FROM (
       SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode, c_acctbal
       FROM customer, avg_bal
@@ -549,9 +549,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return rich.groupBy((F.col("c_nationkey") % 10).cast("int").alias("cntrycode")).agg(
         F.count(F.lit(1)).alias("numcust"),
-        F.expr(
-            "CAST(round(SUM(CAST(c_acctbal AS DECIMAL(30,8))), 2) * 100 AS BIGINT)"
-        ).alias("totacctbal_cents"),
+        _dsum_cents("c_acctbal", "totacctbal_cents"),
     )
 
 
@@ -630,9 +628,16 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q8_NATION_VOL = "CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0.0 END"
+_Q8_SHARE = (
+    f"CAST({_sum_cents_expr(_Q8_NATION_VOL)} AS DOUBLE)"
+    f" / CAST({_sum_cents_expr('volume')} AS DOUBLE)"
+)
+
+
 @register(
     "tpch_q8",
-    oracle="""
+    oracle=f"""
     WITH base AS (
       SELECT CAST(year(o_orderdate) AS INT) AS o_year,
              l_extendedprice * (1 - l_discount) AS volume,
@@ -647,11 +652,7 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nation n2 ON s_nationkey = n2.n_nationkey
       WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
     )
-    SELECT o_year,
-           floor(CAST(CAST(round(SUM(CAST(CASE WHEN supp_nation = 'NATION_1'
-                        THEN volume ELSE 0.0 END AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS DOUBLE)
-                 / CAST(CAST(round(SUM(CAST(volume AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS DOUBLE)
-                 * 1000000 + 0.5) / 1000000 AS mkt_share
+    SELECT o_year, {_fshift(_Q8_SHARE, 'mkt_share')}
     FROM base GROUP BY o_year
     """,
 )
@@ -686,15 +687,10 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
         )
     )
-    num = (
-        "CAST(CAST(round(SUM(CAST(CASE WHEN supp_nation = 'NATION_1' THEN volume "
-        "ELSE 0.0 END AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS DOUBLE)"
-    )
-    den = "CAST(CAST(round(SUM(CAST(volume AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS DOUBLE)"
     # floor-shift, not round(x, 6): the ratio is a double, and engine
     # round() half-tie algorithms differ (CLAUDE.md failure mode b)
     return base.groupBy("o_year").agg(
-        F.expr(f"floor(({num}) / ({den}) * 1000000 + 0.5) / 1000000").alias("mkt_share")
+        F.expr(_fshift_expr(_Q8_SHARE)).alias("mkt_share")
     )
 
 
@@ -743,11 +739,10 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q11",
-    oracle="""
+    oracle=f"""
     WITH val AS (
       SELECT l_partkey AS ps_partkey,
-             CAST(round(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,8))), 2) * 100
-                  AS BIGINT) AS value_cents
+             {_osum_cents('l_extendedprice * l_quantity', 'value_cents')}
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation   ON s_nationkey = n_nationkey
@@ -786,11 +781,10 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q15",
-    oracle="""
+    oracle=f"""
     WITH rev AS (
       SELECT l_suppkey AS supplier_no,
-             CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2) * 100
-                  AS BIGINT) AS total_revenue_cents
+             {_osum_cents("l_extendedprice * (1 - l_discount)", 'total_revenue_cents')}
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '2000-04-01 00:00:00'
