@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gordo_components_spark.caches import persist_tracked
+from gordo_components_spark.operators.relational import _fshift, _fshift_col
 from gordo_components_spark.registry import register
 from gordo_components_spark.sources.tables import load_table
 
@@ -66,7 +67,7 @@ _SHINGLES = (
 
 @register(
     "ext_dedup_ngram_jaccard",
-    oracle="""
+    oracle=f"""
     WITH sh AS (
       SELECT doc_id, source, CAST(n_chars // 100 AS INT) AS len_bucket,
              list_distinct([array_to_string(string_split(text,' ')[i:i+2], ' ')
@@ -74,9 +75,8 @@ _SHINGLES = (
       FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           floor(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.shingles, b.shingles)))
-                 * 1000000 + 0.5) / 1000000 AS jaccard
+           {_fshift('''CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.shingles, b.shingles)))''', 'jaccard')}
     FROM sh a JOIN sh b
       ON a.source = b.source AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
@@ -88,19 +88,28 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup with blocking: pairs only form inside
     a (source, length-bucket) block, so candidate generation stays linear
     in block sizes instead of O(n²) over the corpus — the blocking key is
-    the shuffle key.  Shingling is native (split/sequence/slice), no UDF."""
+    the shuffle key.
+
+    Round-6 shape change (same move that fixed semantic dedup's worst
+    rehearsal ratio): the SQL pair self-join evaluated interpreted
+    ``array_intersect``/``array_union`` per candidate pair (~1.2M pairs
+    at the 10× replica — pure per-pair constant, no skew to salt: block
+    sizes are bounded by design, the 10× corpus just has 10× more
+    blocks).  One Arrow island per block instead builds the block's
+    binary doc×shingle matrix and gets ALL pairwise intersection counts
+    from a single integer matmul (|A∪B| = |A|+|B|−|A∩B|), emitting only
+    pairs above the floor.  Values are exact: integer counts, one
+    int/int→double division identical across engines, floor-shift
+    rounding Spark-side.  The corpus shuffles ONCE on the block key
+    (raw text on the wire, shingling inside the island), and per-group
+    memory is bounded by the block size the key design already bounds."""
+    import numpy as np
+    import pandas as pd
+
     docs = load_table(spark, sf_dir, "documents")
-    # both sides spread by block key: a single-file corpus arrives as one
-    # row-group (one scan partition), which would serialize the O(block²)
-    # pair probe on one core; at cluster scale the same repartition is the
-    # co-location shuffle that routes each block's work to one reducer.
-    # Explicit numPartitions exempts the exchange from AQE coalescing
-    # (which would re-serialize this tiny-bytes / heavy-compute shuffle).
-    # Order matters for the wire: the exchange carries RAW TEXT (one
-    # string per row) and shingling runs AFTER it, so the wide shingle
-    # arrays (~10× the text) never cross a shuffle; both join sides are
-    # the same subplan, so the second side is a ReusedExchange — the
-    # corpus is shuffled ONCE.
+    # explicit numPartitions exempts the exchange from AQE coalescing
+    # (tiny-bytes / heavy-compute shuffle) and satisfies the grouped-map
+    # clustering, so applyInPandas adds no second exchange
     n = spark.sparkContext.defaultParallelism
     blocked = docs.select(
         "doc_id",
@@ -108,41 +117,50 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / 100).cast("int").alias("len_bucket"),
         "text",
     ).repartition(n, "source", "len_bucket")
-    sh = blocked.select(
-        "doc_id", "source", "len_bucket", F.expr(_SHINGLES).alias("shingles")
-    )
-    # The pair probe is a SHUFFLE_HASH equi-join on the block key — never
-    # a broadcast: the build side is the whole shingled corpus, which at
-    # 100 TB cannot fit any executor.  Hash (not sort-merge) because each
-    # block is small and the payload (shingle arrays) is wide — hashing
-    # only the two key columns beats sorting wide rows.
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = a.join(
-        b.hint("SHUFFLE_HASH"),
-        (F.col("a.source") == F.col("b.source"))
-        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    )
-    inter = F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double")
-    union = F.size(F.array_union("a.shingles", "b.shingles"))
-    # jaccard computed ONCE in a projection (filter on the projected
-    # column), not folded into the join condition + recomputed on output
-    scored = pairs.select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        (inter / union).alias("jac_raw"),
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic: sort by doc_id so i<j <=> doc_a < doc_b
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        ids = pdf["doc_id"].to_numpy()
+        # word-3-gram distinct shingles — same semantics as the oracle's
+        # string_split slices (docs under 3 tokens have no shingles)
+        vocab: dict = {}
+        rows, cols = [], []
+        for i, text in enumerate(pdf["text"]):
+            toks = text.split(" ")
+            if len(toks) < 3:
+                continue
+            for s in {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}:
+                rows.append(i)
+                cols.append(vocab.setdefault(s, len(vocab)))
+        b = len(ids)
+        if b < 2 or not vocab:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64"),
+                                 "jac_raw": pd.Series(dtype="float64")})
+        M = np.zeros((b, len(vocab)), dtype=np.int64)
+        M[rows, cols] = 1
+        sizes = M.sum(1)
+        inter = M @ M.T
+        union = sizes[:, None] + sizes[None, :] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac = inter / union  # 0/0 -> nan, excluded by the > floor below
+        iu, ju = np.triu_indices(b, k=1)
+        keep = jac[iu, ju] > 0.01
+        return pd.DataFrame({
+            "doc_a": ids[iu[keep]],
+            "doc_b": ids[ju[keep]],
+            "jac_raw": jac[iu, ju][keep],
+        })
+
+    mined = blocked.groupBy("source", "len_bucket").applyInPandas(
+        block_pairs, "doc_a long, doc_b long, jac_raw double"
     )
     # floor-shift, not round(): |intersect|/|union| is a
     # small-denominator rational — exactly the half-tie-prone shape
     # where the engines' round() algorithms can diverge (CLAUDE.md)
-    return (
-        scored.where(F.col("jac_raw") > 0.01)
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.floor(F.col("jac_raw") * 1000000 + F.lit(0.5)) / 1000000).alias("jaccard"),
-        )
+    return mined.select(
+        "doc_a", "doc_b", _fshift_col(F.col("jac_raw")).alias("jaccard")
     )
 
 
@@ -349,7 +367,7 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            (F.floor(jac * 1000000 + F.lit(0.5)) / 1000000).alias("jaccard"),
+            _fshift_col(jac).alias("jaccard"),
         )
     )
 

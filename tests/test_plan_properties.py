@@ -96,17 +96,17 @@ def test_consolidated_windows_partitioned(spark, sf_dir):
 
 
 def test_ngram_jaccard_probe_spread(spark, sf_dir):
-    # the pair probe must carry the explicit block-key repartition (an
+    # the pair miner must carry the explicit block-key repartition (an
     # AQE-exempt exchange): single-file corpora otherwise serialize the
-    # O(block²) probe on one core
+    # O(block²) work on one core.  Round 6: pair mining is a per-block
+    # Arrow island (one integer matmul per block) — no SQL self-join,
+    # and the corpus is never a broadcast build side (impossible at
+    # 100 TB); exactly ONE exchange moves the raw text
     plan = plan_of(spark, "ext_dedup_ngram_jaccard", sf_dir)
     assert "REPARTITION_BY_NUM" in plan or "hashpartitioning(source" in plan
-    # round-2 verdict: the pair probe must NOT broadcast the shingled
-    # corpus as the build side (impossible at 100 TB) — it must be a
-    # co-partitioned shuffled hash join on the block key
+    assert "FlatMapGroupsInPandas" in plan
     assert "BroadcastExchange" not in plan
-    assert "BroadcastHashJoin" not in plan
-    assert "ShuffledHashJoin" in plan
+    assert "Join" not in plan  # no pair self-join of any kind
 
 
 def test_tpch_additions_hash_only(spark, sf_dir):
