@@ -405,16 +405,26 @@ def _misra_gries_partition(batches, capacity: int):
 
     counts: dict[str, int] = {}
     np_total = 0
+
+    def compact() -> None:
+        nonlocal counts
+        ordered = sorted(counts.values(), reverse=True)
+        debit = ordered[capacity]
+        counts = {t: c - debit for t, c in counts.items() if c > debit}
+
     for pdf in batches:
         for toks in pdf["t"]:
             np_total += len(toks)
             vc = pd.Series(toks).value_counts()
             for tok, c in vc.items():
                 counts[tok] = counts.get(tok, 0) + int(c)
-            if len(counts) > capacity:
-                ordered = sorted(counts.values(), reverse=True)
-                debit = ordered[capacity]
-                counts = {t: c - debit for t, c in counts.items() if c > debit}
+                # compact INSIDE the merge (advisory r5): checking only
+                # after a whole document's counts are merged lets one
+                # pathological doc inflate the dict to capacity + its
+                # distinct-token count — the memory bound must hold
+                # per-insertion, not per-document
+                if len(counts) > capacity:
+                    compact()
     out = pd.DataFrame(
         {"token": list(counts.keys()) + [None], "est": list(counts.values()) + [np_total]}
     )

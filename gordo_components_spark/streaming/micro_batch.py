@@ -513,6 +513,24 @@ def run_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     hist_path = os.path.join(root, "hist")
 
     def probe_history(batch_df: DataFrame, batch_id: int) -> None:
+        # LOUD single-batch contract (advisory r5): the stream/batch
+        # digest-set parity relies on availableNow delivering all DATA
+        # in one micro-batch — crawl_ts spans 24h but the watermark is
+        # 1h, so if data delivery ever splits (e.g. a maxFilesPerTrigger
+        # conf), duplicates landing in batches >1h apart would BOTH
+        # survive dropDuplicatesWithinWatermark and silently break
+        # parity.  The stateful operator legitimately schedules a
+        # trailing NO-DATA batch to advance the watermark and evict
+        # state — only a late batch CARRYING ROWS violates the contract.
+        if batch_id > 0:
+            if batch_df.isEmpty():
+                return  # watermark-advance batch: nothing to append
+            raise RuntimeError(
+                "streaming incremental dedup expects all data in a single "
+                f"availableNow micro-batch (batch_id={batch_id} carried rows); "
+                "multi-batch delivery breaks the 1h-watermark dedup parity "
+                "contract"
+            )
         hist = batch_df.sparkSession.read.parquet(hist_path).select("text_hash")
         batch_df.join(hist.hint("SHUFFLE_HASH"), "text_hash", "left_anti").write.mode(
             "append"

@@ -299,7 +299,14 @@ def test_zorder_no_global_sort_no_window(spark, sf_dir):
     # through one task) must never reappear
     plan = plan_of(spark, "pipe_zorder_layout", sf_dir)
     assert "Window" not in plan
-    assert "Sort" not in plan
+    # match the specific exec nodes (advisory r5): a bare "Sort"
+    # substring also fires on SortAggregate / SortMergeJoin node names,
+    # so a benign planner change would fail the guard without any
+    # global sort appearing
+    import re
+
+    assert not re.search(r"\bSort\b \[", plan), "global Sort node appeared"
+    assert "rangepartitioning" not in plan, "range-partition (sort) exchange"
     assert "Join" not in plan
 
 
