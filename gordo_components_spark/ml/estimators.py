@@ -612,6 +612,24 @@ class DiffBasedAnomalyDetector(_Base):
 
         return copy.deepcopy(self.base_estimator)
 
+    @staticmethod
+    def _residuals(model, X: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(y_true, y_pred) in the SPACE THE ESTIMATOR WAS FIT IN.
+
+        Round-6 review fix: for a scaler→AE pipeline the old code
+        compared RAW X against the pipeline's SCALED-space
+        reconstruction, so err ≈ |X| itself (measured: yhat ~0.56,
+        err ~99.3 on features ~100) — the model contributed nothing and
+        the detector degenerated to a raw-magnitude quantile cut.  The
+        reference computes residuals on scaled values (diff.py scales
+        both y and ŷ); here both sides route through the pipeline's
+        input transform so the reconstruction error is what is
+        thresholded."""
+        if hasattr(model, "transform_input"):
+            Xs = model.transform_input(np.asarray(X, dtype=np.float64))
+            return Xs, model.final_estimator.predict(Xs)
+        return np.asarray(X, dtype=np.float64), model.predict(X)
+
     def fit(self, X: np.ndarray, y: np.ndarray | None = None):
         X = np.asarray(X, dtype=np.float64)
         self.base_estimator.fit(X, y)
@@ -623,7 +641,8 @@ class DiffBasedAnomalyDetector(_Base):
         for train_idx, val_idx in time_series_folds(len(X), self.n_splits):
             model = self._clone()
             model.fit(X[train_idx])
-            err = np.abs(X[val_idx] - model.predict(X[val_idx]))
+            y_true, y_pred = self._residuals(model, X[val_idx])
+            err = np.abs(y_true - y_pred)
             tag_thresholds.append(np.quantile(err, self.quantile, axis=0))
             total_thresholds.append(np.quantile(np.linalg.norm(err, axis=1), self.quantile))
             fold_scores.append(float(err.mean()))
@@ -634,10 +653,12 @@ class DiffBasedAnomalyDetector(_Base):
 
     def anomaly(self, X: np.ndarray) -> dict[str, np.ndarray]:
         """Flattened D6 prediction frame (SURVEY §1.2): ``model_output``,
-        per-tag anomaly, total L2 anomaly, + fitted thresholds."""
+        per-tag anomaly, total L2 anomaly, + fitted thresholds.  Errors
+        and reconstructions are in the fitted (scaled) space — see
+        :meth:`_residuals`."""
         X = np.asarray(X, dtype=np.float64)
-        yhat = self.base_estimator.predict(X)
-        err = np.abs(X - yhat)
+        y_true, yhat = self._residuals(self.base_estimator, X)
+        err = np.abs(y_true - yhat)
         out = {
             "model_output": yhat,
             "tag_anomaly": err,

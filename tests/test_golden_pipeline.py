@@ -54,7 +54,31 @@ def test_golden_anomaly_pipeline(spark, synthetic_events):
     clean = feats.where(
         F.col("bucket") < F.lit("2024-01-12 00:00:00").cast("timestamp")
     )
-    models = train_models(clean)
+    # reference-default backend (feedforward_hourglass func="tanh"):
+    # since the round-6 residual-space fix, anomaly errors are GENUINE
+    # scaled reconstruction errors — the linear (PCA) face reconstructs
+    # the spike's common-mode direction perfectly (it spans PC1), so
+    # only a saturating nonlinear AE flags out-of-range spikes through
+    # reconstruction error, exactly like the reference's Keras default
+    definition = {
+        "anomaly.DiffBasedAnomalyDetector": {
+            "base_estimator": {
+                "pipeline.Pipeline": {
+                    "steps": [
+                        "preprocessing.MinMaxScaler",
+                        {"models.AutoEncoder": {
+                            "kind": "feedforward_hourglass",
+                            "compression_factor": 0.5,
+                            "encoding_layers": 2,
+                            "func": "tanh",
+                            "epochs": 120,
+                        }},
+                    ]
+                }
+            }
+        }
+    }
+    models = train_models(clean, definition=definition)
     meta = {r["machine"]: r.asDict() for r in models.collect()}
     assert set(meta) == {"1", "2"}
     assert all(m["status"] == "ok" for m in meta.values())
