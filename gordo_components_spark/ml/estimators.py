@@ -502,7 +502,13 @@ def make_forecaster(func: str = "linear", **kw):
     if func == "lstm":
         from gordo_components_spark.ml.recurrent import LSTMForecaster
 
+        # drop keys the recurrent backend doesn't take (e.g. the linear
+        # face's ``ridge``) — same YAML-compat filtering the other
+        # branches apply, review-fixed in round 6 (a func swap in an
+        # otherwise-valid config used to TypeError at compile time)
+        kw = {k: v for k, v in kw.items() if k in LSTMForecaster._params}
         return LSTMForecaster(func=func, **kw)
+    kw = {k: v for k, v in kw.items() if k != "ridge"}
     return MLPForecaster(func=func, **kw)
 
 

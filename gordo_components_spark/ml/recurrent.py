@@ -231,8 +231,10 @@ class LSTMAutoEncoder(_Base):
 
     def window_errors(self, X: np.ndarray) -> np.ndarray:
         X = np.asarray(X, dtype=np.float64)
-        Xw = self._windows((X - self.mean_) / self.scale_)
-        W = (Xw * self.scale_ + self.mean_).reshape(len(Xw), -1)
+        # ground truth straight from the raw windows — the old
+        # scale-then-unscale roundtrip reintroduced ~1-ulp noise into
+        # y_true for no reason (review r6)
+        W = self._windows(X).reshape(-1, self.lookback_window * X.shape[1])
         return np.linalg.norm(W - self.predict(X), axis=1)
 
     def score(self, X: np.ndarray, y=None) -> float:
@@ -382,9 +384,19 @@ class LSTMForecaster(_Base):
             )
         return (h @ P["Wy"] + P["by"]) * self.scale_ + self.mean_
 
+    def residuals(self, X: np.ndarray) -> np.ndarray:
+        """Per-window forecast errors (targets − predictions) — the
+        accessor island callers use on :class:`ARForecaster`; added for
+        the documented drop-in interchangeability of the three forecast
+        backends (review r6: the lstm face would AttributeError where
+        the linear/MLP faces worked)."""
+        X = np.asarray(X, dtype=np.float64)
+        _, Y = self._windows(X)
+        return Y - self.predict(X)
+
     def score(self, X: np.ndarray, y=None) -> float:
         X = np.asarray(X, dtype=np.float64)
         _, Y = self._windows(X)
-        err = Y - self.predict(X)
+        err = self.residuals(X)
         denom = Y.var(axis=0).sum()
         return float(1.0 - err.var(axis=0).sum() / denom) if denom else 0.0
