@@ -164,7 +164,14 @@ class _Parser:
         if kind == "number":
             return val
         if kind == "string":
-            return "'" + val[1:-1].replace("'", "''") + "'"
+            # Spark SQL interprets C-style backslash escapes in string
+            # literals (escapedStringLiterals=false default), so a DSL
+            # string carrying a literal backslash would silently change
+            # meaning ('a\nb' matched the NEWLINE row — review r6);
+            # pandas eval treats the characters literally, so escape
+            # both the backslash and the quote
+            body = val[1:-1].replace("\\", "\\\\").replace("'", "''")
+            return "'" + body + "'"
         if kind == "name":
             if val in _BOOL_LITERALS:
                 return _BOOL_LITERALS[val]

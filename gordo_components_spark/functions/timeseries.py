@@ -22,6 +22,15 @@ from pyspark.sql import DataFrame, functions as F
 #: list avoids the extra distinct-scan job AND keeps the plan static.
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
+#: aggregation methods the resampler accepts — YAML configs route method
+#: names here (dataset.py aggregation_methods), and the name is spliced
+#: into F.expr, so an unvalidated string would reach the SQL parser
+#: verbatim (review r6: whitelist instead of trusting config text)
+RESAMPLE_METHODS = frozenset(
+    {"avg", "mean", "max", "min", "count", "sum", "first", "last",
+     "stddev", "stddev_samp", "stddev_pop", "median"}
+)
+
 
 def resample(
     events: DataFrame,
@@ -37,6 +46,11 @@ def resample(
     """
     aggs = []
     for m in methods:
+        if m not in RESAMPLE_METHODS:
+            raise ValueError(
+                f"unsupported aggregation method {m!r}; one of "
+                f"{sorted(RESAMPLE_METHODS)}"
+            )
         col = F.expr(f"{m}(value)")
         if m in ("avg", "mean", "stddev", "stddev_samp"):
             col = F.round(col, 9)

@@ -65,3 +65,12 @@ def test_null_rows_dropped_like_pandas(spark):
     df = spark.createDataFrame([(None,), (1.0,)], "`TAG-1` double")
     out = df.filter(compile_filter("`TAG-1` > 0")).collect()
     assert len(out) == 1
+
+
+def test_string_backslash_is_literal(spark):
+    # Spark SQL interprets C-style escapes in string literals; the DSL
+    # must escape them so a literal backslash matches literally (r6
+    # review: 'a\nb' used to match the NEWLINE row)
+    df = spark.createDataFrame([("a\\nb",), ("a\nb",)], "tag string")
+    out = df.filter(compile_filter("`tag` == 'a\\nb'", ["tag"])).collect()
+    assert [r["tag"] for r in out] == ["a\\nb"]
