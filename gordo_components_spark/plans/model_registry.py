@@ -39,14 +39,24 @@ class ModelRegistry:
         return key if os.path.exists(os.path.join(self._dir(key), "model.pkl")) else None
 
     def dump(self, machine_config: dict, model: Any, metadata: dict | None = None) -> str:
+        # atomic tmp-file + rename (review r6, same discipline as the
+        # corpus artifact caches): check_cache trusts model.pkl's
+        # existence, so a crashed or concurrent writer must never leave
+        # a torn pickle under the content-addressed key
         key = calculate_model_key(machine_config)
         d = self._dir(key)
         os.makedirs(d, exist_ok=True)
-        with open(os.path.join(d, "model.pkl"), "wb") as f:
+        blob_tmp = os.path.join(d, f".model.pkl.tmp.{os.getpid()}")
+        with open(blob_tmp, "wb") as f:
             pickle.dump(model, f)
         meta = {"model_key": key, "machine_config": machine_config, **(metadata or {})}
-        with open(os.path.join(d, "metadata.json"), "w") as f:
+        meta_tmp = os.path.join(d, f".metadata.json.tmp.{os.getpid()}")
+        with open(meta_tmp, "w") as f:
             json.dump(meta, f, indent=2, sort_keys=True, default=str)
+        # metadata first: a reader that sees model.pkl may immediately
+        # read metadata.json, so the pickle lands last
+        os.replace(meta_tmp, os.path.join(d, "metadata.json"))
+        os.replace(blob_tmp, os.path.join(d, "model.pkl"))
         return key
 
     def load(self, key: str) -> Any:

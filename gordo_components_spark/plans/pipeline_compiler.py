@@ -123,8 +123,16 @@ def into_definition(obj: Any) -> Any:
 def _serialize_value(value: Any) -> Any:
     if type(value) in _REVERSE:
         return into_definition(value)
+    if isinstance(value, tuple):
+        # a ("name", estimator) step tuple serializes as the ESTIMATOR's
+        # definition — names are presentation, the reference serializer
+        # drops them the same way (review r6: the old bare list(value)
+        # left LIVE estimator objects inside the "serialized" definition,
+        # and keeping the name would deserialize into a 2-element list
+        # the Pipeline can't fit)
+        if len(value) == 2 and type(value[1]) in _REVERSE:
+            return into_definition(value[1])
+        return [_serialize_value(v) for v in value]
     if isinstance(value, list):
         return [_serialize_value(v) for v in value]
-    if isinstance(value, tuple):
-        return list(value)
     return value

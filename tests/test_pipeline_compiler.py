@@ -94,3 +94,30 @@ def test_registry_cache_roundtrip(tmp_path):
         loaded.base_estimator.predict(X), model.base_estimator.predict(X)
     )
     assert reg.load_metadata(key)["n_samples"] == 50
+
+
+def test_named_tuple_steps_roundtrip_functional():
+    """("name", estimator) step tuples must serialize to JSON-safe
+    definitions that deserialize into a FITTABLE pipeline (r6 review:
+    the old path left live objects in the definition)."""
+    import json
+
+    import numpy as np
+
+    from gordo_components_spark.ml.estimators import (
+        MinMaxScaler,
+        PCAAutoEncoder,
+        Pipeline,
+    )
+    from gordo_components_spark.plans.pipeline_compiler import (
+        from_definition,
+        into_definition,
+    )
+
+    p = Pipeline([("scale", MinMaxScaler()), ("ae", PCAAutoEncoder())])
+    d = into_definition(p)
+    json.dumps(d)  # JSON-safe, no live objects
+    p2 = from_definition(d)
+    X = np.random.default_rng(0).normal(size=(30, 4))
+    p2.fit(X)
+    assert p2.predict(X).shape == X.shape
