@@ -25,6 +25,7 @@ from typing import Callable, NamedTuple
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gordo_components_spark.functions.filter_dsl import compile_filter
+from gordo_components_spark.functions.timeseries import RESAMPLE_METHODS
 from gordo_components_spark.sources.tables import load_events_in_range
 
 
@@ -195,6 +196,16 @@ class TimeSeriesDataset:
         self.n_samples_threshold = n_samples_threshold
         methods = aggregation_methods if isinstance(aggregation_methods, list) else [aggregation_methods]
         self.aggregation_methods = ["avg" if m == "mean" else m for m in methods]
+        # _wide splices each method name into F.expr(f"{m}(value)") — the
+        # YAML-config path lands HERE, not in functions/timeseries.resample,
+        # so the whitelist must gate this entry point too or arbitrary
+        # config text reaches the SQL parser verbatim.
+        for m in self.aggregation_methods:
+            if m not in RESAMPLE_METHODS:
+                raise ValueError(
+                    f"unsupported aggregation method {m!r}; one of "
+                    f"{sorted(RESAMPLE_METHODS)}"
+                )
         self.asset_id = asset_id
         self.provider = provider
 

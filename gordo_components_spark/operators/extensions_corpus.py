@@ -726,12 +726,17 @@ def _sem_fit_hierarchical(
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         cell = int(pdf["cell"].iloc[0])
         X = np.asarray([list(map(float, v)) for v in pdf["v"]], dtype=np.float64)
-        n_i = len(X)
-        k_i = max(1, min(n_i, round(k * n_i / max(1, n_vecs))))
+        n_raw = len(X)
         rng = np.random.RandomState(7 + cell)
-        if n_i > _SEM_FIT_CAP:
-            X = X[rng.choice(n_i, size=_SEM_FIT_CAP, replace=False)]
-            n_i = _SEM_FIT_CAP
+        if n_raw > _SEM_FIT_CAP:
+            X = X[rng.choice(n_raw, size=_SEM_FIT_CAP, replace=False)]
+        n_i = len(X)
+        # k_i scales with the cell's TRUE (pre-cap) population share, but
+        # the seeding draw below samples from the capped X — clamp to the
+        # post-cap row count or a skewed cell with > cap*target vectors
+        # makes choice(n_i, size=k_i, replace=False) raise at exactly the
+        # 100 TB scale the cap exists for.
+        k_i = max(1, min(n_i, round(k * n_raw / max(1, n_vecs))))
         C = X[rng.choice(n_i, size=k_i, replace=False)].copy()
         for _ in range(15):
             # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin drops ||x||^2
@@ -867,7 +872,12 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cluster sizes are bounded (~target * m) by the k derivation, so
     # per-group memory is bounded; the row-block loop keeps a skewed
     # cluster from materializing a quadratic similarity matrix at once.
-    tau_loose = _SEM_TAU - 1e-9  # final HALF_UP round happens Spark-side
+    # Final HALF_UP round to 6 decimals happens Spark-side, which can LIFT
+    # a raw cosine by up to half an output ulp (5e-7); the island pre-filter
+    # must keep every pair that could round up to tau, so its margin is a
+    # full half-ulp plus slack — not just float noise (1e-9 dropped pairs
+    # with raw cosine in [tau-5e-7, tau-1e-9) that round to exactly tau).
+    tau_loose = _SEM_TAU - 5.0001e-7
 
     def cluster_pairs(pdf):
         import numpy as np

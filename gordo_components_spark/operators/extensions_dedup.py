@@ -95,10 +95,11 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``array_intersect``/``array_union`` per candidate pair (~1.2M pairs
     at the 10× replica — pure per-pair constant, no skew to salt: block
     sizes are bounded by design, the 10× corpus just has 10× more
-    blocks).  One Arrow island per block instead builds the block's
-    binary doc×shingle matrix and gets ALL pairwise intersection counts
-    from a single integer matmul (|A∪B| = |A|+|B|−|A∩B|), emitting only
-    pairs above the floor.  Values are exact: integer counts, one
+    blocks).  One Arrow island per block instead gets ALL pairwise
+    intersection counts from a vocabulary-chunked binary matmul
+    (|A∪B| = |A|+|B|−|A∩B|), emitting only pairs above the floor —
+    never materializing the full doc×shingle matrix (memory is bounded
+    by nonzeros + b², not b×|vocab|).  Values are exact: integer counts, one
     int/int→double division identical across engines, floor-shift
     rounding Spark-side.  The corpus shuffles ONCE on the block key
     (raw text on the wire, shingling inside the island), and per-group
@@ -138,10 +139,31 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                                  "doc_b": pd.Series(dtype="int64"),
                                  "jac_raw": pd.Series(dtype="float64")})
-        M = np.zeros((b, len(vocab)), dtype=np.int64)
-        M[rows, cols] = 1
-        sizes = M.sum(1)
-        inter = M @ M.T
+        # The intersection matmul is column-chunked over the shingle
+        # vocabulary: a dense int64 doc x |vocab| matrix costs b*V*8
+        # bytes (hundreds of MB for a few-thousand-doc block with tens
+        # of thousands of distinct 3-grams — the block key bounds doc
+        # COUNT, not vocabulary), so only a b x CHUNK float32 slab is
+        # ever materialized, rebuilt per chunk straight from the COO
+        # lists.  float32 sgemm is exact here: 0/1 products, partial
+        # counts <= CHUNK < 2^24, and BLAS beats numpy's non-BLAS
+        # integer matmul anyway.  Peak memory ~ nnz + b*CHUNK*4 + b*b*8.
+        rows_a = np.asarray(rows, dtype=np.int64)
+        cols_a = np.asarray(cols, dtype=np.int64)
+        sizes = np.bincount(rows_a, minlength=b)
+        order = np.argsort(cols_a, kind="stable")
+        rows_s, cols_s = rows_a[order], cols_a[order]
+        V = len(vocab)
+        CHUNK = 8192
+        inter = np.zeros((b, b), dtype=np.int64)
+        start = 0
+        for c0 in range(0, V, CHUNK):
+            c1 = min(c0 + CHUNK, V)
+            end = int(np.searchsorted(cols_s, c1, side="left"))
+            slab = np.zeros((b, c1 - c0), dtype=np.float32)
+            slab[rows_s[start:end], cols_s[start:end] - c0] = 1.0
+            inter += (slab @ slab.T).astype(np.int64)
+            start = end
         union = sizes[:, None] + sizes[None, :] - inter
         with np.errstate(divide="ignore", invalid="ignore"):
             jac = inter / union  # 0/0 -> nan, excluded by the > floor below
