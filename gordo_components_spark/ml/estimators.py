@@ -585,9 +585,16 @@ class WindowedAutoEncoder(_Base):
         reference generator: output row i reconstructs rows [i, i+lb)."""
         return self._ae.predict(self._windows(np.asarray(X, dtype=np.float64)))
 
-    def window_errors(self, X: np.ndarray) -> np.ndarray:
+    def residuals(self, X: np.ndarray) -> np.ndarray:
+        """Per-element window reconstruction errors (m × lookback·d) —
+        the same accessor contract as :meth:`ARForecaster.residuals`, so
+        the anomaly detector can pair truth with prediction for models
+        whose output geometry differs from their input."""
         W = self._windows(np.asarray(X, dtype=np.float64))
-        return np.linalg.norm(W - self._ae.predict(W), axis=1)
+        return W - self._ae.predict(W)
+
+    def window_errors(self, X: np.ndarray) -> np.ndarray:
+        return np.linalg.norm(self.residuals(X), axis=1)
 
     def score(self, X: np.ndarray, y=None) -> float:
         W = self._windows(np.asarray(X, dtype=np.float64))
@@ -633,8 +640,22 @@ class DiffBasedAnomalyDetector(_Base):
         thresholded."""
         if hasattr(model, "transform_input"):
             Xs = model.transform_input(np.asarray(X, dtype=np.float64))
-            return Xs, model.final_estimator.predict(Xs)
-        return np.asarray(X, dtype=np.float64), model.predict(X)
+            est = model.final_estimator
+        else:
+            Xs, est = np.asarray(X, dtype=np.float64), model
+        pred = est.predict(Xs)
+        if pred.shape == Xs.shape:
+            return Xs, pred
+        # Forecast / windowed-AE bases emit one row per WINDOW, not per
+        # input row (reference wraps LSTM models in this detector too) —
+        # recover the aligned truth from the estimator's own residual
+        # accessor instead of raising a shape error on a valid config.
+        if hasattr(est, "residuals"):
+            return pred + est.residuals(Xs), pred
+        raise ValueError(
+            f"{type(est).__name__}.predict returned shape {pred.shape} for "
+            f"input {Xs.shape} and exposes no residuals() accessor"
+        )
 
     def fit(self, X: np.ndarray, y: np.ndarray | None = None):
         X = np.asarray(X, dtype=np.float64)

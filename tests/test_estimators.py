@@ -195,3 +195,45 @@ def test_linear_factories_drop_mlp_only_kwargs():
 
     with _pytest.raises(TypeError):
         make_autoencoder("linear", not_a_param=1)
+
+
+def test_detector_over_windowed_bases_aligns_truth_to_output_geometry():
+    # Reference wraps DiffBasedAnomalyDetector around LSTM models too:
+    # forecast / windowed-AE bases emit one row per WINDOW, so the
+    # detector must pair truth with prediction via residuals() instead
+    # of raising a shape error on a valid YAML config.
+    from gordo_components_spark.ml.estimators import ARForecaster, WindowedAutoEncoder
+
+    X = _toy(n=120, d=3)
+
+    det = DiffBasedAnomalyDetector(ARForecaster(lookback_window=4, lookahead=1))
+    det.fit(X)
+    det.cross_validate(X)
+    out = det.anomaly(X)
+    m = len(X) - 4 - 1 + 1
+    assert out["model_output"].shape == (m, 3)
+    assert out["tag_anomaly"].shape == (m, 3)
+    assert out["total_anomaly"].shape == (m,)
+    assert np.isfinite(out["total_threshold"])
+    # truth recovered as pred + residuals must equal the window targets
+    A_truth = out["model_output"] + det.base_estimator.residuals(X)
+    np.testing.assert_allclose(A_truth, X[4:], atol=1e-9)
+
+    wae = DiffBasedAnomalyDetector(
+        WindowedAutoEncoder(lookback_window=5, func="linear")
+    )
+    wae.fit(X)
+    out2 = wae.anomaly(X)
+    mw = len(X) - 5 + 1
+    assert out2["tag_anomaly"].shape == (mw, 5 * 3)
+
+    # an estimator with mismatched output and no residuals() still fails loudly
+    class Bad:
+        def predict(self, X):
+            return np.zeros((1, 1))
+
+        def fit(self, X, y=None):
+            return self
+
+    with pytest.raises(ValueError, match="residuals"):
+        DiffBasedAnomalyDetector(Bad()).fit(X).anomaly(X)
