@@ -220,14 +220,18 @@ def _tfidf_similarity(
         .groupBy("doc_id", "source", "len_bucket", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    # corpus size folded INTO the plan (1-row broadcast agg) — no eager
-    # docs.count() at plan-build, so the query stays one lazy DAG and the
-    # corpus is scanned exactly once
-    n_docs_df = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # corpus size from the parquet FOOTER (exact row count, zero scan) —
+    # round 5's lazy 1-row broadcast agg kept the DAG lazy but added a
+    # second documents scan plus a broadcast-exchange stage barrier ahead
+    # of the idf join, the round-5→6 bench regression's constant cost;
+    # footer metadata folds n_docs as a literal with neither.
+    from gordo_components_spark.operators.extensions_corpus import _table_rows
+
+    n_docs = _table_rows(sf_dir, "documents")
     idf_base = (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("df_t"))
-        .crossJoin(F.broadcast(n_docs_df))
+        .withColumn("n_docs", F.lit(n_docs))
     )
     if df_cap is not None:
         # bigint-exact max-df cut: df_t/n_docs > num/den ⇒ stop word
