@@ -685,6 +685,89 @@ def pipe_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Token-window chunking: 64-token windows advancing by 48 (16-token
+# overlap).  Start grid: k·stride for k = 0..K with K the smallest count
+# whose last window reaches the end (K = ceil((n-size)/stride), 0 for
+# short docs) — every token is covered, only the tail window is short.
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 48
+_CHUNK_K = (
+    f"CASE WHEN n_toks <= {_CHUNK_SIZE} THEN 0 "
+    f"ELSE CAST((n_toks - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1) "
+    f"{{div}} {_CHUNK_STRIDE} AS INT) END"
+)
+
+
+@register(
+    "pipe_chunk_windows",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n_toks
+      FROM documents
+    ), ch AS (
+      SELECT doc_id, source, CAST(k AS BIGINT) AS chunk_id,
+             toks[k * {_CHUNK_STRIDE} + 1 : k * {_CHUNK_STRIDE} + {_CHUNK_SIZE}] AS ctoks
+      FROM t, UNNEST(generate_series(0, {_CHUNK_K.format(div='//')})) AS g(k)
+    )
+    SELECT doc_id, source, chunk_id,
+           CAST(len(ctoks) AS BIGINT) AS n_chunk_toks,
+           md5(array_to_string(ctoks, ' ')) AS chunk_hash,
+           array_to_string(ctoks, ' ') AS chunk_text
+    FROM ch
+    """,
+)
+def pipe_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking — the splitter between curation and packing /
+    retrieval indexing: each document becomes overlapping fixed-token
+    windows (size 64, stride 48, so consecutive chunks share 16 tokens —
+    the boundary-context trick every causal-LM and RAG splitter uses).
+    Emits a stable (doc_id, chunk_id) key, the chunk token count (tail
+    chunks run short), the chunk text, and an md5 chunk_hash — the
+    digest the incremental-dedup index (``pipe_dedup_incremental``) and
+    embed-invalidation flows key on, so chunk-level dedup composes with
+    the existing corpus lifecycle.
+
+    Scale shape: tokenize → integer start grid (``sequence``) → explode
+    → ``slice`` — a narrow per-row pipeline with ZERO shuffles and no
+    Python; output size is input tokens × (1 + overlap/stride).  At
+    100 TB chunking is embarrassingly parallel and this plan keeps it
+    that way (whole-stage codegen end to end).  All arithmetic is
+    integer; md5 hex is identical across engines — no rounding
+    convention needed."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("n_toks"),
+    )
+    ch = t.select(
+        "doc_id",
+        "source",
+        "toks",
+        F.explode(
+            F.expr(f"sequence(0, {_CHUNK_K.format(div='div')})")
+        ).alias("k"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("k").cast("bigint").alias("chunk_id"),
+        F.expr(
+            f"slice(toks, k * {_CHUNK_STRIDE} + 1, {_CHUNK_SIZE})"
+        ).alias("ctoks"),
+    )
+    chunk_text = F.concat_ws(" ", F.col("ctoks"))
+    return ch.select(
+        "doc_id",
+        "source",
+        "chunk_id",
+        F.size("ctoks").cast("bigint").alias("n_chunk_toks"),
+        F.md5(chunk_text).alias("chunk_hash"),
+        chunk_text.alias("chunk_text"),
+    )
+
+
 @register(
     "pipe_shuffle_global",
     oracle=f"""

@@ -359,3 +359,14 @@ def test_tpch_q6_full_pushdown_and_core_trio_shapes(spark, sf_dir):
     plan5 = plan_of(spark, "tpch_q5", sf_dir)
     assert "CartesianProduct" not in plan5
     assert "BroadcastNestedLoopJoin" not in plan5
+
+
+def test_chunk_windows_shuffle_free_codegen(spark, sf_dir):
+    # chunking is embarrassingly parallel: tokenize → sequence →
+    # explode → slice must stay a narrow per-row pipeline — any
+    # Exchange/Join/window here would serialize a shuffle-free op
+    plan = plan_of(spark, "pipe_chunk_windows", sf_dir)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "codegen id" in plan

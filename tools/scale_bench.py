@@ -75,6 +75,9 @@ HEAVY = (
     "pipe_delta_curation",
     "ext_dedup_canonical_rank",
     "join_fuzzy_hamming",
+    # round 7: token-window chunking (explode fan-out — shuffle-free by
+    # plan guard, but output volume is ~1.3x input tokens)
+    "pipe_chunk_windows",
 )
 
 
