@@ -134,16 +134,38 @@ def train_models(features: DataFrame, definition: dict | None = None) -> DataFra
 _TRAIN_CACHE: dict[tuple, list] = {}
 
 
-def trained_models(
+def _trained_rows(
     spark: SparkSession, sf_dir: str, duration: str = "60 minutes", definition: dict | None = None
-) -> DataFrame:
+) -> list:
     import json
 
     key = (sf_dir, duration, json.dumps(definition, sort_keys=True, default=str))
     if key not in _TRAIN_CACHE:
         feats = machine_features(spark, sf_dir, duration)
         _TRAIN_CACHE[key] = train_models(feats, definition).collect()
-    return spark.createDataFrame(_TRAIN_CACHE[key], TRAIN_META_SCHEMA)
+    return _TRAIN_CACHE[key]
+
+
+def trained_models(
+    spark: SparkSession, sf_dir: str, duration: str = "60 minutes", definition: dict | None = None
+) -> DataFrame:
+    return spark.createDataFrame(
+        _trained_rows(spark, sf_dir, duration, definition), TRAIN_META_SCHEMA
+    )
+
+
+def trained_blob_map(
+    spark: SparkSession, sf_dir: str, duration: str = "60 minutes", definition: dict | None = None
+) -> dict:
+    """machine → model blob straight from the train cache — the scoring
+    islands only ever need this dict, and routing it through
+    ``trained_models`` re-ships the cached rows to the executors just to
+    ``collect()`` them back (two extra Spark jobs per scoring query)."""
+    return {
+        r["machine"]: r["model_pkl_b64"]
+        for r in _trained_rows(spark, sf_dir, duration, definition)
+        if r["status"] == "ok"
+    }
 
 
 SCORE_SCHEMA = (
@@ -152,17 +174,22 @@ SCORE_SCHEMA = (
 )
 
 
-def _blob_broadcast(features: DataFrame, models: DataFrame):
+def _blob_broadcast(features: DataFrame, models):
     """Ship the machine→model map as a Spark broadcast variable: one copy
     per executor.  Joining blobs onto the feature stream instead would
     duplicate each model onto every row — hundreds of MB through the
-    shuffle and Arrow boundary for what is a few MB of weights."""
-    blob_map = {
-        r["machine"]: r["model_pkl_b64"]
-        for r in models.where(F.col("status") == "ok")
-        .select("machine", "model_pkl_b64")
-        .collect()
-    }
+    shuffle and Arrow boundary for what is a few MB of weights.  Accepts
+    either a models DataFrame or the prebuilt dict from
+    ``trained_blob_map`` (the cache-hot path with no driver roundtrip)."""
+    if isinstance(models, dict):
+        blob_map = models
+    else:
+        blob_map = {
+            r["machine"]: r["model_pkl_b64"]
+            for r in models.where(F.col("status") == "ok")
+            .select("machine", "model_pkl_b64")
+            .collect()
+        }
     return features.sparkSession.sparkContext.broadcast(blob_map)
 
 
@@ -177,7 +204,7 @@ _EMPTY_SCORE = pd.DataFrame(
 )
 
 
-def score_models(features: DataFrame, models: DataFrame) -> DataFrame:
+def score_models(features: DataFrame, models: "DataFrame | dict") -> DataFrame:
     """O43/O44: batch inference + anomaly frame.  One grouped island per
     machine unpickles its model (from the executor-local broadcast) once
     and scores the whole group vectorized."""
@@ -205,7 +232,7 @@ def score_models(features: DataFrame, models: DataFrame) -> DataFrame:
     return _spread(features).groupBy("user_id").applyInPandas(fn, SCORE_SCHEMA)
 
 
-def predict_batch(features: DataFrame, models: DataFrame) -> DataFrame:
+def predict_batch(features: DataFrame, models: "DataFrame | dict") -> DataFrame:
     """O43 pure inference via ``mapInPandas``: reconstruction columns only
     (the ``model-output`` group of the D6 frame).  Streams Arrow batches
     of *features only* — models come from the executor-local broadcast

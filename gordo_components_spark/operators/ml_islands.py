@@ -16,6 +16,7 @@ from gordo_components_spark.ml.islands import (
     predict_batch,
     score_models,
     train_models,
+    trained_blob_map,
     trained_models,
 )
 from gordo_components_spark.registry import register
@@ -71,8 +72,8 @@ def ml_anomaly_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O44 end-to-end anomaly batch: train per machine, broadcast models,
     score the same feature stream, emit the flattened D6 frame."""
     feats = machine_features(spark, sf_dir)
-    models = trained_models(spark, sf_dir)  # O39 cache: no rebuild per query
-    return score_models(feats, models)
+    # O39 cache, dict form: no rebuild AND no collect roundtrip per query
+    return score_models(feats, trained_blob_map(spark, sf_dir))
 
 
 @register("ml_predict_batch", oracle=None, tags=("bench",))
@@ -80,8 +81,7 @@ def ml_predict_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O43 pure batch inference through ``mapInPandas`` with per-executor
     model caching (the serving path's batch face)."""
     feats = machine_features(spark, sf_dir)
-    models = trained_models(spark, sf_dir)
-    return predict_batch(feats, models)
+    return predict_batch(feats, trained_blob_map(spark, sf_dir))
 
 
 @register("stream_score_foreachbatch", oracle=None)
@@ -106,7 +106,7 @@ def sink_predictions_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     out = f"/tmp/gordo_spark_sink/{sf_tag}/predictions"
     feats = machine_features(spark, sf_dir)
-    scored = score_models(feats, trained_models(spark, sf_dir))
+    scored = score_models(feats, trained_blob_map(spark, sf_dir))
     written = scored.withColumn("is_anomaly", F.col("is_anomaly").cast("string"))
     written.write.mode("overwrite").partitionBy("is_anomaly").parquet(out)
     # schema-pinned re-read: a zero-row partitioned write leaves only
