@@ -396,3 +396,34 @@ def test_bpe_merges_match_pure_python(spark, sf_dir):
             toks[d] = res
         want.append((it, l, r, c, merges, sum(len(t) for t in toks.values())))
     assert got == want
+
+
+def test_chunk_windows_cover_every_token_with_fixed_overlap(spark, sf_dir):
+    # independent python reconstruction: chunks must tile each doc with
+    # stride-48 starts, 64-token windows, full coverage, and reassemble
+    # to the original text from the non-overlapping spans
+    from gordo_components_spark.operators.extensions_pipeline import (
+        _CHUNK_SIZE,
+        _CHUNK_STRIDE,
+    )
+
+    out = {}
+    for r in load_all()["pipe_chunk_windows"].fn(spark, sf_dir).collect():
+        out.setdefault(r.doc_id, {})[r.chunk_id] = (r.chunk_text, r.n_chunk_toks)
+    docs = {r.doc_id: r.text for r in load_table(spark, sf_dir, "documents").collect()}
+    assert set(out) == set(docs)
+    for doc_id, text in docs.items():
+        toks = text.split(" ")
+        chunks = out[doc_id]
+        n = len(toks)
+        k_last = max(chunks)
+        # start grid: contiguous ids, last window reaches the end, and
+        # one more stride would start past the end (no spurious chunks)
+        assert sorted(chunks) == list(range(k_last + 1))
+        assert k_last * _CHUNK_STRIDE + _CHUNK_SIZE >= n
+        if k_last > 0:
+            assert (k_last - 1) * _CHUNK_STRIDE + _CHUNK_SIZE < n
+        for k, (chunk_text, n_chunk) in chunks.items():
+            want = toks[k * _CHUNK_STRIDE : k * _CHUNK_STRIDE + _CHUNK_SIZE]
+            assert chunk_text == " ".join(want)
+            assert n_chunk == len(want)
