@@ -286,8 +286,12 @@ def _tfidf_similarity(
         cond = cond & (F.col("a.psalt") == F.col("b.psalt"))
     else:
         a, b = wn.alias("a"), wn.alias("b")
+    # SHUFFLE_HASH pinned: the postings index GROWS with the corpus, and
+    # once n_docs folds in as a literal its size estimate is concrete
+    # enough that Catalyst would happily broadcast it at bench SF —
+    # guarded in tests/test_plan_properties.py
     dots = (
-        a.join(b, cond)
+        a.join(b.hint("SHUFFLE_HASH"), cond)
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.round(F.sum(F.col("a.wn") * F.col("b.wn")), 6).alias("cosine"))
     )

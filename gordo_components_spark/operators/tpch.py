@@ -7,8 +7,15 @@ fixture actually has.  They exercise the join-ordering / broadcast /
 partial-agg machinery end-to-end and anchor the bench against
 recognizable workloads.
 
-Scale notes: dims broadcast; orders⋈lineitem is the one real shuffle
-(AQE sort-merge); revenue sums ride the DECIMAL-exact convention.
+Scale notes: only FIXED-cardinality sides carry an explicit broadcast
+hint — nation (25 rows), region (5), and 1-row scalar folds, which stay
+driver-small at any SF.  Sides that GROW with the scale factor
+(customer, supplier, part, filtered/derived variants) are left to AQE's
+size threshold: at bench SF they auto-broadcast to the identical plan,
+while at 100 TB the same query degrades gracefully to a shuffle join
+instead of OOMing on a forced multi-GB broadcast.  orders⋈lineitem is
+the one always-shuffled fact join (AQE sort-merge, runtime skew-split);
+revenue sums ride the DECIMAL-exact convention.
 """
 
 from __future__ import annotations
@@ -57,7 +64,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.expr(_REV).alias("revenue_cents"))
     )
@@ -118,9 +125,9 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -158,7 +165,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.expr(_REV).alias("revenue_cents"))
@@ -303,7 +310,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = _sum_cents_expr(_Q14_PROMO)
     tc = _sum_cents_expr("l_extendedprice * (1 - l_discount)")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             _dsum_cents(_Q14_PROMO, "promo_cents"),
             _dsum_cents("l_extendedprice * (1 - l_discount)", "total_cents"),
@@ -336,7 +343,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate")
         # scale 0: l_quantity is integral (same headroom fix as
         # agg_groupby_sum — scale 8 crosses the 2^53 cliff near sf5).
@@ -374,7 +381,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(qlo, qhi)
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .where(arm("Brand#12", 15, 1, 11) | arm("Brand#23", 25, 10, 20) | arm("Brand#3", 35, 20, 30))
         .agg(
             _dsum_cents("l_extendedprice * (1 - l_discount)", "revenue_cents"),
@@ -424,8 +431,8 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .where(pair)
@@ -497,7 +504,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_half")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(pa, li.l_partkey == pa.agg_partkey)
         .where(F.col("l_quantity") < F.col("avg_half"))
         .agg(
@@ -610,8 +617,8 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     cand = (
-        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
-        .join(F.broadcast(esup), ps.l_suppkey == F.col("s_suppkey"))
+        ps.join(p, ps.l_partkey == p.p_partkey)
+        .join(esup, ps.l_suppkey == F.col("s_suppkey"))
         .select("p_partkey", "s_name", "s_acctbal", "n_name", "supplycost")
     )
     mn = cand.groupBy(F.col("p_partkey").alias("mk")).agg(
@@ -675,9 +682,9 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
     base = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_rk") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
@@ -721,8 +728,8 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -764,7 +771,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
     val = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("l_partkey").alias("ps_partkey"))
         .agg(_dsum_cents("l_extendedprice * l_quantity", "value_cents"))
@@ -845,8 +852,8 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ps = li.select("l_partkey", "l_suppkey").distinct()
     return (
-        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
-        .join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        ps.join(p, ps.l_partkey == p.p_partkey)
+        .join(bad, ps.l_suppkey == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -892,8 +899,8 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qty_1998"),
     )
     return (
-        shipped.join(F.broadcast(p), shipped.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), shipped.l_suppkey == s.s_suppkey)
+        shipped.join(p, shipped.l_partkey == p.p_partkey)
+        .join(s, shipped.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .where(
             F.col("qty_1998").cast("double") > 0.3 * F.col("qty_total").cast("double")
@@ -941,7 +948,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(om, li.l_orderkey == om.ok)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .where((F.col("nsupp") > 1) & (F.col("l_shipdate") == F.col("max_ship")))
         .groupBy("s_name")
