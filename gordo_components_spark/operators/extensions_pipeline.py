@@ -452,11 +452,29 @@ def pipe_curation_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PACK_BUDGET = 2048  # tokens per packed training sequence
-# Two-pass prefix-sum shard width: docs per (source, shard) unit of
-# parallelism.  512 docs ≈ 100k tokens/shard — small enough that even a
-# single source's 100 TB stream fans out to millions of shards, large
-# enough that the pass-1 subtotal frame stays broadcastable.
+# Two-pass prefix-sum shard width floor: docs per (source, shard) unit
+# of parallelism at bench SF.  The effective width GROWS with the corpus
+# (``_pack_shard_docs``) so the pass-1 subtotal frame's row count is
+# bounded by cluster parallelism — a fixed 512-doc width would make the
+# broadcast offsets frame grow linearly with the corpus (n/512 rows ≈
+# hundreds of MB at 100 TB), the same fixed-block-count trap the IVF/
+# KMeans derivations already fixed (CLAUDE.md).
 _PACK_SHARD_DOCS = 512
+_PACK_SHARDS_PER_SLOT = 64  # shard count target: 64 x defaultParallelism
+
+
+def _pack_shard_docs(spark: SparkSession, sf_dir: str) -> int:
+    """Corpus-derived shard width: ceil(n_docs / (parallelism * 64)),
+    floored at 512 docs — shard COUNT stays ~64 x cores at any corpus
+    size (a few-MB broadcast on a 10k-core cluster), while parallelism
+    keeps 64 tasks per core.  Output is shard-invariant (the prefix sum
+    decomposition never changes cum_excl), so the oracle face is
+    unaffected by the width."""
+    from gordo_components_spark.operators.extensions_corpus import _table_rows
+
+    n_docs = _table_rows(sf_dir, "documents")
+    slots = spark.sparkContext.defaultParallelism * _PACK_SHARDS_PER_SLOT
+    return max(_PACK_SHARD_DOCS, -(-n_docs // max(1, slots)))
 
 
 # DuckDB face of the two-pass prefix sum: semantics are the plain
@@ -495,11 +513,12 @@ def _packed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
+    shard_docs = _pack_shard_docs(spark, sf_dir)
     toks = docs.select(
         "doc_id",
         "source",
         F.size(F.split("text", " ")).cast("bigint").alias("n_toks"),
-        F.expr(f"doc_id div {_PACK_SHARD_DOCS}").alias("_shard"),
+        F.expr(f"doc_id div {shard_docs}").alias("_shard"),
     )
     # Pass 1: tiny per-(source, shard) subtotals → exclusive shard offsets.
     w_shard = (

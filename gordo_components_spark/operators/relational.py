@@ -234,11 +234,15 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("bench",),
 )
 def join_equi_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact⋈dim equi join; dim side broadcast (no fact shuffle)."""
+    """Fact⋈dim equi join; the dim side broadcasts via AQE's size
+    threshold (no fact shuffle at bench SF) — customer GROWS with the
+    scale factor, so the hint is deliberately NOT forced: at 100 TB the
+    same plan degrades to a shuffle join instead of a multi-GB
+    broadcast (tpch.py broadcast policy)."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_orders"), _dsum_cents("o_totalprice", "revenue_cents"))
     )
@@ -390,7 +394,7 @@ def join_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("long").alias("cents")
 
     equi = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("grp"))
         .agg(F.count(F.lit(1)).alias("n"), _dsum_cents("o_totalprice", "cents"))
         .select(F.lit("equi_inner").alias("variant"), "grp", "n", "cents")
