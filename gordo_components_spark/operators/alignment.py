@@ -43,6 +43,103 @@ def join_align_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_TOL_US = 86_400_000_000  # event as-of tolerance: 1 day in µs
+
+
+@register(
+    "join_asof_event",
+    oracle=f"""
+    WITH probe AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'error'
+    ), ref AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS ref_value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value AS probe_value,
+           r.ts AS ref_ts, r.ref_value,
+           CAST(epoch_us(p.ts) - epoch_us(r.ts) AS BIGINT) AS lag_us
+    FROM probe p ASOF JOIN ref r
+      ON p.user_id = r.user_id AND p.ts >= r.ts
+    WHERE epoch_us(p.ts) - epoch_us(r.ts) <= {_ASOF_TOL_US}
+    """,
+)
+def join_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O16 extension — TRUE event-to-event as-of join (pandas
+    ``merge_asof`` / kdb ``aj``): each 'error' reading picks up the most
+    recent 'click' value on the same machine within a 1-day tolerance
+    (``>=`` semantics: an equal-timestamp reference row matches).  The
+    grid-ffill face (``join_asof_ffill``) resamples first; this one
+    joins RAW irregular streams — the alignment primitive when neither
+    side lives on a bucket grid.  The reference side is pre-aggregated
+    to one row per (machine, ts) so the match is deterministic; DuckDB's
+    native ASOF JOIN is the oracle.
+
+    Spark shape — the union trick, NOT a range join: tag both streams,
+    union them, and take ``last(ref_value, ignorenulls)`` over one
+    per-machine window ordered by (ts, side) with the reference side
+    sorting first at equal timestamps.  One shuffle on user_id, one
+    window pass, zero pair explosion — a range-condition join here
+    would be O(|A|·|B|) per machine and a time-bucketed range join
+    needs tolerance-sized buckets; the union window is linear and
+    tolerance-free (the bound is a post-filter on exact µs integers)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    probe = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", F.col("value").alias("probe_value")
+    )
+    ref = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("ref_value"))
+    )
+    unioned = ref.select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("probe_value"),
+        "ref_value",
+        F.lit(0).alias("side"),
+    ).unionByName(
+        probe.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "probe_value",
+            F.lit(None).cast("double").alias("ref_value"),
+            F.lit(1).alias("side"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        F.last("ref_value", ignorenulls=True).over(w).alias("_ref_v"),
+        F.last(
+            F.when(F.col("ref_value").isNotNull(), F.col("ts")), ignorenulls=True
+        ).over(w).alias("_ref_t"),
+    )
+    lag_us = F.unix_micros("ts") - F.unix_micros("_ref_t")
+    return (
+        carried.where((F.col("side") == 1) & F.col("_ref_t").isNotNull())
+        .where(lag_us <= _ASOF_TOL_US)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "probe_value",
+            F.col("_ref_t").alias("ref_ts"),
+            F.col("_ref_v").alias("ref_value"),
+            lag_us.cast("bigint").alias("lag_us"),
+        )
+    )
+
+
 _FFILL_LIMIT_BUCKETS = 6  # staleness bound ≡ interpolation_limit (e.g. "6H" at 1h buckets)
 
 

@@ -370,3 +370,13 @@ def test_chunk_windows_shuffle_free_codegen(spark, sf_dir):
     assert "Join" not in plan
     assert "Window" not in plan
     assert "codegen id" in plan
+
+
+def test_asof_event_union_window_no_join(spark, sf_dir):
+    # the event as-of join must be the union+window form: one hash
+    # exchange per machine and a single window pass — ANY Join node here
+    # means it regressed to a per-pair range join (O(|A|*|B|)/machine)
+    plan = plan_of(spark, "join_asof_event", sf_dir)
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
