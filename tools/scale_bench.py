@@ -76,8 +76,10 @@ HEAVY = (
     "ext_dedup_canonical_rank",
     "join_fuzzy_hamming",
     # round 7: token-window chunking (explode fan-out — shuffle-free by
-    # plan guard, but output volume is ~1.3x input tokens)
+    # plan guard, but output volume is ~1.3x input tokens) and the
+    # event as-of join (union+window — the join-bearing rule applies)
     "pipe_chunk_windows",
+    "join_asof_event",
 )
 
 
