@@ -618,3 +618,177 @@ def agg_resample_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .where(F.col("n") >= 4)
     )
+
+
+# Seasonal-profile z: same integer-moment exactness contract as
+# window_spc_zscore (windows.py) — readings are 2-dp-exact so
+# v100 = round(value·100) is an exact integer, the per-(machine, tag,
+# hour-of-day) moments S1=Σv100, S2=Σv100² are exact bigints, and the
+# z expression over them (int→double conversion is correctly rounded,
+# sqrt is IEEE exact-rounded) is bit-identical across engines — no
+# rounding convention needed anywhere in this face.
+_SEAS_W = "PARTITION BY user_id, event_type, hod"
+_SEAS_MOMENTS = (
+    ("n", f"CAST(count(*) OVER ({_SEAS_W}) AS BIGINT)"),
+    ("s1", f"CAST(sum(v100) OVER ({_SEAS_W}) AS BIGINT)"),
+    ("s2", f"CAST(sum(v100 * v100) OVER ({_SEAS_W}) AS BIGINT)"),
+)
+_SEAS_Z = (
+    "CASE WHEN n * s2 - s1 * s1 > 0 THEN "
+    "CAST(v100 * n - s1 AS DOUBLE) "
+    "* sqrt(CAST(n * (n - 1) AS DOUBLE)) "
+    "/ (CAST(n AS DOUBLE) * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))) "
+    "ELSE NULL END"
+)
+
+
+@register(
+    "agg_seasonal_profile",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, event_type,
+             CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod,
+             CAST(round(value * 100) AS BIGINT) AS v100
+      FROM events
+    ), m AS (
+      SELECT user_id, event_type, hod, v100,
+             {', '.join(f'{e} AS {a}' for a, e in _SEAS_MOMENTS)}
+      FROM v
+    ), z AS (
+      SELECT user_id, event_type, hod, n, s1, {_SEAS_Z} AS zval
+      FROM m
+    )
+    SELECT user_id, event_type, hod,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(max(s1) AS DOUBLE) / (100.0 * CAST(max(n) AS DOUBLE)) AS mean_value,
+           CAST(count(CASE WHEN abs(zval) > 2.0 THEN 1 END) AS BIGINT) AS n_out,
+           max(abs(zval)) AS max_abs_z
+    FROM z
+    GROUP BY 1, 2, 3
+    """,
+)
+def agg_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal baseline + exceedance report: per (machine, tag,
+    hour-of-day) the mean reading, and how many readings sit > 2σ from
+    their seasonal group — the diurnal-profile face a plant compares a
+    sensor against before reaching for a model (the model-free sibling
+    of O44, and the profile the reference's row-filter thresholds are
+    tuned from).
+
+    Spark-first shape: the group moments are window aggregates over
+    `PARTITION BY (user_id, event_type, hod)` — ONE hash exchange; the
+    closing groupBy is on the same keys, so Catalyst reuses the
+    partitioning (no second shuffle; asserted in
+    tests/test_plan_properties.py).  At 100 TB: parallelism =
+    machines × tags × 24, all aggregates partial/combinable.
+
+    Exactness: integer-moment z (see block comment) — bit-identical
+    doubles, no rounding convention."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(hour(ts) AS BIGINT)").alias("hod"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v100"),
+    )
+    m = v.select(
+        "user_id",
+        "event_type",
+        "hod",
+        "v100",
+        *[F.expr(e).alias(a) for a, e in _SEAS_MOMENTS],
+    )
+    z = m.select(
+        "user_id", "event_type", "hod", "n", "s1", F.expr(_SEAS_Z).alias("zval")
+    )
+    return z.groupBy("user_id", "event_type", "hod").agg(
+        F.max("n").cast("bigint").alias("n"),
+        (F.max("s1").cast("double") / (100.0 * F.max("n").cast("double"))).alias(
+            "mean_value"
+        ),
+        F.expr("CAST(count(CASE WHEN abs(zval) > 2.0 THEN 1 END) AS BIGINT)").alias(
+            "n_out"
+        ),
+        F.max(F.abs("zval")).alias("max_abs_z"),
+    )
+
+
+@register(
+    "agg_resample_gapfill",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, event_type,
+             time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS bucket,
+             round(avg(value), 9) AS v
+      FROM events GROUP BY 1, 2, 3
+    ), r AS (
+      SELECT user_id, event_type, min(bucket) AS b0, max(bucket) AS b1
+      FROM b GROUP BY 1, 2
+    ), grid AS (
+      SELECT user_id, event_type,
+             unnest(generate_series(b0, b1, INTERVAL 6 HOUR)) AS bucket
+      FROM r
+    ), j AS (
+      SELECT g.user_id, g.event_type, g.bucket, b.v
+      FROM grid g
+      LEFT JOIN b ON b.user_id = g.user_id AND b.event_type = g.event_type
+                 AND b.bucket = g.bucket
+    )
+    SELECT user_id, event_type, bucket,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id, event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+           v IS NULL AS was_gap
+    FROM j
+    """,
+)
+def agg_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O18 gap-fill face: densify each (machine, tag) series onto its
+    full 6-hour bucket grid and forward-fill across empty buckets —
+    the missing-bucket treatment the reference's dropna alignment
+    sidesteps, and what a dashboard needs to draw an unbroken line
+    over sensor outages (pairs with ``agg_sensor_gaps``, which REPORTS
+    the holes this face fills; ``agg_resample_interp`` is the
+    interpolating sibling on observed buckets only).
+
+    Spark-first shape: per-group `sequence(min_bucket, max_bucket, 6h)`
+    exploded into the dense grid (linear in output rows, no skew — the
+    grid per group is span/interval), left join back to the observed
+    buckets on (user_id, event_type, bucket) — co-partitioned keys, one
+    exchange each side — then one `last(v) IGNORE NULLS` frame per
+    group partition.  Nothing here is driver-side; grid volume is
+    machines × tags × (span/interval) rows, which is the OUTPUT size.
+
+    Parity: filled values copy the round-9 bucket means bit-exactly;
+    bucket arithmetic is epoch-aligned 6-hour steps in both engines
+    (≤ 1-day alignment rule); `was_gap` is pure null algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            "user_id", "event_type", F.window("ts", "6 hours").start.alias("bucket")
+        )
+        .agg(F.round(F.avg("value"), 9).alias("v"))
+    )
+    r = b.groupBy("user_id", "event_type").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = r.select(
+        "user_id",
+        "event_type",
+        F.explode(F.expr("sequence(b0, b1, interval 6 hours)")).alias("bucket"),
+    )
+    # the observed-bucket side grows with machines × tags × span (same
+    # order as the grid itself) — Catalyst broadcasts it at bench SF, so
+    # pin the shuffle join (broadcast-policy mirror rule, CLAUDE.md r7)
+    j = grid.join(b.hint("SHUFFLE_HASH"), ["user_id", "event_type", "bucket"], "left")
+    ffill = (
+        "last(v, true) OVER (PARTITION BY user_id, event_type ORDER BY bucket "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    return j.select(
+        "user_id",
+        "event_type",
+        "bucket",
+        F.expr(ffill).alias("value_ffill"),
+        F.col("v").isNull().alias("was_gap"),
+    )

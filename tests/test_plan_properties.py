@@ -380,3 +380,24 @@ def test_asof_event_union_window_no_join(spark, sf_dir):
     assert "Join" not in plan
     assert "Window" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_seasonal_profile_single_exchange_reused(spark, sf_dir):
+    # moments are window aggregates over (machine, tag, hod); the closing
+    # groupBy is on the same keys, so the plan must carry exactly ONE
+    # hash exchange (Catalyst reuses the window's partitioning) and no join
+    plan = plan_of(spark, "agg_seasonal_profile", sf_dir)
+    assert "Join" not in plan
+    # formatted explain shows the exchange once in the tree and once in
+    # the node details; its Arguments line carries the one hashpartitioning
+    assert plan.count("hashpartitioning") == 1
+
+
+def test_gapfill_no_broadcast_of_observed_buckets(spark, sf_dir):
+    # the observed-bucket side grows with machines x tags x span (same
+    # order as the grid output) — it must never be broadcast; the join is
+    # pinned SHUFFLE_HASH (broadcast-policy mirror rule)
+    plan = plan_of(spark, "agg_resample_gapfill", sf_dir)
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ShuffledHashJoin" in plan

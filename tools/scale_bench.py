@@ -80,6 +80,11 @@ HEAVY = (
     # event as-of join (union+window — the join-bearing rule applies)
     "pipe_chunk_windows",
     "join_asof_event",
+    # round 7 late: the dense-grid gap-fill (grid explode + pinned
+    # shuffle join + ffill window) and the seasonal-profile moments
+    # (single-exchange window + reused-partitioning agg)
+    "agg_resample_gapfill",
+    "agg_seasonal_profile",
 )
 
 
