@@ -207,3 +207,103 @@ def join_asof_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ff"),
         ).alias("evt_click_ffill"),
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+    ), ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end
+      FROM numbered GROUP BY user_id, session_no
+    ), gaps AS (
+      SELECT user_id, gap_start, gap_end FROM (
+        SELECT user_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_start,
+               ts AS gap_end
+        FROM e
+      ) WHERE gap_start IS NOT NULL
+        AND epoch_us(gap_end) - epoch_us(gap_start) > 86400000000
+    )
+    SELECT s.user_id, session_start, session_end, gap_start, gap_end
+    FROM sessions s JOIN gaps g
+      ON g.user_id = s.user_id
+     AND session_start <= gap_end AND gap_start <= session_end
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join — the join class Spark has no native
+    operator for (kdb ``wj``, Flink interval join): per machine, which
+    activity sessions touch which >24 h data outages.  By construction a
+    session's close (+30 min past its last event) pokes into the outage
+    that follows it, and an outage's end instant IS the next session's
+    start — so the result reads as "the last activity before, and the
+    first activity after, each outage" (the report a plant pulls when a
+    sensor feed dies; the reference's known-filter-periods workflow
+    consumes exactly these bounds).
+
+    Spark-first scale shape: a naive formulation is a per-machine theta
+    join (sessions × gaps cross per key).  Instead both interval sets
+    explode into the DAY buckets they cover (``sequence(date_trunc(start)
+    … date_trunc(end))`` — linear: a session covers 1–2 days, an outage
+    its span), the join is EQUI on (user_id, day) with the overlap
+    predicate as a residual filter, and a distinct collapses intervals
+    that share several days.  Work is Σ per-(machine, day) coincidence —
+    never per-machine quadratic.  The gap side scales with the corpus,
+    so the join is pinned SHUFFLE_HASH (broadcast-policy mirror rule,
+    no-broadcast plan guard in tests/test_plan_properties.py).
+
+    Parity: interval bounds are µs-truncated timestamps compared as
+    identical instants in both engines; no float anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+        )
+    )
+    wlag = "PARTITION BY user_id ORDER BY ts, event_id"
+    gaps = (
+        ev.select(
+            "user_id",
+            F.expr(f"lag(ts) OVER ({wlag})").alias("gap_start"),
+            F.col("ts").alias("gap_end"),
+        )
+        .where(
+            F.col("gap_start").isNotNull()
+            & (F.unix_micros("gap_end") - F.unix_micros("gap_start") > 86400000000)
+        )
+    )
+
+    def day_blocks(df: DataFrame, a: str, b: str) -> DataFrame:
+        return df.withColumn(
+            "day",
+            F.explode(
+                F.expr(f"sequence(date_trunc('DAY', {a}), date_trunc('DAY', {b}), interval 1 day)")
+            ),
+        )
+
+    s_blocks = day_blocks(sessions, "session_start", "session_end")
+    g_blocks = day_blocks(gaps, "gap_start", "gap_end")
+    pairs = s_blocks.join(g_blocks.hint("SHUFFLE_HASH"), ["user_id", "day"]).where(
+        (F.col("session_start") <= F.col("gap_end"))
+        & (F.col("gap_start") <= F.col("session_end"))
+    )
+    return pairs.select(
+        "user_id", "session_start", "session_end", "gap_start", "gap_end"
+    ).distinct()

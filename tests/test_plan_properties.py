@@ -401,3 +401,14 @@ def test_gapfill_no_broadcast_of_observed_buckets(spark, sf_dir):
     assert "BroadcastHashJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ShuffledHashJoin" in plan
+
+
+def test_interval_overlap_equi_blocked_no_broadcast(spark, sf_dir):
+    # the theta (overlap) predicate must ride an EQUI join on
+    # (user_id, day) — never a nested-loop/cartesian — and the gap side
+    # scales with the corpus, so it must not be broadcast
+    plan = plan_of(spark, "join_interval_overlap", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan

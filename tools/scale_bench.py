@@ -85,6 +85,9 @@ HEAVY = (
     # (single-exchange window + reused-partitioning agg)
     "agg_resample_gapfill",
     "agg_seasonal_profile",
+    # round 7 late: the day-blocked interval-overlap join (sessions ×
+    # outage gaps — equi on (machine, day) + overlap residual)
+    "join_interval_overlap",
 )
 
 
