@@ -228,3 +228,17 @@ def stream_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gordo_components_spark.streaming.micro_batch import run_streaming_enrich_dim
 
     return run_streaming_enrich_dim(spark, sf_dir)
+
+
+@register("stream_session_genuine", oracle=None)
+def stream_session_genuine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O35 genuine-streaming face (rows-only: watermark-finalized session
+    state isn't SQL-expressible): ``session_window`` under a 1h
+    event-time watermark over the replayed file source — the streaming
+    twin of ``stream_sessionize``, with data-dependent window bounds
+    merged in the state store.  Emitted ⊆ batch with bit-equal
+    aggregates, and every watermark-finalized session emits — asserted
+    in tests/test_streaming.py::test_session_window_stream_batch_parity."""
+    from gordo_components_spark.streaming.micro_batch import run_streaming_session_agg
+
+    return run_streaming_session_agg(spark, sf_dir)

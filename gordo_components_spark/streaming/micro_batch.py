@@ -545,3 +545,46 @@ def run_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     )
     q.awaitTermination()
     return spark.read.parquet(sink_dir)
+
+
+def run_streaming_session_agg(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """O35 as a GENUINE streaming query: ``session_window`` under an
+    event-time watermark — the one windowing mode whose window bounds are
+    data-dependent, so the state store must merge adjacent windows as
+    rows arrive and can only finalize a session once the watermark
+    passes its close (start/end cannot be known at assignment time, the
+    way tumbling/sliding bounds are).  State per machine is bounded by
+    the watermark horizon — what makes sessionization viable on an
+    unbounded feed.
+
+    availableNow replays the fixture, then a final no-data batch
+    advances the watermark to (max event time − delay): sessions closing
+    before that horizon are emitted (append mode), later ones are
+    legitimately still in state — the parity test
+    (tests/test_streaming.py::test_session_window_stream_batch_parity)
+    asserts emitted ⊆ batch sessions with bit-equal aggregates AND that
+    every watermark-finalized batch session was emitted."""
+    prepare(spark)
+    src = _replay_dir(spark, sf_dir)
+    stream = spark.readStream.schema(_RAW_SCHEMA).parquet(src)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE)").alias(
+                "session_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    return _run_to_memory(agg, name)

@@ -198,3 +198,51 @@ def test_incremental_dedup_stream_batch_parity(spark):
     }
     want = {r["text_hash"] for r in pipe_dedup_incremental(spark, sf).collect()}
     assert got == want and len(want) > 0
+
+
+def test_session_window_stream_batch_parity(spark, sf_dir):
+    from gordo_components_spark.streaming.micro_batch import run_streaming_session_agg
+
+    streamed = run_streaming_session_agg(spark, sf_dir).toPandas()
+    events = load_table(spark, sf_dir, "events")
+    batch = (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE)").alias(
+                "session_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+        .toPandas()
+    )
+    # append mode finalizes a session only once the watermark (max event
+    # time - 1h) passes its close; later sessions legitimately stay in
+    # state — that is the O35/O36 semantic under test
+    import pandas as pd
+
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    finalized = batch[batch["session_end"] <= max_ts - pd.Timedelta(hours=1)]
+    key = ["user_id", "session_start"]
+    s = streamed.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(finalized) <= len(s) <= len(b)
+    merged = s.merge(
+        b, on=key, how="left", suffixes=("_s", "_b"), validate="one_to_one",
+        indicator=True,
+    )
+    assert (merged["_merge"] == "both").all()  # streamed subset of batch
+    assert (merged["session_end_s"] == merged["session_end_b"]).all()
+    assert (merged["n_events_s"].to_numpy() == merged["n_events_b"].to_numpy()).all()
+    assert (
+        merged["session_value_s"].to_numpy() == merged["session_value_b"].to_numpy()
+    ).all()
+    got = set(zip(s["user_id"], s["session_start"]))
+    want = set(zip(finalized["user_id"], finalized["session_start"]))
+    assert want <= got
