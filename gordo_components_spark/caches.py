@@ -73,3 +73,72 @@ def release_caches() -> int:
         except Exception:
             pass
     return n
+
+
+def _parquet_rows(sf_dir: str, table: str) -> int:
+    # footer-metadata row count (driver-side, no Spark job); duplicated
+    # from extensions_corpus._table_rows to keep this module import-leaf
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.read_metadata(path).num_rows
+
+
+def materialized_cache(sf_dir: str, scratch_root: str, name: str, table: str, build) -> str:
+    """Fingerprinted, atomically-installed /tmp materialization cache —
+    ONE definition of the discipline the streaming replay dir pioneered,
+    now shared by every scan leg that round-trips the fixture through a
+    scratch format (CSV/JSONL/ORC, date-partitioned, schema-evolution):
+
+    - keyed by {sf_dir, parquet-footer row count}: a REGENERATED fixture
+      under the same basename (the driver rebuilds testdata between
+      rounds) can never serve stale data — the _SUCCESS-marker-only
+      check this replaces would have (oracle reads the new parquet,
+      Spark reads the old scratch copy: silent cross-round mismatch);
+    - built into a pid-suffixed temp dir and ``os.replace``'d: two
+      concurrent cold-cache sessions (pytest + bench) never see a
+      half-written dir, and a killed build leaves no visible state.
+
+    ``build(tmp_dir)`` writes the payload; the ``_FP.json`` marker is
+    ignored by Spark's readers (underscore-prefixed = metadata)."""
+    import json as _json
+    import shutil
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"{scratch_root}/{sf_tag}/{name}"
+    marker = os.path.join(out, "_FP.json")
+    fp = {"sf_dir": sf_dir, "n_rows": _parquet_rows(sf_dir, table), "v": 1}
+    if os.path.isfile(marker):
+        try:
+            with open(marker) as fh:
+                if _json.load(fh) == fp:
+                    return out
+        except (OSError, ValueError):
+            pass
+    tmp = f"{out}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(os.path.dirname(tmp), exist_ok=True)
+    build(tmp)
+    with open(os.path.join(tmp, "_FP.json"), "w") as fh:
+        _json.dump(fp, fh)
+    shutil.rmtree(out, ignore_errors=True)
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        # concurrent builder won the swap; adopt its dir if fingerprints
+        # match (content is deterministic), else surface the failure
+        try:
+            with open(marker) as fh:
+                ok = _json.load(fh) == fp
+        except (OSError, ValueError):
+            ok = False
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not ok:
+            raise
+    return out

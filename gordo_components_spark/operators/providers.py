@@ -100,10 +100,11 @@ def scan_csv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet only, so the CSV leg is materialized once to scratch (exact:
     timestamps as epoch-micros ints; Java double formatting round-trips),
     then read back via ``spark.read.csv(schema=...)``."""
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    csv_dir = f"/tmp/gordo_spark_csv/{sf_tag}/events"
+    from gordo_components_spark.caches import materialized_cache
+
     ev = load_table(spark, sf_dir, "events")
-    if not os.path.exists(os.path.join(csv_dir, "_SUCCESS")):
+
+    def build(tmp: str) -> None:
         (
             ev.select(
                 "event_id",
@@ -114,8 +115,10 @@ def scan_csv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .write.mode("overwrite")
             .option("header", "true")
-            .csv(csv_dir)
+            .csv(tmp)
         )
+
+    csv_dir = materialized_cache(sf_dir, "/tmp/gordo_spark_csv", "events", "events", build)
     back = spark.read.csv(csv_dir, schema=_CSV_SCHEMA, header=True)
     return (
         back.withColumn("ts", F.timestamp_micros("ts_us"))
@@ -132,17 +135,19 @@ def _format_scan(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     """Materialize events once in ``fmt`` (ts as epoch-micros long so no
     format-specific timestamp semantics leak in), read back with explicit
     schema, aggregate — exercising the format's reader end-to-end."""
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    out = f"/tmp/gordo_spark_fmt/{sf_tag}/events_{fmt}"
+    from gordo_components_spark.caches import materialized_cache
+
     ev = load_table(spark, sf_dir, "events")
-    # _SUCCESS marker, not dir-exists: a killed partial write must rebuild
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+
+    def build(tmp: str) -> None:
         (
             ev.select("event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "event_type", "value")
             .write.mode("overwrite")
             .format(fmt)
-            .save(out)
+            .save(tmp)
         )
+
+    out = materialized_cache(sf_dir, "/tmp/gordo_spark_fmt", f"events_{fmt}", "events", build)
     schema = "event_id long, ts_us long, user_id long, event_type string, value double"
     back = spark.read.format(fmt).schema(schema).load(out)
     return (
@@ -196,16 +201,20 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     directories (PartitionFilters in .explain — zero IO for other days).
     The fixture ships one file, so the partitioned layout is materialized
     once to scratch — at 100 TB the data is *born* partitioned like this."""
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    part_dir = f"/tmp/gordo_spark_part/{sf_tag}/events_by_date"
-    if not os.path.exists(os.path.join(part_dir, "_SUCCESS")):
+    from gordo_components_spark.caches import materialized_cache
+
+    def build(tmp: str) -> None:
         (
             load_table(spark, sf_dir, "events")
             .withColumn("date", F.to_date("ts"))
             .write.mode("overwrite")
             .partitionBy("date")
-            .parquet(part_dir)
+            .parquet(tmp)
         )
+
+    part_dir = materialized_cache(
+        sf_dir, "/tmp/gordo_spark_part", "events_by_date", "events", build
+    )
     ev = spark.read.parquet(part_dir).where(
         (F.col("date") >= F.lit("2024-01-10")) & (F.col("date") < F.lit("2024-01-13"))
     )
@@ -262,12 +271,11 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-file parquet schemas in a distributed job instead of trusting
     the first footer — the difference between a correct migration and
     silently dropping a column added mid-corpus."""
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    out = f"/tmp/gordo_spark_evo/{sf_tag}/events_evo"
+    from gordo_components_spark.caches import materialized_cache
+
     ev = load_table(spark, sf_dir, "events")
-    v1_done = os.path.exists(os.path.join(out, "gen=v1", "_SUCCESS"))
-    v2_done = os.path.exists(os.path.join(out, "gen=v2", "_SUCCESS"))
-    if not (v1_done and v2_done):
+
+    def build(tmp: str) -> None:
         base = ev.select(
             "event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "event_type", "value"
         )
@@ -275,13 +283,15 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             base.where(F.col("event_id") % 2 == 0)
             .drop("event_type")  # the old writer didn't know the column
             .write.mode("overwrite")
-            .parquet(f"{out}/gen=v1")
+            .parquet(f"{tmp}/gen=v1")
         )
         (
             base.where(F.col("event_id") % 2 == 1)
             .write.mode("overwrite")
-            .parquet(f"{out}/gen=v2")
+            .parquet(f"{tmp}/gen=v2")
         )
+
+    out = materialized_cache(sf_dir, "/tmp/gordo_spark_evo", "events_evo", "events", build)
     back = spark.read.option("mergeSchema", "true").parquet(out)
     return back.groupBy(
         F.col("gen"),

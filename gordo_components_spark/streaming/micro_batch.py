@@ -53,49 +53,14 @@ def _pid_alive(pid: int) -> bool:
 
 
 def _replay_cache(spark: SparkSession, sf_dir: str, name: str, table: str, build):
-    """Fingerprinted, atomically-installed replay cache (review-hardened
-    to build_dedup_index's discipline): keyed by {sf_dir, footer row
-    count} so a regenerated fixture or same-basename corpus never serves
-    stale data; built into a pid-suffixed temp dir and os.replace'd so
-    two concurrent cold-cache sessions (pytest + bench — the exact race
-    the PID-token sink dirs exist for) can never corrupt the shared dir,
-    and a killed half-write is never visible."""
-    import json as _json
-    import shutil
+    """Fingerprinted, atomically-installed replay cache — the discipline
+    now lives in ``caches.materialized_cache`` (review r7: the scan legs
+    in operators/providers.py shared the same stale-fixture hazard, so
+    the one definition moved to the shared module; this wrapper keeps
+    the streaming scratch root)."""
+    from gordo_components_spark.caches import materialized_cache
 
-    from gordo_components_spark.operators.extensions_corpus import _table_rows
-
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    out = f"/tmp/gordo_spark_stream/{sf_tag}/{name}"
-    marker = os.path.join(out, "_FP.json")
-    fp = {"sf_dir": sf_dir, "n_rows": _table_rows(sf_dir, table), "v": 1}
-    if os.path.isfile(marker):
-        try:
-            with open(marker) as fh:
-                if _json.load(fh) == fp:
-                    return out
-        except (OSError, ValueError):
-            pass
-    tmp = f"{out}.tmp-{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    build(tmp)
-    with open(os.path.join(tmp, "_FP.json"), "w") as fh:
-        _json.dump(fp, fh)
-    shutil.rmtree(out, ignore_errors=True)
-    try:
-        os.replace(tmp, out)
-    except OSError:
-        # concurrent builder won the swap; adopt its dir if fingerprints
-        # match (content is deterministic), else surface the failure
-        try:
-            with open(marker) as fh:
-                ok = _json.load(fh) == fp
-        except (OSError, ValueError):
-            ok = False
-        shutil.rmtree(tmp, ignore_errors=True)
-        if not ok:
-            raise
-    return out
+    return materialized_cache(sf_dir, "/tmp/gordo_spark_stream", name, table, build)
 
 
 def _replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:
