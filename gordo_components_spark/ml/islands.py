@@ -139,7 +139,18 @@ def _trained_rows(
 ) -> list:
     import json
 
-    key = (sf_dir, duration, json.dumps(definition, sort_keys=True, default=str))
+    from gordo_components_spark.caches import _parquet_rows
+
+    # the footer row count keys the cache to the fixture CONTENTS, not
+    # just its path — a regenerated same-basename fixture retrains
+    # instead of serving stale models (same discipline as
+    # caches.materialized_cache, review r7)
+    key = (
+        sf_dir,
+        _parquet_rows(sf_dir, "events"),
+        duration,
+        json.dumps(definition, sort_keys=True, default=str),
+    )
     if key not in _TRAIN_CACHE:
         feats = machine_features(spark, sf_dir, duration)
         _TRAIN_CACHE[key] = train_models(feats, definition).collect()
