@@ -369,3 +369,36 @@ def window_spc_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_SPC_Z).alias("zscore"),
         F.expr(f"(({_SPC_Z}) IS NOT NULL AND abs({_SPC_Z}) > 3.0)").alias("is_out"),
     )
+
+
+@register(
+    "window_ntile_dist",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 addendum — distribution ranks: order-value quartile, percent
+    rank and cumulative distribution per customer (the spend-percentile
+    facets a dashboard ranks machines/customers by).  The ORDER BY
+    carries the unique o_orderkey tiebreak, so tile assignment and both
+    rank fractions are fully determined.
+
+    Parity: percent_rank = (rank−1)/(n−1) and cume_dist = peers/n are
+    single IEEE divisions of small exact integers — correctly rounded,
+    bit-identical in both engines; ntile is pure integer algebra.  Same
+    one-partition-one-sort shape as every §2.5 frame."""
+    o = load_table(spark, sf_dir, "orders")
+    w = "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey"
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr(f"CAST(ntile(4) OVER ({w}) AS BIGINT)").alias("quartile"),
+        F.expr(f"percent_rank() OVER ({w})").alias("pct_rank"),
+        F.expr(f"cume_dist() OVER ({w})").alias("cume"),
+    )
