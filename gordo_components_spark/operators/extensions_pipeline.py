@@ -1079,3 +1079,58 @@ def pipe_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         stats = stat_i if stats is None else stats.unionByName(stat_i)
     return stats
+
+
+def _dataset_card_sql(docs_rel: str, ntok_expr: str) -> str:
+    """Shared GROUPING SETS body of the dataset-card manifest — one
+    string, two engines (only the tokenize builtin differs)."""
+    return f"""
+    WITH d AS (
+      SELECT source, lang,
+             CAST({ntok_expr} AS BIGINT) AS ntok,
+             n_chars,
+             CASE WHEN count(*) OVER (PARTITION BY md5(lower(text))) > 1
+                  THEN 1 ELSE 0 END AS is_dup
+      FROM {docs_rel}
+    )
+    SELECT CASE WHEN GROUPING(source) = 0 THEN 'source'
+                WHEN GROUPING(lang) = 0 THEN 'lang'
+                ELSE 'total' END AS dim,
+           COALESCE(source, lang, '*') AS key,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+           CAST(SUM(CASE WHEN ntok >= 32 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_pass,
+           {_fshift('CAST(SUM(ntok) AS DOUBLE) / COUNT(*)', 'avg_tokens')}
+    FROM d
+    GROUP BY GROUPING SETS ((source), (lang), ())
+    """
+
+
+@register(
+    "pipe_dataset_card",
+    oracle=_dataset_card_sql("documents", "len(string_split(text, ' '))"),
+)
+def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card manifest — the summary table every released training
+    corpus ships: per source, per language, and corpus-total rows with
+    doc/token/char counts, the exact-duplicate document count, and the
+    minimum-length gate pass count.  Emitted as the LAST stage of a
+    curation run (``pipe_delta_curation`` writes the nightly manifest;
+    this face is the corpus-wide card).
+
+    Spark-first shape: ONE scan; the dup flag is a count window over the
+    md5(text) digest partition (the same shuffle exact dedup pays — no
+    join back), then a single Expand pass materializes all three
+    grouping sets in one aggregation (never three scans).  All metrics
+    are exact integer sums; the one ratio is floor-shift rounded (a
+    tokens/docs rational can land on exact 6-dp half-ties).
+
+    At 100 TB: digest shuffle + Expand×3 partial aggregation — both
+    combinable, no skew (digest keys are uniform), no driver-side
+    anything."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_card_v")
+    return spark.sql(
+        _dataset_card_sql("documents_card_v", "size(split(text, ' '))")
+    )
