@@ -1134,3 +1134,87 @@ def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _dataset_card_sql("documents_card_v", "size(split(text, ' '))")
     )
+
+
+@register(
+    "pipe_split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE doubled AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM doubled a JOIN doubled b
+        ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT u AS a, v AS b FROM pairs
+      UNION ALL
+      SELECT v AS a, u AS b FROM pairs
+    ), reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM doubled
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ), comp AS (
+      SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+    )
+    SELECT doc_id, component,
+           CASE WHEN {_BUCKET_DUCK.format(key="CAST(component AS VARCHAR)")} < {_TRAIN_CUT} THEN 'train'
+                WHEN {_BUCKET_DUCK.format(key="CAST(component AS VARCHAR)")} < {_VAL_CUT} THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(doc_id >= 1000000 AS BOOLEAN) AS is_clone
+    FROM comp
+    """,
+)
+def pipe_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split — the contamination guard the
+    dedup literature warns train/test evaluation about: a document and
+    its near-duplicates must land in the SAME split, or test metrics are
+    inflated by memorized training twins.  ``pipe_train_split`` hashes
+    the DOC key (leak-free for distinct docs); this face hashes the
+    duplicate-CLUSTER id instead, so every member of a dup cluster
+    follows its cluster into one split by construction.
+
+    Pipeline: candidate pairs (exact-hash matches over the union-doubled
+    corpus — the same deterministic dup fixture the components face
+    uses; every doc + its clone form a cluster of ≥2) → min-label
+    propagation to the cluster's canonical id (the CC machinery,
+    iterative joins with bounded plan depth) → md5-bucket of the
+    CLUSTER id → 80/10/10 bands.  With per-doc hashing a doc and its
+    clone would split apart for ~1 in 3 clusters; here is_clone rows
+    agree with their originals always (the property the oracle's
+    recursive-CTE closure independently verifies).
+
+    Scale shape: everything is the components face's cost (hash-pair
+    join + diameter-bounded label propagation) plus one codegen'd split
+    expression — no new shuffle; the split stays reproducible across
+    runs, engines, and cluster sizes like every bucket-hash face."""
+    from gordo_components_spark.caches import persist_tracked
+    from gordo_components_spark.operators.extensions_dedup import min_label_propagation
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    hashed = doubled.select("doc_id", F.md5("text").alias("h"))
+    a, b = hashed.alias("a"), hashed.alias("b")
+    pairs = a.join(
+        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("a"), F.col("v").alias("b"))
+    labels = doubled.select("doc_id", F.col("doc_id").alias("component"))
+    edges = persist_tracked(edges)
+    labels = min_label_propagation(labels, edges, max_iters=10)
+    edges.unpersist()
+    bucket = F.expr(_BUCKET_SPARK.format(key="CAST(component AS STRING)"))
+    return labels.select(
+        "doc_id",
+        "component",
+        F.when(bucket < _TRAIN_CUT, "train")
+        .when(bucket < _VAL_CUT, "val")
+        .otherwise("test")
+        .alias("split"),
+        (F.col("doc_id") >= 1000000).alias("is_clone"),
+    )

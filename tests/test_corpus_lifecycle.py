@@ -353,3 +353,25 @@ def test_json_validity_predicates_agree_on_fixture(spark):
         " WHERE NOT json_valid(props)"
     ).fetchone()[0]
     assert spark_bad == duck_bad
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    """Every dup cluster lands in exactly ONE split, so a doc and its
+    clone can never straddle train/test (the contamination guard)."""
+    from pyspark.sql import functions as F
+
+    from gordo_components_spark.registry import load_all
+
+    out = load_all()["pipe_split_leakage_safe"].fn(spark, sf_dir)
+    per_cluster = out.groupBy("component").agg(
+        F.countDistinct("split").alias("n_splits"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    rows = per_cluster.collect()
+    assert rows, "split produced no clusters"
+    assert all(r["n_splits"] == 1 for r in rows)
+    # the doubled fixture guarantees clusters of >= 2 (doc + clone)
+    assert all(r["n_members"] >= 2 for r in rows)
+    # and every split band is actually populated at this corpus size
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits == {"train", "val", "test"}
