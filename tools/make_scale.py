@@ -95,6 +95,21 @@ def main() -> None:
         scale_table(spark, src, out, name, factor)
         n = spark.read.parquet(f"{out}/{name}.parquet").count()
         print(f"{name}: {n} rows")
+    # source fingerprint: scale_bench refuses a replica built from a
+    # DIFFERENT sf0.1 than the one it measures against (the driver
+    # regenerates testdata between rounds — without this the rehearsal
+    # would compare a fresh denominator to a stale numerator)
+    import json
+
+    from gordo_components_spark.caches import _parquet_rows
+
+    fp = {
+        "src": src,
+        "factor": factor,
+        "rows": {t: _parquet_rows(src, t) for t in ("events", "documents", "lineitem")},
+    }
+    with open(os.path.join(out, "_SRC_FP.json"), "w") as fh:
+        json.dump(fp, fh)
     print(f"wrote {out}")
 
 

@@ -92,8 +92,19 @@ HEAVY = (
 
 
 def _best_of(spark, fn, sf_dir: str, runs: int = 2) -> float:
+    """Best-of-N noop-write timing.  Sub-3 s bases get an adaptive third
+    run: the RATIO's denominator is warm-up-sensitive exactly when it is
+    small (measured r7: minhash sf0.1 swings 1.4–1.9 s warm vs a tight
+    10× side — the entire 1.8→3.3 rehearsal spread came from the
+    denominator), so one extra run there stabilizes the artifact for a
+    fraction of the cost of min-of-3 everywhere."""
     best = float("inf")
     for _ in range(runs):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    if best < 3.0:
         spark.catalog.clearCache()
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -105,6 +116,25 @@ def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_sf1.json"
     if not os.path.isdir(SF10X):
         raise SystemExit(f"{SF10X} missing — run tools/make_scale.py first")
+    # stale-replica guard: the 10x dir must have been built from the
+    # CURRENT sf0.1 (the driver regenerates testdata between rounds;
+    # a mismatched replica makes every ratio compare different data)
+    import json
+
+    from gordo_components_spark.caches import _parquet_rows
+
+    fp_path = os.path.join(SF10X, "_SRC_FP.json")
+    want = {t: _parquet_rows(SF01, t) for t in ("events", "documents", "lineitem")}
+    try:
+        with open(fp_path) as fh:
+            have = json.load(fh).get("rows")
+    except (OSError, ValueError):
+        have = None
+    if have != want:
+        raise SystemExit(
+            f"{SF10X} was built from a different sf0.1 than {SF01} "
+            f"(fingerprint {have} != {want}) — re-run tools/make_scale.py"
+        )
     registry = load_all()
     spark = get_spark("gordo-scale-bench")
     # warm the JVM + Python-worker pool once per SF so ratios compare
