@@ -852,8 +852,15 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("crn") <= _SEM_PROBE)
         .select("vec_id", "cell", "v")
     )
+    # No FORCED broadcast on the fine table: its row count k = n/target
+    # SCALES with the corpus (the r7 mirror rule — explicit hints are
+    # reserved for fixed-cardinality sides like the sqrt(k)-row coarse
+    # table above).  At bench SF it is a LocalRelation with a known tiny
+    # size, so the static planner broadcasts it anyway (plan-guarded);
+    # past driver-RAM scale the artifact becomes a parquet table and the
+    # same equi-join shuffles on the cell id instead of OOMing.
     assigned = (
-        routed.join(F.broadcast(fine), "cell")  # equi-join: probe*k/c centroids/vector
+        routed.join(fine, "cell")  # equi-join: probe*k/c centroids/vector
         .withColumn("d2", F.expr(sqdist))
         .withColumn(
             "rn",

@@ -276,7 +276,15 @@ def test_semantic_dedup_two_level_routing_no_flat_centroid_cross(spark, sf_dir):
     # no corpus broadcast.
     plan = plan_of(spark, "ext_dedup_semantic", sf_dir)
     assert "FlatMapGroupsInPandas" in plan
-    assert "BroadcastHashJoin" in plan  # fine centroids: equi-join on cell
+    # fine centroids arrive via an EQUI join on the routed cell id — any
+    # hash/merge strategy qualifies; r7 mirror rule removed the FORCED
+    # broadcast (k = n/target scales with the corpus), so the static
+    # plan shows SMJ and AQE broadcasts the tiny LocalRelation at runtime
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
     # formatted explain prints each node twice (tree + details): <= 2
     # occurrences means exactly ONE nested-loop join — the coarse cross
     assert plan.count("BroadcastNestedLoopJoin") <= 2
