@@ -265,9 +265,18 @@ def _tfidf_similarity(
     )
     if pair_salt > 1:
         block = ["token", "source", "len_bucket"]
+        # ONLY oversized blocks carry a row: the full per-block size
+        # frame has one row per distinct (token, source, len_bucket) —
+        # that's the postings index's key set, which GROWS with the
+        # corpus and must never be a forced broadcast (r7 mirror rule).
+        # Blocks over the cap are the skewed few by definition, so the
+        # filtered frame is bounded at any scale; everyone else
+        # left-joins to nothing and defaults to one shard (zero
+        # replication), which is the identical result.
         nsalt = (
             wn.groupBy(*block)
             .agg(F.count(F.lit(1)).alias("_bn"))
+            .where(F.col("_bn") > _TFIDF_BLOCK_CAP)
             .select(
                 *block,
                 F.least(
@@ -275,10 +284,12 @@ def _tfidf_similarity(
                     F.ceil(F.col("_bn") / F.lit(_TFIDF_BLOCK_CAP)),
                 )
                 .cast("int")
-                .alias("_nsalt"),
+                .alias("_ns"),
             )
         )
-        salted = wn.join(F.broadcast(nsalt), block)
+        salted = wn.join(F.broadcast(nsalt), block, "left").withColumn(
+            "_nsalt", F.coalesce(F.col("_ns"), F.lit(1))
+        )
         a = salted.withColumn("psalt", F.pmod(F.hash("doc_id"), F.col("_nsalt"))).alias("a")
         b = salted.withColumn(
             "psalt", F.explode(F.expr("sequence(0, _nsalt - 1)"))
