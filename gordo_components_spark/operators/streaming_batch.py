@@ -222,7 +222,8 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Genuine stream-static enrichment join (rows-only: the replay
     source + memory sink aren't SQL-expressible): the event stream
-    broadcast-joined to the customer dimension per micro-batch, windowed
+    joined to the customer dimension per micro-batch (planner-chosen
+    broadcast at bench SF; shuffle past executor-RAM dims — r7 rule), windowed
     per market segment.  Stateless join — only the window agg holds
     state.  Batch parity in tests/test_streaming.py."""
     from gordo_components_spark.streaming.micro_batch import run_streaming_enrich_dim

@@ -213,14 +213,20 @@ def agg_error_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     # decimal-routed mean: avg-of-doubles differs across engines by ~1 ulp,
     # which flips the round(…,9) boundary once groups reach ~10^4 rows
-    # (found at sf0.1); exact numerator / count is bit-identical
-    mu = ev.groupBy("user_id").agg(
-        (
-            F.expr("CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE)") / F.count(F.lit(1))
-        ).alias("raw_mean")
-    ).select("user_id", F.round("raw_mean", 9).alias("mean_v"))
-    err = ev.join(F.broadcast(mu), "user_id").select(
-        "user_id", F.round(F.abs(F.col("value") - F.col("mean_v")), 9).alias("err")
+    # (found at sf0.1); exact numerator / count is bit-identical.
+    # Window form, not groupBy+join-back: the per-machine mean frame
+    # GROWS with the machine count, so its old forced broadcast violated
+    # the r7 mirror rule — the window computes the same mean in place and
+    # the closing groupBy reuses the partitioning: ONE exchange, no join
+    # (same shape as agg_seasonal_profile).
+    w = "PARTITION BY user_id"
+    mean_v = F.round(
+        F.expr(f"CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER ({w}) AS DOUBLE)")
+        / F.expr(f"count(*) OVER ({w})"),
+        9,
+    )
+    err = ev.select(
+        "user_id", F.round(F.abs(F.col("value") - mean_v), 9).alias("err")
     )
     return err.groupBy("user_id").agg(
         _fshift_col(F.expr("percentile(err, 0.99)")).alias("threshold_p99"),

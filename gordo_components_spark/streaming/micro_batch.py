@@ -395,10 +395,14 @@ def run_streaming_enrich_dim(
     prepare(spark)
     src = _replay_dir(spark, sf_dir)
     stream = spark.readStream.schema(_RAW_SCHEMA).parquet(src)
-    dim = F.broadcast(
-        load_table(spark, sf_dir, "customer").select(
-            F.col("c_custkey").alias("user_id"), "c_mktsegment"
-        )
+    # no FORCED broadcast: the customer dim GROWS with the scale factor
+    # (r7 mirror rule — explicit hints only for fixed-cardinality sides).
+    # The static side is re-planned per micro-batch, and the planner
+    # broadcasts it by size estimate at bench SF; a 100 TB deployment
+    # whose dim outgrows an executor degrades to a shuffle join instead
+    # of OOMing — either way the join stays stateless.
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
     enriched = (
         stream.withWatermark("ts", "1 hour")
