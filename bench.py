@@ -72,18 +72,22 @@ def main() -> None:
         }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # round-6 set change: tpch_q5 + tpch_q10 joined the headline set (the
-    # module docstring's Q3/Q5/Q10 anchor trio); subtotal_r5_set keeps
-    # round-over-round totals comparable across the boundary
-    r6_additions = {"tpch_q5", "tpch_q10"}
+    # headline-set changes are made only at round boundaries, each with a
+    # one-round old-set subtotal so round-over-round totals stay
+    # comparable: round-6 added tpch_q5 + tpch_q10 (the module
+    # docstring's Q3/Q5/Q10 anchor trio); round-7 added
+    # join_interval_overlap (a distinct join class: day-blocked interval
+    # overlap) + agg_seasonal_profile (single-exchange window+agg) per
+    # docs/ROUND8_NOTES.md item 1
+    r7_additions = {"join_interval_overlap", "agg_seasonal_profile"}
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_time",
                 "value": round(sum(times.values()), 4),
                 "unit": "sec",
-                "subtotal_r5_set": round(
-                    sum(t for n, t in times.items() if n not in r6_additions), 4
+                "subtotal_r6_set": round(
+                    sum(t for n, t in times.items() if n not in r7_additions), 4
                 ),
                 "queries": times,
                 "spread": spread,

@@ -242,6 +242,7 @@ def join_asof_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON g.user_id = s.user_id
      AND session_start <= gap_end AND gap_start <= session_end
     """,
+    tags=("bench",),  # round-7: interval-overlap join anchors the time-series bench face
 )
 def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join — the join class Spark has no native

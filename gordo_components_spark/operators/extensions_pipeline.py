@@ -293,6 +293,91 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDECON_BENCH = 16  # vec_id < 16: a FIXED-cardinality benchmark set
+_SEMDECON_TAU = 0.35  # max benchmark cosine above which a doc is contaminated
+
+
+@register(
+    "pipe_decontaminate_semantic",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), b AS (
+      SELECT v AS bv, sqrt(list_inner_product(v, v)) AS bn
+      FROM e WHERE vec_id < {_SEMDECON_BENCH}
+    ), c AS (
+      SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS vn
+      FROM e WHERE vec_id >= {_SEMDECON_BENCH}
+    ), s AS (
+      SELECT c.vec_id,
+             MAX(list_inner_product(c.v, b.bv) / (c.vn * b.bn)) AS mc
+      FROM c, b GROUP BY c.vec_id
+    )
+    SELECT vec_id,
+           round(mc, 6) AS max_benchmark_cos,
+           CAST(mc < {_SEMDECON_TAU} AS INT) AS kept
+    FROM s
+    """,
+)
+def pipe_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-space benchmark decontamination (the semantic sibling of
+    ``pipe_decontaminate``'s n-gram collision check): a training document
+    is contaminated when its embedding's cosine against ANY benchmark
+    vector reaches τ — catching paraphrased/reformatted eval leakage that
+    exact n-grams miss.  The benchmark here is the fixture's first 16
+    vectors (vec_id < 16); kept docs join back to ``documents`` on the
+    shared key.
+
+    Spark-first scale shape: real benchmark sets are FIXED-cardinality
+    (an MMLU is ~14k rows at any corpus size), so the whole set folds
+    into ONE driver row — ``collect_list(struct(bv, bn))`` — and rides a
+    1-row broadcast; each corpus vector then reduces over the array with
+    a nested higher-order ``aggregate`` (greatest-of-cosines).  The plan
+    is MAP-ONLY over the corpus: one pruned benchmark scan, one corpus
+    scan, zero corpus shuffles (asserted in test_plan_properties.py) —
+    at 100 TB this is a single embarrassingly-parallel pass, unlike the
+    groupBy(vec_id)-over-pairs formulation, which shuffles |corpus|×|bench|
+    rows.  Parity: dot products fold left-to-right in both engines
+    (ext_dedup_embed_cos convention); max is order-free; the kept flag
+    compares the RAW double on both sides, rounding only the report
+    column."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    self_dot = (
+        "aggregate(zip_with(embedding, embedding, (x, y) -> x * y),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    bench_fold = (
+        emb.where(F.col("vec_id") < _SEMDECON_BENCH)
+        .select(
+            F.col("embedding").alias("bv"),
+            F.sqrt(F.expr(self_dot)).alias("bn"),
+        )
+        .agg(F.collect_list(F.struct("bv", "bn")).alias("barr"))
+    )
+    corpus = emb.where(F.col("vec_id") >= _SEMDECON_BENCH).select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.sqrt(F.expr(self_dot)).alias("vn"),
+    )
+    # greatest-of-cosines reduce over the broadcast benchmark array; the
+    # outer fold's lambda vars (m, b) are disjoint from the inner dot's
+    # (acc, x) so the nested HOFs don't shadow each other
+    max_cos = F.expr(
+        "aggregate(barr, CAST(-1.0 AS DOUBLE), (m, b) -> greatest(m,"
+        " aggregate(zip_with(v, b.bv, (x, y) -> x * y),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (vn * b.bn)))"
+    )
+    return (
+        corpus.crossJoin(F.broadcast(bench_fold))
+        .withColumn("mc", max_cos)
+        .select(
+            "vec_id",
+            F.round("mc", 6).alias("max_benchmark_cos"),
+            (F.col("mc") < F.lit(_SEMDECON_TAU)).cast("int").alias("kept"),
+        )
+    )
+
+
 @register(
     "pipe_mix_weights",
     oracle=f"""

@@ -672,6 +672,7 @@ _SEAS_Z = (
     FROM z
     GROUP BY 1, 2, 3
     """,
+    tags=("bench",),  # round-7: single-exchange window+agg anchors the profile face
 )
 def agg_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal baseline + exceedance report: per (machine, tag,

@@ -420,3 +420,17 @@ def test_interval_overlap_equi_blocked_no_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" not in plan
     assert "ShuffledHashJoin" in plan
+
+
+def test_semantic_decontamination_map_only(spark, sf_dir):
+    # the benchmark set is FIXED-cardinality (vec_id < 16): it folds to a
+    # 1-row array and broadcasts; the corpus leg must stay MAP-ONLY —
+    # never hash-shuffled (the groupBy-over-pairs formulation would
+    # shuffle |corpus| x |bench| rows) — and both scans keep their
+    # vec_id range pushed down
+    plan = plan_of(spark, "pipe_decontaminate_semantic", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "hashpartitioning(vec_id" not in plan  # corpus never shuffled
+    assert "GreaterThanOrEqual(vec_id,16)" in plan  # corpus scan pruned
+    assert "LessThan(vec_id,16)" in plan  # benchmark scan pruned

@@ -88,6 +88,10 @@ HEAVY = (
     # round 7 late: the day-blocked interval-overlap join (sessions ×
     # outage gaps — equi on (machine, day) + overlap residual)
     "join_interval_overlap",
+    # round 7: embedding-space benchmark decontamination (map-only by
+    # plan guard — the rehearsal proves the 1-row benchmark fold keeps
+    # it linear while the corpus side grows)
+    "pipe_decontaminate_semantic",
 )
 
 
