@@ -293,6 +293,78 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipe_quality_trim",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000
+               // CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+      FROM documents
+    ), r AS (
+      SELECT doc_id, source, score,
+             RANK() OVER (PARTITION BY source ORDER BY score, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM t
+    )
+    SELECT doc_id, source, score,
+           CAST(rk AS BIGINT) AS rk,
+           CAST(n AS BIGINT) AS n_source,
+           CAST((rk - 1) * 10 >= (n - 1) AS INT) AS kept
+    FROM r
+    """,
+)
+def pipe_quality_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-floor trimming (the FineWeb/RefinedWeb curation
+    move of dropping each domain's worst decile rather than applying one
+    global threshold — a global cut silently erases whole low-register
+    domains, a per-source RANK cut removes the same fraction everywhere):
+    quality = lexical diversity as an integer-scaled ratio
+    (distinct_tokens·10⁶ div tokens — bigint floor-division, identical in
+    both engines, no float anywhere), docs below the 10th percentile of
+    their source are flagged dropped.
+
+    The percentile itself is integer-exact: a doc is kept when
+    (rank−1)·10 ≥ (n−1) — the cross-multiplied form of
+    percent_rank ≥ 0.1, so no double division ever decides membership
+    (registry parity convention).  The (score, doc_id) tiebreak makes the
+    rank — and therefore the kept set — deterministic.
+
+    Scale shape: ONE exchange on source; rank and count ride the same
+    window partitioning.  A pathologically dominant source serializes its
+    per-group sort — at that skew the same semantics come from a two-pass
+    threshold form (per-source exact decile score via count + filtered
+    re-scan) at the cost of a second scan; the windowed form is right
+    while per-source cardinality fits a task's sort buffer (and at 25-doc
+    fixture sources, trivially so)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000"
+            " div CAST(size(split(text, ' ')) AS BIGINT)"
+        ).alias("score"),
+    )
+    w = "PARTITION BY source ORDER BY score, doc_id"
+    wn = "PARTITION BY source"
+    r = t.select(
+        "doc_id",
+        "source",
+        "score",
+        F.expr(f"RANK() OVER ({w})").cast("bigint").alias("rk"),
+        F.expr(f"COUNT(*) OVER ({wn})").cast("bigint").alias("n"),
+    )
+    return r.select(
+        "doc_id",
+        "source",
+        "score",
+        "rk",
+        F.col("n").alias("n_source"),
+        ((F.col("rk") - 1) * 10 >= (F.col("n") - 1)).cast("int").alias("kept"),
+    )
+
+
 _SEMDECON_BENCH = 16  # vec_id < 16: a FIXED-cardinality benchmark set
 _SEMDECON_TAU = 0.35  # max benchmark cosine above which a doc is contaminated
 

@@ -434,3 +434,12 @@ def test_semantic_decontamination_map_only(spark, sf_dir):
     assert "hashpartitioning(vec_id" not in plan  # corpus never shuffled
     assert "GreaterThanOrEqual(vec_id,16)" in plan  # corpus scan pruned
     assert "LessThan(vec_id,16)" in plan  # benchmark scan pruned
+
+
+def test_quality_trim_single_exchange_no_join(spark, sf_dir):
+    # rank + per-source count ride ONE hashpartitioning(source) exchange
+    # (formatted explain lists each node twice: tree + details)
+    plan = plan_of(spark, "pipe_quality_trim", sf_dir)
+    assert "Join" not in plan
+    assert "hashpartitioning(source" in plan
+    assert plan.count("Exchange") == 2
