@@ -33,6 +33,11 @@ QUERIES = [
     "ext_ann_batch_ivf",
     # round 5: salted pair-join sharding must not perturb the pair sums
     "ext_tfidf_similar_capped",
+    # round 7 late: the 1-row benchmark fold (collect_list order varies
+    # with partitioning; max-of-cosines must not) and the per-source
+    # rank cut (rank ties broken by doc_id, so the kept set is fixed)
+    "pipe_decontaminate_semantic",
+    "pipe_quality_trim",
 ]
 
 
