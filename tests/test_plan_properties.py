@@ -436,10 +436,59 @@ def test_semantic_decontamination_map_only(spark, sf_dir):
     assert "LessThan(vec_id,16)" in plan  # benchmark scan pruned
 
 
-def test_quality_trim_single_exchange_no_join(spark, sf_dir):
-    # rank + per-source count ride ONE hashpartitioning(source) exchange
-    # (formatted explain lists each node twice: tree + details)
+def test_quality_trim_two_pass_no_corpus_sort(spark, sf_dir):
+    # round-8 two-pass form (closes the r7 verdict's weak): pass 1 windows
+    # over the per-(source, score) HISTOGRAM, never the corpus — the only
+    # Sort in the plan takes the aggregated histogram (no doc_id in its
+    # input), and pass 2 is a broadcast join, so the corpus is never
+    # shuffled or sorted and a dominant source cannot serialize a task
+    import re
+
     plan = plan_of(spark, "pipe_quality_trim", sf_dir)
-    assert "Join" not in plan
-    assert "hashpartitioning(source" in plan
-    assert plan.count("Exchange") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "rank(" not in plan  # the r7 corpus-window form is gone
+    sort_details = re.findall(r"\n\(\d+\) Sort[^\n]*\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert len(sort_details) == 1, plan
+    assert "doc_id" not in sort_details[0]
+
+
+def test_rehearsal_set_covers_every_join_bearing_query(spark, sf_dir):
+    # CLAUDE.md invariant, mechanized (r7 verdict item 2 — two round-7
+    # join-bearing ops silently skipped the 10x rehearsal): every
+    # registered query whose plan has a non-broadcast join must be in
+    # tools/scale_bench.HEAVY or carry an EXEMPT reason.  Names the
+    # committed PLAN_AUDIT.json census has not seen yet get their plan
+    # built live here, so a late registration cannot dodge the guard by
+    # skipping the audit rerun.
+    import importlib.util
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def _load_tool(mod):
+        spec = importlib.util.spec_from_file_location(
+            mod, os.path.join(root, "tools", f"{mod}.py")
+        )
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        return m
+
+    sb = _load_tool("scale_bench")
+    pa = _load_tool("plan_audit")
+    with open(os.path.join(root, "PLAN_AUDIT.json")) as fh:
+        audit = json.load(fh)["queries"]
+    registry = load_all()
+    missing = sorted(set(registry) - set(audit))
+    for name in missing:  # late registrations: audit the plan live
+        audit[name] = pa._audit_plan(plan_of(spark, name, sf_dir))
+    offenders = [
+        n
+        for n in registry
+        if audit[n]["sort_merge_joins"] + audit[n]["shuffled_hash_joins"] > 0
+        and n not in sb.HEAVY
+        and n not in sb.EXEMPT
+    ]
+    assert not offenders, (
+        f"join-bearing queries missing from the 10x rehearsal set: {offenders}"
+    )

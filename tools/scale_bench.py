@@ -92,7 +92,42 @@ HEAVY = (
     # plan guard — the rehearsal proves the 1-row benchmark fold keeps
     # it linear while the corpus side grows)
     "pipe_decontaminate_semantic",
+    # round 8: the guard below (join-bearing ⇒ rehearsed, from the
+    # PLAN_AUDIT census) flushed out every op that had skipped the set —
+    # the r7-verdict pair plus three older faces
+    "pipe_split_leakage_safe",  # hash-pair join + iterative CC propagation
+    "pipe_quality_trim",  # two-pass histogram threshold (r8 rewrite)
+    "ext_lm_cross_entropy",  # bigram-vocab probe join
+    "pipe_dedup_index_merge",  # digest-index merge join
+    "tpch_q2",  # the 5-way part/supplier min-cost join
 )
+
+# Join-bearing queries that are deliberately NOT rehearsed, with the
+# reason on record — the guard fails on any other omission.
+EXEMPT: dict[str, str] = {}
+
+
+def check_heavy_covers_joins(registry) -> list[str]:
+    """CLAUDE.md invariant, made mechanical (r7 verdict item 2): every
+    registered query whose physical plan contains a non-broadcast join
+    (SortMergeJoin / ShuffledHashJoin — the shapes whose pair volume can
+    go quadratic) must be in HEAVY or carry an EXEMPT reason.  Reads the
+    committed PLAN_AUDIT.json census; names the audit has not seen yet
+    are reported too, so a late-round registration can't dodge the check
+    by skipping the audit."""
+    audit_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLAN_AUDIT.json")
+    with open(audit_path) as fh:
+        audit = json.load(fh)["queries"]
+    problems = []
+    for name in registry:
+        e = audit.get(name)
+        if e is None:
+            problems.append(f"{name}: not in PLAN_AUDIT.json — re-run tools/plan_audit.py")
+            continue
+        if e["sort_merge_joins"] + e["shuffled_hash_joins"] > 0:
+            if name not in HEAVY and name not in EXEMPT:
+                problems.append(f"{name}: join-bearing but absent from the 10x rehearsal set")
+    return problems
 
 
 def _best_of(spark, fn, sf_dir: str, runs: int = 2) -> float:
@@ -140,6 +175,9 @@ def main() -> None:
             f"(fingerprint {have} != {want}) — re-run tools/make_scale.py"
         )
     registry = load_all()
+    problems = check_heavy_covers_joins(registry)
+    if problems:
+        raise SystemExit("rehearsal-set guard:\n  " + "\n  ".join(problems))
     spark = get_spark("gordo-scale-bench")
     # warm the JVM + Python-worker pool once per SF so ratios compare
     # steady-state plans, not cold starts
