@@ -388,12 +388,18 @@ class ARForecaster(_Base):
         self.coef_ = np.linalg.solve(A.T @ A + reg, A.T @ Y)
         return self
 
+    def _forward(self, A: np.ndarray) -> np.ndarray:
+        """Model output for prebuilt window rows — the single forward
+        pass predict/residuals/truth_prediction share (nonlinear
+        subclasses override this, inheriting the accessors)."""
+        return A @ self.coef_
+
     def predict(self, X: np.ndarray) -> np.ndarray:
         """Forecast for each complete lookback window; output row i is the
         prediction for input row i+lookback+lookahead-1 (the reference's
         generator alignment)."""
         A, _ = self._windows(np.asarray(X, dtype=np.float64))
-        return A @ self.coef_
+        return self._forward(A)
 
     def residuals(self, X: np.ndarray) -> np.ndarray:
         """Per-window forecast errors (targets − predictions) with ONE
@@ -401,9 +407,15 @@ class ARForecaster(_Base):
         instead of pairing ``_windows`` with ``predict`` (which would
         rebuild the window matrix twice and couple to a private)."""
         A, Y = self._windows(np.asarray(X, dtype=np.float64))
-        if hasattr(self, "coef_"):  # linear closed form: reuse A directly
-            return Y - A @ self.coef_
-        return Y - self.predict(X)  # nonlinear subclasses route via predict
+        return Y - self._forward(A)
+
+    def truth_prediction(self, X: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(y_true, y_pred) from ONE window build and ONE forward pass —
+        the combined accessor the anomaly detector scores through
+        (round-8 advisory: pairing ``predict`` with ``residuals`` ran
+        the forward pass twice inside every scoring island)."""
+        A, Y = self._windows(np.asarray(X, dtype=np.float64))
+        return Y, self._forward(A)
 
     def score(self, X: np.ndarray, y=None) -> float:
         X = np.asarray(X, dtype=np.float64)
@@ -480,8 +492,9 @@ class MLPForecaster(ARForecaster):
         )
         return self
 
-    def predict(self, X: np.ndarray) -> np.ndarray:
-        A, _ = self._windows(np.asarray(X, dtype=np.float64))
+    def _forward(self, A: np.ndarray) -> np.ndarray:
+        # predict/residuals/truth_prediction are inherited from
+        # ARForecaster and route through this single MLP forward pass
         a = (A[:, :-1] - self.in_mean_) / self.in_scale_
         L = len(self.W_)
         for i in range(L):
@@ -590,8 +603,14 @@ class WindowedAutoEncoder(_Base):
         the same accessor contract as :meth:`ARForecaster.residuals`, so
         the anomaly detector can pair truth with prediction for models
         whose output geometry differs from their input."""
+        W, P = self.truth_prediction(X)
+        return W - P
+
+    def truth_prediction(self, X: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(window truth, reconstruction) from ONE window build and ONE
+        forward pass (round-8 advisory — see ARForecaster)."""
         W = self._windows(np.asarray(X, dtype=np.float64))
-        return W - self._ae.predict(W)
+        return W, self._ae.predict(W)
 
     def window_errors(self, X: np.ndarray) -> np.ndarray:
         return np.linalg.norm(self.residuals(X), axis=1)
@@ -643,14 +662,18 @@ class DiffBasedAnomalyDetector(_Base):
             est = model.final_estimator
         else:
             Xs, est = np.asarray(X, dtype=np.float64), model
+        # Forecast / windowed-AE bases emit one row per WINDOW, not per
+        # input row (reference wraps LSTM models in this detector too) —
+        # their combined accessor returns the aligned (truth, pred) pair
+        # from a single window build + forward pass (round-8 advisory:
+        # the old predict-then-residuals pairing ran the model forward
+        # twice inside every scoring island).
+        if hasattr(est, "truth_prediction"):
+            return est.truth_prediction(Xs)
         pred = est.predict(Xs)
         if pred.shape == Xs.shape:
             return Xs, pred
-        # Forecast / windowed-AE bases emit one row per WINDOW, not per
-        # input row (reference wraps LSTM models in this detector too) —
-        # recover the aligned truth from the estimator's own residual
-        # accessor instead of raising a shape error on a valid config.
-        if hasattr(est, "residuals"):
+        if hasattr(est, "residuals"):  # third-party windowed estimators
             return pred + est.residuals(Xs), pred
         raise ValueError(
             f"{type(est).__name__}.predict returned shape {pred.shape} for "

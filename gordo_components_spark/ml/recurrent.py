@@ -229,13 +229,21 @@ class LSTMAutoEncoder(_Base):
         m, lb, d = R.shape
         return R.reshape(m, lb * d)
 
-    def window_errors(self, X: np.ndarray) -> np.ndarray:
+    def truth_prediction(self, X: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(flattened raw windows, reconstruction) with ONE forward pass
+        — the combined accessor the anomaly detector scores through
+        (round-8 advisory; also closes the gap where wrapping this class
+        in DiffBasedAnomalyDetector raised for want of a residuals())."""
         X = np.asarray(X, dtype=np.float64)
         # ground truth straight from the raw windows — the old
         # scale-then-unscale roundtrip reintroduced ~1-ulp noise into
         # y_true for no reason (review r6)
         W = self._windows(X).reshape(-1, self.lookback_window * X.shape[1])
-        return np.linalg.norm(W - self.predict(X), axis=1)
+        return W, self.predict(X)
+
+    def window_errors(self, X: np.ndarray) -> np.ndarray:
+        W, P = self.truth_prediction(X)
+        return np.linalg.norm(W - P, axis=1)
 
     def score(self, X: np.ndarray, y=None) -> float:
         X = np.asarray(X, dtype=np.float64)
@@ -390,9 +398,16 @@ class LSTMForecaster(_Base):
         the documented drop-in interchangeability of the three forecast
         backends (review r6: the lstm face would AttributeError where
         the linear/MLP faces worked)."""
+        Y, P = self.truth_prediction(X)
+        return Y - P
+
+    def truth_prediction(self, X: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(targets, forecasts) with ONE forward pass — the combined
+        accessor the anomaly detector scores through (round-8
+        advisory; same contract as ARForecaster)."""
         X = np.asarray(X, dtype=np.float64)
         _, Y = self._windows(X)
-        return Y - self.predict(X)
+        return Y, self.predict(X)
 
     def score(self, X: np.ndarray, y=None) -> float:
         X = np.asarray(X, dtype=np.float64)

@@ -215,13 +215,18 @@ def join_asof_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
     ), ordered AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
       FROM e
     ), numbered AS (
-      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      -- (ts, event_id) tiebreak matches the lag order above: with
+      -- duplicate (user_id, ts) rows at a session boundary an
+      -- arbitrary tie order could place a 0-flag row before its
+      -- 1-flag twin and shift the session assignment (unique-tiebreak
+      -- convention, round-8 advisory)
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
       FROM ordered
     ), sessions AS (

@@ -465,6 +465,12 @@ def pipe_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         corpus.crossJoin(F.broadcast(bench_fold))
+        # empty-benchmark guard (round-8 advisory): with zero benchmark
+        # vectors the fold would bottom out at mc = -1.0 and keep every
+        # row, while the oracle's cross join yields zero rows — match
+        # the oracle (an empty benchmark means "nothing to screen
+        # against", and an empty result is the loud version of that)
+        .where(F.size("barr") > 0)
         .withColumn("mc", max_cos)
         .select(
             "vec_id",
@@ -1320,10 +1326,18 @@ def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pipe_split_leakage_safe",
     oracle=f"""
-    WITH RECURSIVE doubled AS (
+    WITH RECURSIVE o AS (
+      -- clone-id offset: smallest power of 10 above max(doc_id), via the
+      -- decimal string length — integer-exact, engine-identical, and
+      -- corpus-derived so clone ids can never collide with real ids at
+      -- any corpus size (round-8 advisory: a fixed 1000000 collides past
+      -- 1M docs and both engines would share the bug silently)
+      SELECT CAST('1' || repeat('0', length(CAST(MAX(doc_id) AS VARCHAR))) AS BIGINT) AS off
+      FROM documents
+    ), doubled AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      SELECT doc_id + (SELECT off FROM o) AS doc_id, text FROM documents
     ), pairs AS (
       SELECT a.doc_id AS u, b.doc_id AS v
       FROM doubled a JOIN doubled b
@@ -1343,7 +1357,7 @@ def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN {_BUCKET_DUCK.format(key="CAST(component AS VARCHAR)")} < {_TRAIN_CUT} THEN 'train'
                 WHEN {_BUCKET_DUCK.format(key="CAST(component AS VARCHAR)")} < {_VAL_CUT} THEN 'val'
                 ELSE 'test' END AS split,
-           CAST(doc_id >= 1000000 AS BOOLEAN) AS is_clone
+           CAST(doc_id >= (SELECT off FROM o) AS BOOLEAN) AS is_clone
     FROM comp
     """,
 )
@@ -1374,8 +1388,20 @@ def pipe_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gordo_components_spark.operators.extensions_dedup import min_label_propagation
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    doubled = docs.unionByName(
-        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    # clone-id offset: smallest power of 10 above max(doc_id) — corpus-
+    # derived (round-8 advisory: a fixed constant collides once the
+    # corpus outgrows it, silently merging unrelated docs into one
+    # component in BOTH engines), integer-exact via the decimal string
+    # length, and a 1-row broadcast like every scalar fold in this repo
+    off_row = docs.agg(
+        F.expr(
+            "CAST(concat('1', repeat('0', length(CAST(max(doc_id) AS STRING))))"
+            " AS BIGINT)"
+        ).alias("off")
+    )
+    docs_o = docs.crossJoin(F.broadcast(off_row))
+    doubled = docs_o.select("doc_id", "text").unionByName(
+        docs_o.select((F.col("doc_id") + F.col("off")).alias("doc_id"), "text")
     )
     hashed = doubled.select("doc_id", F.md5("text").alias("h"))
     a, b = hashed.alias("a"), hashed.alias("b")
@@ -1390,12 +1416,12 @@ def pipe_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = min_label_propagation(labels, edges, max_iters=10)
     edges.unpersist()
     bucket = F.expr(_BUCKET_SPARK.format(key="CAST(component AS STRING)"))
-    return labels.select(
+    return labels.crossJoin(F.broadcast(off_row)).select(
         "doc_id",
         "component",
         F.when(bucket < _TRAIN_CUT, "train")
         .when(bucket < _VAL_CUT, "val")
         .otherwise("test")
         .alias("split"),
-        (F.col("doc_id") >= 1000000).alias("is_clone"),
+        (F.col("doc_id") >= F.col("off")).alias("is_clone"),
     )
