@@ -272,7 +272,13 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-broadcast plan guard in tests/test_plan_properties.py).
 
     Parity: interval bounds are µs-truncated timestamps compared as
-    identical instants in both engines; no float anywhere."""
+    identical instants in both engines; no float anywhere.  The closing
+    ``distinct()`` collapses exactly the multi-day join copies and
+    nothing else (round-8 review): per machine, sessions are disjoint
+    (groupBy output) and two gap rows can never share both bounds —
+    each consecutive-pair lag position is unique in the per-machine
+    total order — so no two genuinely different result pairs carry
+    equal column values."""
     ev = load_table(spark, sf_dir, "events")
     sessions = (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))

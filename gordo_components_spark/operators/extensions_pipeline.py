@@ -1383,7 +1383,15 @@ def pipe_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: everything is the components face's cost (hash-pair
     join + diameter-bounded label propagation) plus one codegen'd split
     expression — no new shuffle; the split stays reproducible across
-    runs, engines, and cluster sizes like every bucket-hash face."""
+    runs, engines, and cluster sizes like every bucket-hash face.
+
+    Iteration bound (round-8 review): the pair join emits EVERY
+    ``a.doc_id < b.doc_id`` pair within a hash group and each doc has
+    exactly one hash, so components are disjoint CLIQUES — diameter 1,
+    min-label propagation converges in one sweep plus the fixpoint
+    check, far inside ``max_iters=10``; and ``min_label_propagation``
+    RAISES rather than returning partial components if a future edge
+    source ever exceeds the bound."""
     from gordo_components_spark.caches import persist_tracked
     from gordo_components_spark.operators.extensions_dedup import min_label_propagation
 

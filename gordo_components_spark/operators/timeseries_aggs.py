@@ -628,22 +628,35 @@ def agg_resample_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame
 
 # Seasonal-profile z: same integer-moment exactness contract as
 # window_spc_zscore (windows.py) — readings are 2-dp-exact so
-# v100 = round(value·100) is an exact integer, the per-(machine, tag,
-# hour-of-day) moments S1=Σv100, S2=Σv100² are exact bigints, and the
-# z expression over them (int→double conversion is correctly rounded,
-# sqrt is IEEE exact-rounded) is bit-identical across engines — no
-# rounding convention needed anywhere in this face.
+# v100 = round(value·100) is an exact integer and the per-(machine,
+# tag, hour-of-day) moments S1=Σv100, S2=Σv100² are exact integers.
+# Unlike the SPC face (whose frame length bounds n at the window size),
+# a SEASONAL group's n is unbounded — years of one sensor's readings —
+# and the variance products overflow int64 early: s1² wraps once
+# n·v100 > 3·10⁹ (~54k rows/group at 4-digit readings), where Spark
+# wraps SILENTLY and DuckDB raises (round-8 review).  S2's sum and
+# both products therefore route through DECIMAL — widths chosen so
+# every engine types the products at ≤ DECIMAL(38,0): exact to
+# n ≤ 10¹⁰ rows/group and v100 ≤ 10⁶ (three decades past any real
+# per-hod series).  At the checked SFs every decimal value is < 2⁵³,
+# so the DECIMAL→DOUBLE conversion is exact and bit-identical across
+# engines (CLAUDE.md failure mode (a) cannot trigger); sqrt is IEEE
+# exact-rounded — still no rounding convention needed in this face.
 _SEAS_W = "PARTITION BY user_id, event_type, hod"
 _SEAS_MOMENTS = (
     ("n", f"CAST(count(*) OVER ({_SEAS_W}) AS BIGINT)"),
     ("s1", f"CAST(sum(v100) OVER ({_SEAS_W}) AS BIGINT)"),
-    ("s2", f"CAST(sum(v100 * v100) OVER ({_SEAS_W}) AS BIGINT)"),
+    ("s2", f"sum(CAST(v100 * v100 AS DECIMAL(28,0))) OVER ({_SEAS_W})"),
+)
+_SEAS_VARN = (
+    "CAST(n AS DECIMAL(11,0)) * CAST(s2 AS DECIMAL(27,0))"
+    " - CAST(s1 AS DECIMAL(19,0)) * CAST(s1 AS DECIMAL(19,0))"
 )
 _SEAS_Z = (
-    "CASE WHEN n * s2 - s1 * s1 > 0 THEN "
+    f"CASE WHEN {_SEAS_VARN} > 0 THEN "
     "CAST(v100 * n - s1 AS DOUBLE) "
-    "* sqrt(CAST(n * (n - 1) AS DOUBLE)) "
-    "/ (CAST(n AS DOUBLE) * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))) "
+    "* sqrt(CAST(CAST(n AS DECIMAL(19,0)) * CAST(n - 1 AS DECIMAL(19,0)) AS DOUBLE)) "
+    f"/ (CAST(n AS DOUBLE) * sqrt(CAST({_SEAS_VARN} AS DOUBLE))) "
     "ELSE NULL END"
 )
 

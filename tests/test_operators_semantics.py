@@ -427,3 +427,31 @@ def test_chunk_windows_cover_every_token_with_fixed_overlap(spark, sf_dir):
             want = toks[k * _CHUNK_STRIDE : k * _CHUNK_STRIDE + _CHUNK_SIZE]
             assert chunk_text == " ".join(want)
             assert n_chunk == len(want)
+
+
+def test_seasonal_z_exact_beyond_bigint_moment_overflow(spark):
+    # round-8 review: a seasonal group's n is unbounded, and with bigint
+    # moments s1*s1 wraps silently in Spark once n*v100 > 3e9.  The
+    # decimal-routed _SEAS_Z must agree with numpy at magnitudes where
+    # the old bigint products would have overflowed (here s1 ~ 2e10 so
+    # s1^2 ~ 4e20 > 2^63).
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from gordo_components_spark.operators.timeseries_aggs import (
+        _SEAS_MOMENTS,
+        _SEAS_Z,
+    )
+
+    rng = np.random.default_rng(7)
+    v100 = rng.integers(999_000, 1_001_000, size=20_000)  # s1 ≈ 2e10
+    df = spark.createDataFrame(
+        [(1, "t", 0, int(x)) for x in v100],
+        "user_id int, event_type string, hod int, v100 long",
+    )
+    m = df.select("*", *[F.expr(e).alias(a) for a, e in _SEAS_MOMENTS])
+    z = m.select("v100", F.expr(_SEAS_Z).alias("zval")).toPandas()
+    mu, sd = v100.mean(), v100.std(ddof=1)
+    want = (z["v100"].to_numpy() - mu) / sd
+    assert np.isfinite(z["zval"]).all()
+    np.testing.assert_allclose(z["zval"], want, rtol=1e-9)
