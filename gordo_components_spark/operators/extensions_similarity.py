@@ -190,15 +190,32 @@ _TFIDF_PAIR_SALT = 4  # max salt shards for one oversized block
 _TFIDF_BLOCK_CAP = 512  # postings per block before the salt kicks in
 
 
+_TFIDF_INDEX_THRESHOLD = 20_000  # corpus rows where the index persist + join pin pay off
+
+
 def _tfidf_similarity(
     spark: SparkSession,
     sf_dir: str,
     df_cap: tuple[int, int] | None = None,
     pair_salt: int = 1,
+    big_corpus: bool | None = None,
 ) -> DataFrame:
     """Shared TF-IDF pair-similarity core.  ``df_cap=(num, den)`` drops
     tokens with df_t · den > num · n_docs (standard max-df stop-word
     pruning — integer-exact, so DuckDB applies the identical cut);
+    ``big_corpus`` picks the pair-join strategy (None derives it from
+    the exact parquet-footer row count — the size estimate Catalyst
+    lacks here because the rounding + cache boundary hides its
+    statistics): a SMALL corpus's persisted index IS broadcastable and
+    Catalyst may build a broadcast hash table from the cache (measured
+    sf0.1: ~1.28 s vs 1.5–1.7 s pinned — the r4→r7 bench residual); a
+    LARGE corpus pins SHUFFLE_HASH so the corpus-growing postings side
+    is never a broadcast build (r7 mirror rule; plan-guarded with
+    ``big_corpus=True`` in tests/test_plan_properties.py, and the 10×
+    rehearsal corpus sits above the threshold so the pinned path is the
+    one measured for scale).  The index persist itself is unconditional
+    — see the inline note for the measured 2× penalty of rebuilding the
+    chain through a broadcast build.
     ``pair_salt=S`` enables SKEW-TARGETED pair-join sharding: blocks
     whose posting count exceeds ``_TFIDF_BLOCK_CAP`` get
     ``ceil(count/cap)`` (≤ S) salt shards — side a keyed by
@@ -228,6 +245,8 @@ def _tfidf_similarity(
     from gordo_components_spark.operators.extensions_corpus import _table_rows
 
     n_docs = _table_rows(sf_dir, "documents")
+    if big_corpus is None:
+        big_corpus = n_docs >= _TFIDF_INDEX_THRESHOLD
     idf_base = (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("df_t"))
@@ -250,7 +269,10 @@ def _tfidf_similarity(
     # persisted: the pair self-join otherwise re-runs the whole
     # tokenize → idf-join → norm-join chain (2 scans + 6 shuffles) once
     # per side; at scale this materialization is the inverted INDEX —
-    # built once, probed many times
+    # built once, probed many times (and measured at bench SF, skipping
+    # it only helps when the join ALSO stays unpinned — rebuilding the
+    # chain through a broadcast build is 2x worse than probing the
+    # cache: 2.6–3.6 s vs 1.5–1.7 s at sf0.1)
     wn = persist_tracked(
         w.join(norms, "doc_id").select(
             "doc_id", "source", "len_bucket", "token",
@@ -297,12 +319,13 @@ def _tfidf_similarity(
         cond = cond & (F.col("a.psalt") == F.col("b.psalt"))
     else:
         a, b = wn.alias("a"), wn.alias("b")
-    # SHUFFLE_HASH pinned: the postings index GROWS with the corpus, and
-    # once n_docs folds in as a literal its size estimate is concrete
-    # enough that Catalyst would happily broadcast it at bench SF —
-    # guarded in tests/test_plan_properties.py
+    # SHUFFLE_HASH pinned on big corpora: the postings index GROWS with
+    # the corpus, and once n_docs folds in as a literal its size
+    # estimate is concrete enough that Catalyst would happily broadcast
+    # it — guarded in tests/test_plan_properties.py.  A small corpus's
+    # index IS broadcastable and Catalyst may do so freely.
     dots = (
-        a.join(b.hint("SHUFFLE_HASH"), cond)
+        a.join(b.hint("SHUFFLE_HASH") if big_corpus else b, cond)
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.round(F.sum(F.col("a.wn") * F.col("b.wn")), 6).alias("cosine"))
     )

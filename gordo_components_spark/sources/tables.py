@@ -13,6 +13,8 @@ layout with identical code — only the path changes.
 
 from __future__ import annotations
 
+import os
+import weakref
 from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -52,6 +54,45 @@ def _normalize_events_ts(df: DataFrame, ts_type: str | None) -> DataFrame:
     return df
 
 
+# Relation cache: (session identity, path, file fingerprint) → logical
+# plan.  Every ``spark.read.parquet`` pays ~0.1 s of driver-side py4j +
+# file-listing + schema-read latency, repeated for every query that
+# touches the table — the same reason Spark's catalog caches resolved
+# relations for named tables.  The fingerprint is the file's (mtime_ns,
+# size) — or the child listing for a partitioned directory — so a
+# driver-regenerated fixture under the same basename invalidates the
+# entry (the CLAUDE.md stale-replica rule: a stat fingerprint is
+# strictly stronger than footer row counts, which a regenerated
+# same-shape fixture preserves).  Session identity is a weakref-checked
+# object id: a stopped/replaced SparkSession never serves a stale plan.
+_RELATION_CACHE: dict[tuple, tuple] = {}
+
+
+def _path_fingerprint(path: str):
+    st = os.stat(path)
+    if os.path.isdir(path):
+        kids = tuple(
+            sorted(
+                (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                for e in os.scandir(path)
+            )
+        )
+        return (st.st_mtime_ns, kids)
+    return (st.st_mtime_ns, st.st_size)
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    key = (id(spark), path, _path_fingerprint(path))
+    hit = _RELATION_CACHE.get(key)
+    if hit is not None and hit[0]() is spark:
+        return hit[1]
+    df = spark.read.parquet(path)
+    if len(_RELATION_CACHE) > 256:  # dead-session / regenerated entries
+        _RELATION_CACHE.clear()
+    _RELATION_CACHE[key] = (weakref.ref(spark), df)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table, normalizing its schema for the engine.
 
@@ -66,7 +107,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       ``array<double>`` once here so all downstream math is double.
     """
     prepare(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = _read_parquet(spark, f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = _normalize_events_ts(df, dict(df.dtypes).get("ts"))
     if name == "embeddings":
@@ -120,7 +161,7 @@ def load_events_in_range(
     offset-bearing ones are converted.
     """
     prepare(spark)
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = _read_parquet(spark, f"{sf_dir}/events.parquet")
     ts_type = dict(df.dtypes).get("ts")
     raw_is_long = ts_type == "bigint"
 

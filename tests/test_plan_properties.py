@@ -350,7 +350,37 @@ def test_tfidf_capped_no_cartesian(spark, sf_dir):
     # block key: a CartesianProduct/BNLJ regression here is quadratic
     plan = plan_of(spark, "ext_tfidf_similar_capped", sf_dir)
     assert "CartesianProduct" not in plan
-    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_tfidf_big_corpus_pins_shuffle_hash_and_persists(spark, sf_dir):
+    # round-8 adaptive index strategy: above the footer-rows threshold
+    # the postings index must persist (built once, probed twice) and the
+    # pair join must stay SHUFFLE_HASH — the corpus-growing side is
+    # never a broadcast build (r7 mirror rule).  The fixture is below
+    # the threshold, so force the big-corpus path for the shape check
+    # (the 10x rehearsal corpus is above it and measures this path).
+    import io
+    import contextlib
+
+    from gordo_components_spark.operators.extensions_similarity import (
+        _TFIDF_DF_CAP,
+        _TFIDF_PAIR_SALT,
+        _tfidf_similarity,
+    )
+
+    for kw in ({}, {"df_cap": _TFIDF_DF_CAP, "pair_salt": _TFIDF_PAIR_SALT}):
+        df = _tfidf_similarity(spark, sf_dir, big_corpus=True, **kw)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "ShuffledHashJoin" in plan, kw
+        assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, kw
+        assert "CartesianProduct" not in plan, kw
+        # the persisted postings index must never be the broadcast build
+        # side of the pair join (broadcasts before the SHJ in the tree)
+        head = plan.split("ShuffledHashJoin")[0]
+        assert "BroadcastExchange" not in head, kw
 
 
 def test_tpch_q6_full_pushdown_and_core_trio_shapes(spark, sf_dir):
