@@ -368,3 +368,103 @@ def ml_drift_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_fshift_expr(folded)).alias("drift_score"),
         F.expr(f"({folded} > 0.05)").alias("needs_rebuild"),
     )
+
+
+# Exact two-sample Kolmogorov–Smirnov drift (the distribution-free
+# companion to the binned chi-square faces above — 10 fixed bins can
+# hide a shape shift inside one bin; KS compares the FULL empirical
+# CDFs).  D = max_x |F_train(x) − F_serve(x)| evaluated at every
+# observed value.  Scale shape: never a per-row sort — the 2-dp-exact
+# readings collapse to a per-(tag, v100) count HISTOGRAM (combinable
+# groupBy; the integer value domain caps per-tag cardinality regardless
+# of row count, the pipe_quality_trim pass-1 pattern), the ECDFs are
+# cumulative windows over THAT histogram, and the closing per-tag max
+# reuses the same partitioning (no second exchange).  Exactness: the
+# supremum is found on the integer numerator |cum_t·n_s − cum_s·n_t|
+# (≤ n_t·n_s < 2⁶³ to ~3·10⁹ rows per side per tag) — no float ever
+# decides the argmax or the drift flag (10·ks_num > n_t·n_s is the
+# cross-multiplied D > 0.1); only the report ratio is floor-shifted.
+_KS_W = "PARTITION BY event_type"
+_KS_CUM = f"{_KS_W} ORDER BY v100 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+
+
+@register(
+    "ml_drift_ks",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type,
+             CASE WHEN CAST(ts AS TIMESTAMP) < {_DRIFT_SPLIT} THEN 1 ELSE 0 END AS is_train,
+             CAST(round(value * 100) AS BIGINT) AS v100
+      FROM events
+    ), h AS (
+      SELECT event_type, v100,
+             CAST(SUM(is_train) AS BIGINT) AS c_train,
+             CAST(SUM(1 - is_train) AS BIGINT) AS c_serve
+      FROM e GROUP BY event_type, v100
+    ), w AS (
+      SELECT event_type, v100,
+             SUM(c_train) OVER ({_KS_CUM}) AS cum_t,
+             SUM(c_serve) OVER ({_KS_CUM}) AS cum_s,
+             SUM(c_train) OVER ({_KS_W}) AS n_train,
+             SUM(c_serve) OVER ({_KS_W}) AS n_serve
+      FROM h
+    )
+    SELECT event_type,
+           CAST(MAX(n_train) AS BIGINT) AS n_train,
+           CAST(MAX(n_serve) AS BIGINT) AS n_serve,
+           CAST(MAX(abs(cum_t * n_serve - cum_s * n_train)) AS BIGINT) AS ks_num,
+           {_fshift('CAST(MAX(abs(cum_t * n_serve - cum_s * n_train)) AS DOUBLE)'
+                    ' / (CAST(MAX(n_train) AS DOUBLE) * CAST(MAX(n_serve) AS DOUBLE))',
+                    'ks_stat')},
+           (MAX(abs(cum_t * n_serve - cum_s * n_train)) * 10
+              > MAX(n_train) * MAX(n_serve)) AS drifted
+    FROM w
+    GROUP BY event_type
+    HAVING MAX(n_train) > 0 AND MAX(n_serve) > 0
+    """,
+)
+def ml_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS drift per tag between the train and serve
+    windows (shared ``_DRIFT_SPLIT``) — the watchman check for shape
+    shifts the binned ``ml_drift_score`` can miss, with the rebuild
+    flag decided by integer cross-multiplication (D > 0.1), never a
+    float compare.  See the block comment for the histogram-windowed
+    scale shape (corpus is never sorted; ECDF windows ride the compact
+    per-(tag, v100) histogram; one exchange end to end)."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.expr(f"CASE WHEN ts < {_DRIFT_SPLIT} THEN 1 ELSE 0 END").alias("is_train"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v100"),
+    )
+    h = e.groupBy("event_type", "v100").agg(
+        F.expr("CAST(SUM(is_train) AS BIGINT)").alias("c_train"),
+        F.expr("CAST(SUM(1 - is_train) AS BIGINT)").alias("c_serve"),
+    )
+    w = h.select(
+        "event_type",
+        "v100",
+        F.expr(f"SUM(c_train) OVER ({_KS_CUM})").alias("cum_t"),
+        F.expr(f"SUM(c_serve) OVER ({_KS_CUM})").alias("cum_s"),
+        F.expr(f"SUM(c_train) OVER ({_KS_W})").alias("n_train"),
+        F.expr(f"SUM(c_serve) OVER ({_KS_W})").alias("n_serve"),
+    )
+    d_num = "abs(cum_t * n_serve - cum_s * n_train)"
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.expr("CAST(MAX(n_train) AS BIGINT)").alias("n_train"),
+            F.expr("CAST(MAX(n_serve) AS BIGINT)").alias("n_serve"),
+            F.expr(f"CAST(MAX({d_num}) AS BIGINT)").alias("ks_num"),
+            F.expr(
+                _fshift_expr(
+                    f"CAST(MAX({d_num}) AS DOUBLE)"
+                    " / (CAST(MAX(n_train) AS DOUBLE) * CAST(MAX(n_serve) AS DOUBLE))"
+                )
+            ).alias("ks_stat"),
+            F.expr(
+                f"(MAX({d_num}) * 10 > MAX(n_train) * MAX(n_serve))"
+            ).alias("drifted"),
+        )
+        .where((F.col("n_train") > 0) & (F.col("n_serve") > 0))
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from gordo_components_spark.operators.relational import _fshift, _fshift_expr
 from gordo_components_spark.registry import register
 from gordo_components_spark.sources.tables import load_table
 
@@ -401,4 +402,109 @@ def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(ntile(4) OVER ({w}) AS BIGINT)").alias("quartile"),
         F.expr(f"percent_rank() OVER ({w})").alias("pct_rank"),
         F.expr(f"cume_dist() OVER ({w})").alias("cume"),
+    )
+
+
+# CUSUM change-point detection (Page 1954) — the sequential test SPC
+# charts graduate to when single-reading z-scores miss slow drifts:
+# S_t = max(0, S_{t-1} + (x_t − μ − k)) accumulates small persistent
+# excesses and alarms when S_t crosses h.  The recurrence LOOKS
+# inherently sequential, but unrolls exactly to
+#   S_t = cum_t − min(0, min_{j≤t} cum_j)      with cum = Σ(x−μ−k),
+# a running sum minus its running minimum — two stock window aggregates
+# over one partition order, fully distributed (the classic max-plus /
+# prefix-scan decomposition).  Exactness: with μ = s1/n rational,
+# multiply the increment through by n:  d_t = n·(v100_t − K100) − s1 is
+# an exact bigint (≤ n·v100 ≈ 10¹⁵ at 10⁹ rows and 4-digit readings);
+# the running sum routes through DECIMAL (n·|d| can pass 2⁶³) and stays
+# < 2⁵³ at checked SFs, so the closing DECIMAL→DOUBLE report cast is
+# bit-identical across engines.  The alert compare is decimal-exact:
+# S > n²·H100 in the same scaled units (never a float threshold).
+_CUSUM_K100 = 10  # slack k = 0.10 value-units (×100 scale)
+_CUSUM_H100 = 5000  # alarm h = 50.00 cumulative value-units (×100 scale)
+_CUSUM_P = "PARTITION BY user_id, event_type"
+_CUSUM_O = f"{_CUSUM_P} ORDER BY ts, event_id"
+_CUSUM_BASE = (
+    f"CAST(count(*) OVER ({_CUSUM_P}) AS BIGINT) AS n, "
+    f"CAST(sum(v100) OVER ({_CUSUM_P}) AS BIGINT) AS s1"
+)
+_CUSUM_CUM = (
+    f"sum(CAST(n * (v100 - {_CUSUM_K100}) - s1 AS DECIMAL(18,0)))"
+    f" OVER ({_CUSUM_O} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+
+
+@register(
+    "window_cusum_alerts",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value,
+             CAST(round(value * 100) AS BIGINT) AS v100
+      FROM events
+    ), m AS (
+      SELECT *, {_CUSUM_BASE} FROM v
+    ), c AS (
+      SELECT *, {_CUSUM_CUM} AS cum FROM m
+    ), s AS (
+      SELECT *, cum - LEAST(CAST(0 AS DECIMAL(18,0)),
+                            MIN(cum) OVER ({_CUSUM_O} ROWS BETWEEN
+                              UNBOUNDED PRECEDING AND CURRENT ROW)) AS sc
+      FROM c
+    )
+    SELECT event_id, user_id, event_type, value,
+           {_fshift(f"CAST(sc AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)", "cusum")},
+           (sc > CAST(n AS DECIMAL(19,0)) * {_CUSUM_H100}) AS is_alert
+    FROM s
+    """,
+)
+def window_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift alarms per (machine, tag): the sequential
+    change-point detector that catches slow persistent upward drifts a
+    per-reading Shewhart/z rule never flags (its one-sided positive
+    form; the mirrored negative side is the same algebra on −v100).
+    ``cusum`` is the accumulated excess above the series mean (value
+    units); ``is_alert`` fires when it crosses 50.00 units.
+
+    Spark-first shape: the sequential recurrence unrolls to
+    running-sum − running-min (see block comment) — THREE window
+    aggregates sharing ONE (machine, tag) exchange and one partition
+    sort, the same per-series pattern as every O22–O25 face; nothing
+    iterative, nothing driver-side, embarrassingly parallel across
+    series at 100 TB.  Integer/decimal exactness end to end — the only
+    doubles are the final report division (floor-shifted) and none of
+    the ALERT algebra is float."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        "value",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v100"),
+    )
+    m = v.select(
+        "*",
+        F.expr(f"CAST(count(*) OVER ({_CUSUM_P}) AS BIGINT)").alias("n"),
+        F.expr(f"CAST(sum(v100) OVER ({_CUSUM_P}) AS BIGINT)").alias("s1"),
+    )
+    c = m.select("*", F.expr(_CUSUM_CUM).alias("cum"))
+    runmin = (
+        f"MIN(cum) OVER ({_CUSUM_O} ROWS BETWEEN UNBOUNDED PRECEDING"
+        " AND CURRENT ROW)"
+    )
+    s = c.select(
+        "*",
+        F.expr(
+            f"cum - LEAST(CAST(0 AS DECIMAL(18,0)), {runmin})"
+        ).alias("sc"),
+    )
+    return s.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.expr(
+            _fshift_expr("CAST(sc AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)")
+        ).alias("cusum"),
+        F.expr(f"(sc > CAST(n AS DECIMAL(19,0)) * {_CUSUM_H100})").alias("is_alert"),
     )

@@ -455,3 +455,67 @@ def test_seasonal_z_exact_beyond_bigint_moment_overflow(spark):
     want = (z["v100"].to_numpy() - mu) / sd
     assert np.isfinite(z["zval"]).all()
     np.testing.assert_allclose(z["zval"], want, rtol=1e-9)
+
+
+def test_cusum_matches_sequential_reference(spark, sf_dir):
+    # the max-plus prefix decomposition must agree with the literal
+    # Page-recurrence run sequentially in python for every series
+    import numpy as np
+
+    from gordo_components_spark.operators.windows import _CUSUM_K100
+    from gordo_components_spark.registry import load_all
+    from gordo_components_spark.sources.tables import load_table
+
+    got = (
+        load_all()["window_cusum_alerts"].fn(spark, sf_dir)
+        .toPandas()
+        .set_index("event_id")
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .toPandas()
+    )
+    n_alerts = 0
+    for (_, _), g in ev.groupby(["user_id", "event_type"]):
+        g = g.sort_values(["ts", "event_id"])
+        v100 = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        n, s1 = len(v100), int(v100.sum())
+        s = 0
+        for eid, x in zip(g["event_id"], v100):
+            s = max(0, s + (n * (int(x) - _CUSUM_K100) - s1))
+            want = s / (n * 100.0)
+            want = np.floor(want * 1e6 + 0.5) / 1e6
+            assert abs(got.loc[eid, "cusum"] - want) < 1e-12, eid
+            n_alerts += bool(got.loc[eid, "is_alert"])
+    assert n_alerts == int(got["is_alert"].sum())
+    assert 0 < n_alerts < len(got)  # the alarm is live but not trivial
+
+
+def test_ks_drift_matches_numpy_ecdf(spark, sf_dir):
+    # exact two-sample KS: sup |F1 - F2| over the merged sample, computed
+    # directly from sorted arrays
+    import numpy as np
+    import pandas as pd
+
+    from gordo_components_spark.registry import load_all
+    from gordo_components_spark.sources.tables import load_table
+
+    got = load_all()["ml_drift_ks"].fn(spark, sf_dir).toPandas()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "value")
+        .toPandas()
+    )
+    split = pd.Timestamp("2024-01-16 00:00:00")
+    for _, row in got.iterrows():
+        g = ev[ev["event_type"] == row["event_type"]]
+        a = np.sort(np.round(g.loc[g["ts"] < split, "value"].to_numpy() * 100))
+        b = np.sort(np.round(g.loc[g["ts"] >= split, "value"].to_numpy() * 100))
+        assert len(a) == row["n_train"] and len(b) == row["n_serve"]
+        xs = np.unique(np.concatenate([a, b]))
+        f1 = np.searchsorted(a, xs, side="right")
+        f2 = np.searchsorted(b, xs, side="right")
+        ks_num = int(np.max(np.abs(f1 * len(b) - f2 * len(a))))
+        assert ks_num == row["ks_num"]
+        assert bool(row["drifted"]) == (ks_num * 10 > len(a) * len(b))

@@ -522,3 +522,29 @@ def test_rehearsal_set_covers_every_join_bearing_query(spark, sf_dir):
     assert not offenders, (
         f"join-bearing queries missing from the 10x rehearsal set: {offenders}"
     )
+
+
+def test_cusum_single_exchange_no_single_partition(spark, sf_dir):
+    # three window aggregates must share ONE (machine, tag) exchange;
+    # no global single-partition window anywhere
+    plan = plan_of(spark, "window_cusum_alerts", sf_dir)
+    assert "SinglePartition" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 2  # one exchange, tree + details
+
+
+def test_ks_drift_windows_ride_histogram_not_corpus(spark, sf_dir):
+    # the ECDF windows must sort only the per-(tag, v100) HISTOGRAM:
+    # every Sort input is aggregated counts (no raw value/ts), and the
+    # closing per-tag max reuses the window partitioning
+    import re
+
+    plan = plan_of(spark, "ml_drift_ks", sf_dir)
+    assert "SinglePartition" not in plan
+    assert "Join" not in plan
+    sort_inputs = re.findall(
+        r"\n\(\d+\) Sort[^\n]*\nInput \[\d+\]: \[([^\]]*)\]", plan
+    )
+    assert sort_inputs, plan
+    for inp in sort_inputs:
+        assert "value" not in inp and "ts" not in inp
