@@ -10,6 +10,8 @@ on LSH-ish sign buckets — so no self-join is ever O(n²) over the corpus.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gordo_components_spark.caches import persist_tracked
@@ -315,6 +317,30 @@ _N_HASHES = 16
 _BAND_SIZE = 4
 
 
+def _band_buckets(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) LSH keys from a (doc_id, shingles) frame —
+    ONE definition shared by the batch MinHash face and the incremental
+    fuzzy-dedup index so the two can never drift apart.  All 16 minima
+    come from ONE aggregate pass over the shingle array (the 16 separate
+    array_min(transform(...)) form materializes 16 full hash arrays per
+    row; the fold keeps a 16-long accumulator instead — measured ~40%
+    faster, identical values: same xxhash64(s, i) inputs)."""
+    sig_expr = (
+        f"aggregate(shingles, "
+        f"array_repeat(cast(9223372036854775807 as bigint), {_N_HASHES}), "
+        f"(acc, s) -> zip_with(acc, sequence(0, {_N_HASHES - 1}), "
+        f"(m, i) -> least(m, xxhash64(s, i))))"
+    )
+    sigs = sh.select("doc_id", F.expr(sig_expr).alias("mins"))
+    band_hashes = [
+        F.xxhash64(*[F.col("mins")[band * _BAND_SIZE + j] for j in range(_BAND_SIZE)])
+        for band in range(_N_HASHES // _BAND_SIZE)
+    ]
+    return sigs.select(
+        "doc_id", F.posexplode(F.array(*band_hashes)).alias("band", "bucket")
+    )
+
+
 @register("ext_dedup_minhash", oracle=None, tags=("bench",))
 def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 MinHash+LSH near-dup (rows-only: hash permutations aren't
@@ -349,24 +375,7 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("shingles") > 0
         )
     )
-    # all 16 minima in ONE aggregate pass over the shingle array (the 16
-    # separate array_min(transform(...)) form materializes 16 full hash
-    # arrays per row; the fold keeps a 16-long accumulator instead —
-    # measured ~40% faster, identical values: same xxhash64(s, i) inputs)
-    sig_expr = (
-        f"aggregate(shingles, "
-        f"array_repeat(cast(9223372036854775807 as bigint), {_N_HASHES}), "
-        f"(acc, s) -> zip_with(acc, sequence(0, {_N_HASHES - 1}), "
-        f"(m, i) -> least(m, xxhash64(s, i))))"
-    )
-    sigs = sh.select("doc_id", F.expr(sig_expr).alias("mins"))
-    band_hashes = [
-        F.xxhash64(*[F.col("mins")[band * _BAND_SIZE + j] for j in range(_BAND_SIZE)])
-        for band in range(_N_HASHES // _BAND_SIZE)
-    ]
-    slim = sigs.select(
-        "doc_id", F.posexplode(F.array(*band_hashes)).alias("band", "bucket")
-    )
+    slim = _band_buckets(sh)
     a, b = slim.alias("a"), slim.alias("b")
     cand = (
         a.join(
@@ -642,4 +651,104 @@ def ext_dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("t") - F.coalesce(F.col("n_kept"), F.lit(0)))
         .cast("bigint")
         .alias("n_removed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental FUZZY dedup: nightly delta batch vs a persisted LSH index
+# ---------------------------------------------------------------------------
+
+_FUZZY_TAU = 0.7  # verified-Jaccard threshold for "near-dup of history"
+_FUZZY_ROOT = "/tmp/gordo_spark_fuzzy_index"
+
+
+def build_fuzzy_index(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted NEAR-DUP index over the historical corpus (doc_id%5!=0,
+    the same history fixture as ``build_dedup_index``): the band-bucket
+    LSH keys (partitioned by band — a probe prunes to its band's files)
+    plus the shingle sets the verify step needs.  Built ONCE per corpus
+    via ``materialized_cache`` (footer-fingerprinted, pid-tmp + atomic
+    replace — the stale-replica discipline), then only PROBED: history
+    is never re-shingled or re-scanned by the nightly face."""
+    from gordo_components_spark.caches import materialized_cache
+
+    def _build(tmp: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        sh = persist_tracked(
+            docs.where(F.col("doc_id") % 5 != 0)
+            .select("doc_id", F.expr(_SHINGLES).alias("shingles"))
+            .where(F.size("shingles") > 0)
+        )
+        _band_buckets(sh).repartition("band").write.mode("overwrite").partitionBy(
+            "band"
+        ).parquet(os.path.join(tmp, "buckets"))
+        sh.write.mode("overwrite").parquet(os.path.join(tmp, "shingles"))
+        sh.unpersist()
+
+    return materialized_cache(sf_dir, _FUZZY_ROOT, "index", "documents", _build)
+
+
+@register("pipe_dedup_incremental_fuzzy", oracle=None)
+def pipe_dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup — the fuzzy sibling of
+    ``pipe_dedup_incremental`` (which screens a delta batch against
+    history at exact-digest granularity): the nightly batch is shingled
+    and banded, its LSH keys probe the PERSISTED history band index,
+    and surviving candidate pairs are verified with exact Jaccard
+    against the index's stored shingle sets.  A batch doc is ``kept``
+    iff no history doc verifies at ≥ τ=0.7 — the screen that catches
+    re-crawls with boilerplate drift, which exact digests miss
+    entirely.
+
+    100 TB shape: history is never re-scanned (the index is built once
+    per corpus and probed by band-partition); every join against a
+    history-scale side is pinned SHUFFLE_HASH (the index GROWS with the
+    corpus — never a broadcast build; plan-guarded); candidates are a
+    vanishing fraction of batch×history, so the verify joins move only
+    (pair keys + the candidates' shingle sets).  Rows-only like every
+    MinHash face (hash permutations aren't oracle-reproducible);
+    tests/test_lsh_recall.py proves exact re-crawls are always caught
+    (identical shingles ⇒ identical signature ⇒ same buckets in every
+    band) and fresh docs survive."""
+    from gordo_components_spark.operators.extensions_corpus import _delta_batch
+
+    root = build_fuzzy_index(spark, sf_dir)
+    hist_buckets = spark.read.parquet(os.path.join(root, "buckets")).select(
+        F.col("doc_id").alias("hist_id"), "band", "bucket"
+    )
+    hist_sh = spark.read.parquet(os.path.join(root, "shingles")).select(
+        F.col("doc_id").alias("hist_id"), F.col("shingles").alias("hist_sh")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    batch = _delta_batch(docs).select("doc_id")
+    bsh = persist_tracked(
+        _delta_batch(docs)
+        .select("doc_id", F.expr(_SHINGLES).alias("shingles"))
+        .where(F.size("shingles") > 0)
+    )
+    cand = (
+        _band_buckets(bsh)
+        .join(hist_buckets.hint("SHUFFLE_HASH"), ["band", "bucket"])
+        .select("doc_id", "hist_id")
+        .dropDuplicates(["doc_id", "hist_id"])
+    )
+    jac = F.size(F.array_intersect("shingles", "hist_sh")).cast("double") / F.size(
+        F.array_union("shingles", "hist_sh")
+    )
+    verified = (
+        cand.join(bsh, "doc_id")
+        .join(hist_sh.hint("SHUFFLE_HASH"), "hist_id")
+        .select("doc_id", "hist_id", jac.alias("jac"))
+    )
+    per_doc = verified.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum((F.col("jac") >= _FUZZY_TAU).cast("bigint")).alias("n_matches"),
+        _fshift_col(F.max("jac")).alias("best_jaccard"),
+    )
+    return batch.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
+        F.coalesce("n_matches", F.lit(0)).cast("bigint").alias("n_matches"),
+        "best_jaccard",
+        (F.coalesce("n_matches", F.lit(0)) == 0).alias("kept"),
     )

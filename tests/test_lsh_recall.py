@@ -100,3 +100,40 @@ def test_rplsh_recall_at_10x_with_derived_k(spark):
     approx = {r["vec_id"] for r in reg["ext_ann_rplsh"].fn(spark, sf_dir).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"RP-LSH recall@10 at 10x = {recall}"
+
+
+def test_incremental_fuzzy_catches_recrawls_keeps_fresh(spark):
+    # exact re-crawls share the history doc's shingle set, hence its
+    # whole signature, hence every band bucket — recall on them is 1.0
+    # by construction, and the verify step must score them jaccard 1.0.
+    # A guaranteed-match recrawl is doc_id%7==0 whose ORIGINAL is in
+    # history (doc_id%5!=0); %35==0 originals are in the batch instead.
+    sf_dir = "/root/testdata/sf0.01"
+    out = (
+        load_all()["pipe_dedup_incremental_fuzzy"].fn(spark, sf_dir)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    guaranteed = [
+        i + 2000000
+        for i in range(0, 500, 7)
+        if i % 5 != 0  # original landed in history
+    ]
+    assert guaranteed, "fixture must contain history-backed recrawls"
+    for rid in guaranteed:
+        if rid not in out.index:  # shingle-less short doc: not banded
+            continue
+        row = out.loc[rid]
+        assert not row["kept"], rid
+        assert row["best_jaccard"] == 1.0, rid
+    # fresh docs are distinct texts: the vast majority must survive
+    fresh = out[out.index < 2000000]
+    assert (fresh["kept"].mean()) > 0.8
+    # determinism: a second run returns the identical frame
+    again = (
+        load_all()["pipe_dedup_incremental_fuzzy"].fn(spark, sf_dir)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert again.equals(out.sort_index())

@@ -548,3 +548,16 @@ def test_ks_drift_windows_ride_histogram_not_corpus(spark, sf_dir):
     assert sort_inputs, plan
     for inp in sort_inputs:
         assert "value" not in inp and "ts" not in inp
+
+
+def test_incremental_fuzzy_probes_index_never_broadcasts_history(spark, sf_dir):
+    # history band index + shingle store are corpus-scale: both probe
+    # joins must stay SHUFFLE_HASH (no history-side broadcast build),
+    # and history must come from the persisted index parquet, not a
+    # re-scan of documents (only the batch side scans the corpus)
+    plan = plan_of(spark, "pipe_dedup_incremental_fuzzy", sf_dir)
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    head = plan.split("ShuffledHashJoin")[0]
+    assert "BroadcastExchange" not in head
+    assert "buckets" in plan and "shingles" in plan  # index scans present

@@ -100,6 +100,9 @@ HEAVY = (
     "ext_lm_cross_entropy",  # bigram-vocab probe join
     "pipe_dedup_index_merge",  # digest-index merge join
     "tpch_q2",  # the 5-way part/supplier min-cost join
+    # round 8 new: delta batch vs persisted LSH index (band probe +
+    # shingle verify joins — history must never be rescanned)
+    "pipe_dedup_incremental_fuzzy",
 )
 
 # Join-bearing queries that are deliberately NOT rehearsed, with the
