@@ -160,6 +160,20 @@ def stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_stateful_ewma(spark, sf_dir)
 
 
+@register("stream_cusum_genuine", oracle=None)
+def stream_cusum_genuine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM change-point detection (rows-only): the serving
+    face of ``window_cusum_alerts`` — per-(machine, tag) accumulated
+    drift above a TRAIN-window baseline, integer-exact bigint state
+    carried across three forced micro-batches via
+    ``applyInPandasWithState``.  Single-batch parity vs a sequential
+    reference plus cross-batch state-carry counts are asserted in
+    tests/test_streaming.py."""
+    from gordo_components_spark.streaming.micro_batch import run_streaming_cusum
+
+    return run_streaming_cusum(spark, sf_dir)
+
+
 @register("stream_watermark_dedup", oracle=None)
 def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O37 streaming-native dedup within the watermark horizon (rows-only):

@@ -557,3 +557,120 @@ def run_streaming_session_agg(
     )
     name = f"stream_sess_{uuid.uuid4().hex[:8]}"
     return _run_to_memory(agg, name)
+
+
+def run_streaming_cusum(
+    spark: SparkSession, sf_dir: str, single_batch: bool = False
+) -> DataFrame:
+    """Streaming CUSUM change-point detector via ``applyInPandasWithState``
+    — the serving-side face of ``window_cusum_alerts``: a per-(machine,
+    tag) accumulated-excess statistic that SURVIVES across micro-batches
+    (state store), alarming when drift above a trained baseline mean
+    crosses the threshold.  The baseline is fitted from the train window
+    (the drift family's ``_DRIFT_SPLIT``) of the static table — the
+    trained-detector + live-stream split a real deployment has — and
+    travels as a driver dict (machines × tags: fixed cardinality, the
+    bounded-collect contract).
+
+    Semantics mirror the stateful-EWMA face: exact (ts, event_id) order
+    within a micro-batch, arrival order across batches (any real
+    stream's contract).  ``single_batch=True`` delivers the whole replay
+    as one batch, making the run byte-for-byte reproducible against a
+    sequential reference — the parity path tests/test_streaming.py
+    drives.  State is integer-exact: the Page recurrence runs on
+    s = max(0, s + bn·(v100 − k) − bs1) with bigint state (exact while
+    |s| < 2⁶³; a 100 TB deployment would widen the state field to a
+    string-encoded int, same algebra)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from gordo_components_spark.operators.model_sql import _DRIFT_SPLIT
+    from gordo_components_spark.operators.windows import _CUSUM_H100, _CUSUM_K100
+
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    base_rows = (
+        ev.where(F.expr(f"ts < {_DRIFT_SPLIT}"))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("bn"),
+            F.expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)").alias(
+                "bs1"
+            ),
+        )
+        .collect()
+    )
+    baseline = {(r["user_id"], r["event_type"]): (r["bn"], r["bs1"]) for r in base_rows}
+    src = _replay_dir(spark, sf_dir)
+    reader = spark.readStream.schema(_RAW_SCHEMA)
+    if not single_batch:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    stream = reader.parquet(src)
+
+    def update(key, pdfs, state: GroupState):
+        bn, bs1 = baseline.get((key[0], key[1]), (0, 0))
+        if state.exists:
+            s, n_seen, n_alerts = state.get
+        else:
+            s, n_seen, n_alerts = 0, 0, 0
+        chunks = list(pdfs)
+        rows = pd.concat(chunks) if chunks else pd.DataFrame()
+        if len(rows) and bn:
+            rows = rows.sort_values(["ts", "event_id"])
+            thr = bn * _CUSUM_H100
+            for v in rows["value"]:
+                d = bn * (int(round(v * 100)) - _CUSUM_K100) - bs1
+                s = max(0, s + d)
+                n_seen += 1
+                if s > thr:
+                    n_alerts += 1
+        elif len(rows):
+            n_seen += len(rows)  # cold key: no baseline, count only
+        state.update((int(s), int(n_seen), int(n_alerts)))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "event_type": key[1],
+                    "cusum": (s / (bn * 100.0)) if bn else None,
+                    "n_seen": n_seen,
+                    "n_alerts": n_alerts,
+                }
+            ]
+        )
+
+    out = stream.groupBy("user_id", "event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id bigint, event_type string, cusum double, "
+            "n_seen bigint, n_alerts bigint"
+        ),
+        stateStructType="s bigint, n_seen bigint, n_alerts bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    import shutil
+
+    name = f"stream_cusum_{uuid.uuid4().hex[:8]}"
+    chk = f"/tmp/gordo_spark_stream/chk/{name}"
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        q.awaitTermination()
+        full = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(chk, ignore_errors=True)
+    spark.catalog.dropTempView(name)
+    w = "PARTITION BY user_id, event_type ORDER BY n_seen DESC"
+    return (
+        full.withColumn("rn", F.expr(f"ROW_NUMBER() OVER ({w})"))
+        .where("rn = 1")
+        .drop("rn")
+    )

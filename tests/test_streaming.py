@@ -246,3 +246,63 @@ def test_session_window_stream_batch_parity(spark, sf_dir):
     got = set(zip(s["user_id"], s["session_start"]))
     want = set(zip(finalized["user_id"], finalized["session_start"]))
     assert want <= got
+
+
+def test_streaming_cusum_single_batch_matches_sequential(spark, sf_dir):
+    # single-batch delivery = exact (ts, event_id) order: the streaming
+    # state machine must agree with the literal Page recurrence run
+    # sequentially against the train-window baseline
+    from gordo_components_spark.operators.windows import _CUSUM_H100, _CUSUM_K100
+    from gordo_components_spark.sources.tables import load_table
+    from gordo_components_spark.streaming.micro_batch import run_streaming_cusum
+
+    import pandas as pd
+
+    got = (
+        run_streaming_cusum(spark, sf_dir, single_batch=True)
+        .toPandas()
+        .set_index(["user_id", "event_type"])
+        .sort_index()
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .toPandas()
+    )
+    split = pd.Timestamp("2024-01-16 00:00:00")
+    for (uid, et), g in ev.groupby(["user_id", "event_type"]):
+        tr = g[g["ts"] < split]
+        import numpy as np
+
+        bn, bs1 = len(tr), int(np.round(tr["value"].to_numpy() * 100).sum())
+        row = got.loc[(uid, et)]
+        if bn == 0:
+            assert row["n_seen"] == len(g) and pd.isna(row["cusum"])
+            continue
+        s = n_alerts = 0
+        for v in g.sort_values(["ts", "event_id"])["value"]:
+            s = max(0, s + bn * (int(round(v * 100)) - _CUSUM_K100) - bs1)
+            if s > bn * _CUSUM_H100:
+                n_alerts += 1
+        assert row["n_seen"] == len(g)
+        assert row["n_alerts"] == n_alerts, (uid, et)
+        assert abs(row["cusum"] - s / (bn * 100.0)) < 1e-12
+
+
+def test_streaming_cusum_state_carries_across_batches(spark, sf_dir):
+    # 3 forced micro-batches: the final per-key row must have seen every
+    # event (state survived), and alerts only ever accumulate
+    from gordo_components_spark.sources.tables import load_table
+    from gordo_components_spark.streaming.micro_batch import run_streaming_cusum
+
+    got = run_streaming_cusum(spark, sf_dir).toPandas()
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .count()
+        .toPandas()
+    )
+    merged = got.merge(want, on=["user_id", "event_type"], validate="one_to_one")
+    assert (merged["n_seen"] == merged["count"]).all()
+    assert (merged["n_alerts"] >= 0).all()
+    assert (merged["cusum"].dropna() >= 0).all()
