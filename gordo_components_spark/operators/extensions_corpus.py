@@ -662,18 +662,73 @@ def _sem_k_for(n_rows: int) -> int:
     return max(_SEM_K, -(-n_rows // _SEM_TARGET))
 
 
+def _stack64(col) -> "np.ndarray":  # noqa: F821 - numpy imported at call sites
+    """(n, dim) float64 matrix from an Arrow list column — np.vstack on
+    the ndarray elements Arrow hands back is a C loop; the old per-row
+    ``list(map(float, v))`` was ~10^8 interpreter calls at the 100x
+    rehearsal and dominated the semantic-dedup islands (round 8)."""
+    import numpy as np
+
+    vals = col.to_numpy()
+    if len(vals) == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    return np.vstack([np.asarray(v, dtype=np.float64) for v in vals])
+
+
+def _coarse_route_island(emb_v: "DataFrame", coarse: list, probe: int) -> "DataFrame":
+    """(vec_id, cell, v) rows for each vector's ``probe`` nearest coarse
+    cells — ONE BLAS matmul per Arrow batch instead of an n×c
+    crossJoin of interpreted zip_with folds plus an n·c-row
+    per-vector window (round-8 second-decade fix: the interpreted
+    routing's n·√k evaluations measured ratio 15.6 at 10×→100×; the
+    same flops in a batched matmul are throughput-bound).  The coarse
+    matrix is a CLOSURE: c = ceil(sqrt(k)) rows is driver-small at any
+    corpus size (it is the √ of the fine count).  Ranking is on
+    −2·x·c + ‖c‖² (per-vector ‖x‖² is rank-invariant) with a stable
+    argsort, so ties break toward the lower cell id exactly like the
+    (d², cell) window ordering it replaces."""
+    import numpy as np
+
+    C = np.asarray(coarse, dtype=np.float64)
+    Cn = (C * C).sum(1)
+    p = min(probe, len(C))
+
+    def route(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = _stack64(pdf["v"])
+            D = X @ C.T * -2.0 + Cn[None, :]
+            order = np.argsort(D, axis=1, kind="stable")[:, :p]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), p),
+                    "cell": order.astype(np.int32).ravel(),
+                    "v": [pdf["v"].iloc[i] for i in range(len(pdf)) for _ in range(p)],
+                }
+            )
+
+    return emb_v.mapInPandas(route, "vec_id long, cell int, v array<double>")
+
+
 def _sem_fit_hierarchical(
     spark: SparkSession, sf_dir: str, n_vecs: int, k: int, n_coarse: int
 ) -> dict:
     """Hierarchical centroid fit for the SemDeDup blocker, O(n*sqrt(k))
-    instead of a flat O(n*k) KMeans (which with k = n/target is
+    BLAS instead of a flat O(n*k) KMeans (which with k = n/target is
     quadratic — round 5's worst rehearsal ratio):
 
-    1. coarse: MLlib KMeans with c = ceil(sqrt(k)) cells over the full
-       corpus (c is genuinely driver-small even at 100 TB — sqrt of the
-       fine count).
-    2. assign each vector its single nearest coarse cell (broadcast of
-       the c coarse centers, O(n*sqrt(k))).
+    1. coarse: MLlib KMeans with c = ceil(sqrt(k)) cells over a
+       DETERMINISTIC hash-sample of the corpus capped at
+       max(100k, 200·c) rows (quantizers are trained on samples —
+       FAISS practice; a full-corpus MLlib fit at 100 TB would pay
+       n·c·iters for no quality gain.  At the checked SFs the cap
+       exceeds n, so the sample IS the corpus).
+    2. assign each vector its single nearest coarse cell via the
+       batched-matmul routing island (O(n*sqrt(k)) BLAS flops,
+       linear rows).
     3. fine: per-cell numpy Lloyd inside applyInPandas — each cell
        trains k_i ~ k * n_i / n centroids on at most _SEM_FIT_CAP
        deterministically-sampled cell members, so executor memory is
@@ -688,7 +743,9 @@ def _sem_fit_hierarchical(
     from pyspark.ml.functions import array_to_vector
 
     emb = load_table(spark, sf_dir, "embeddings")
-    feats = emb.select(
+    fit_cap = max(100_000, 200 * n_coarse)
+    samp_mod = max(1, n_vecs // fit_cap)
+    feats = emb.where(F.pmod(F.xxhash64("vec_id"), F.lit(samp_mod)) == 0).select(
         "vec_id",
         F.col("embedding").alias("v"),
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
@@ -696,28 +753,9 @@ def _sem_fit_hierarchical(
     coarse_model = KMeans(k=n_coarse, seed=7, maxIter=20).fit(feats)
     coarse = [[float(x) for x in c] for c in coarse_model.clusterCenters()]
 
-    cdf = spark.createDataFrame(
-        [(int(i), c) for i, c in enumerate(coarse)], "cell int, ccv array<double>"
-    )
-    csq = (
-        "aggregate(zip_with(v, ccv, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
-        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-    )
-    from pyspark.sql import Window
-
-    routed = (
-        emb.select("vec_id", F.col("embedding").alias("v"))
-        .crossJoin(F.broadcast(cdf))
-        .withColumn("cd2", F.expr(csq))
-        .withColumn(
-            "crn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.col("cd2").asc(), F.col("cell").asc())
-            ),
-        )
-        .where(F.col("crn") == 1)
-        .select("cell", "vec_id", "v")
-    )
+    routed = _coarse_route_island(
+        emb.select("vec_id", F.col("embedding").alias("v")), coarse, probe=1
+    ).select("cell", "vec_id", "v")
 
     def lloyd_cell(pdf):
         import pandas as pd
@@ -725,7 +763,7 @@ def _sem_fit_hierarchical(
         # group order is nondeterministic: sort before seeding
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         cell = int(pdf["cell"].iloc[0])
-        X = np.asarray([list(map(float, v)) for v in pdf["v"]], dtype=np.float64)
+        X = _stack64(pdf["v"])
         n_raw = len(X)
         rng = np.random.RandomState(7 + cell)
         if n_raw > _SEM_FIT_CAP:
@@ -783,18 +821,28 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape — TWO-LEVEL routing, because k must scale with the
     corpus (``_sem_k_for``) and a flat vector x all-k-centroids
     crossJoin is therefore O(n*k) = O(n^2/target), quadratic (the
-    round-5 rehearsal measured ratio 8.3).  Instead the k fine
-    centroids are grouped under c = ceil(sqrt(k)) coarse cells, fitted
-    hierarchically (coarse MLlib KMeans over the corpus, then a
-    per-cell numpy Lloyd inside applyInPandas — total fit work
-    O(n*sqrt(k)*iter), never O(n*k*iter)):
+    round-5 rehearsal measured ratio 8.3).  The k fine centroids are
+    grouped under c = ceil(sqrt(k)) coarse cells, fitted
+    hierarchically (sampled coarse MLlib KMeans, then a per-cell numpy
+    Lloyd inside applyInPandas — total fit work O(n*sqrt(k)) BLAS,
+    never O(n*k*iter)):
 
-    * routing: each vector crossJoins only the c coarse centers
-      (broadcast, O(n*sqrt(k))), keeps its _SEM_PROBE nearest cells,
-      then equi-joins the broadcast fine table ON the cell id — so it
-      ranks only ~probe*k/c fine centroids, O(n*sqrt(k)) total.  No
-      corpus-x-k nested-loop join exists anywhere in the plan
-      (guarded in tests/test_plan_properties.py).
+    * routing (round-8 second-decade fix — the previous interpreted
+      crossJoin+window routing measured 10x->100x ratio 15.6; the
+      n*sqrt(k) term must be BLAS, not per-row exprs): a mapInPandas
+      island matmuls each Arrow batch against the sqrt(k)-row coarse
+      matrix (a closure — driver-small at any corpus size) and emits
+      the _SEM_PROBE nearest cells; fine ranking is a cogroup island
+      per (cell, shard) — the k-row fine table stays DISTRIBUTED
+      (never a closure/broadcast: k scales with the corpus), each
+      cell's ~sqrt(k) centroids meet their routed vectors in bounded
+      Arrow groups (the shard key caps per-task vectors at ~50k;
+      replicating sqrt(k) centroid rows per shard is a vanishing row
+      fraction), and each group pre-reduces to its per-vector top-m,
+      so the global top-m window sees <= probe*m rows per vector.
+      Row volumes are linear in n everywhere; the n*sqrt(k) flops ride
+      batched matmuls.  No corpus-x-k nested-loop join exists anywhere
+      in the plan (guarded in tests/test_plan_properties.py).
     * pair mining shuffles the n*m assignment rows on fine-cluster id
       into a per-cluster BLAS island (one numpy matmul per bounded
       cluster), so pair volume stays ~(m^2 * target / 2) * n — linear
@@ -815,7 +863,7 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k": k,
         "c": n_coarse,
         "seed": 7,
-        "v": 2,
+        "v": 3,  # r8: island routing + sampled coarse fit
     }
     art = _artifact_cache(
         "semcent",
@@ -823,52 +871,91 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp,
         lambda: _sem_fit_hierarchical(spark, sf_dir, n_vecs, k, n_coarse),
     )
-    coarse = spark.createDataFrame(
-        [(int(i), c) for i, c in enumerate(art["coarse"])],
-        "cell int, ccv array<double>",
-    )
     fine = spark.createDataFrame(
         [(int(i), int(cell), cv) for i, (cell, cv) in enumerate(art["fine"])],
         "cluster int, cell int, cv array<double>",
     )
-    csqdist = (
-        "aggregate(zip_with(v, ccv, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
-        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    # coarse routing: batched-matmul island (see _coarse_route_island —
+    # the r8 second-decade fix; the coarse matrix is a sqrt(k)-row
+    # closure, never a join side)
+    routed = _coarse_route_island(
+        emb.select("vec_id", F.col("embedding").alias("v")), art["coarse"], _SEM_PROBE
     )
-    sqdist = (
-        "aggregate(zip_with(v, cv, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
-        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    # fine ranking: cogroup island per (cell, shard) — the fine table
+    # stays DISTRIBUTED (k = n/target scales with the corpus; a closure
+    # or forced broadcast dies past driver RAM), each cell's ~sqrt(k)
+    # centroids meet their routed vectors in bounded Arrow groups, and
+    # the shard key caps a task's vector count: replicating sqrt(k)
+    # centroid rows per 50k-vector shard adds a vanishing row fraction,
+    # while per-task flops stay ~50k*sqrt(k)*dim BLAS.  Each group emits
+    # only its per-vector top-m, so the global-window input is <=
+    # probe*m rows per vector — linear, never n*sqrt(k) rows.
+    nshards = max(1, math.ceil(n_vecs * _SEM_PROBE / (n_coarse * 50_000)))
+    routed_s = routed.withColumn(
+        "shard", F.pmod(F.xxhash64("vec_id"), F.lit(nshards)).cast("int")
     )
-    routed = (
-        emb.select("vec_id", F.col("embedding").alias("v"))
-        .crossJoin(F.broadcast(coarse))  # c = ceil(sqrt(k)) rows only
-        .withColumn("cd2", F.expr(csqdist))
-        .withColumn(
-            "crn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.col("cd2").asc(), F.col("cell").asc())
-            ),
+    fine_s = fine.crossJoin(
+        spark.range(nshards).select(F.col("id").cast("int").alias("shard"))
+    )
+
+    def rank_fine(key, routed_pdf, fine_pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype="int64"),
+                "cluster": pd.Series(dtype="int32"),
+                "score": pd.Series(dtype="float64"),
+            }
         )
-        .where(F.col("crn") <= _SEM_PROBE)
-        .select("vec_id", "cell", "v")
+        if not len(routed_pdf) or not len(fine_pdf):
+            return empty
+        fine_pdf = fine_pdf.sort_values("cluster").reset_index(drop=True)
+        C = _stack64(fine_pdf["cv"])
+        clusters = fine_pdf["cluster"].to_numpy()
+        X = _stack64(routed_pdf["v"])
+        # rank on -2 x.c + |c|^2: per-vector |x|^2 is rank-invariant and
+        # cancels in the cross-cell global window too (same |x|^2 there)
+        D = X @ C.T * -2.0 + (C * C).sum(1)[None, :]
+        m = min(_SEM_M, len(clusters))
+        order = np.argsort(D, axis=1, kind="stable")[:, :m]  # ties -> lower cluster
+        rows = np.repeat(np.arange(len(X)), m)
+        cols = order.ravel()
+        return pd.DataFrame(
+            {
+                "vec_id": routed_pdf["vec_id"].to_numpy()[rows],
+                "cluster": clusters[cols].astype(np.int32),
+                "score": D[rows, cols],
+            }
+        )
+
+    # the ranked candidates are NARROW (no vector payload): carrying v
+    # through the cogroup output and the global window would shuffle
+    # probe*m copies of every 64-dim vector (~1 GB at the 100x
+    # rehearsal); instead the top-m survivors re-fetch v with ONE
+    # key join against the embeddings scan (both sides corpus-scale,
+    # pinned SHUFFLE_HASH — no sort, no broadcast of a growing side)
+    cand = (
+        routed_s.groupBy("cell", "shard")
+        .cogroup(fine_s.groupBy("cell", "shard"))
+        .applyInPandas(rank_fine, "vec_id long, cluster int, score double")
     )
-    # No FORCED broadcast on the fine table: its row count k = n/target
-    # SCALES with the corpus (the r7 mirror rule — explicit hints are
-    # reserved for fixed-cardinality sides like the sqrt(k)-row coarse
-    # table above).  At bench SF it is a LocalRelation with a known tiny
-    # size, so the static planner broadcasts it anyway (plan-guarded);
-    # past driver-RAM scale the artifact becomes a parquet table and the
-    # same equi-join shuffles on the cell id instead of OOMing.
     assigned = (
-        routed.join(fine, "cell")  # equi-join: probe*k/c centroids/vector
-        .withColumn("d2", F.expr(sqdist))
-        .withColumn(
+        cand.withColumn(
             "rn",
             F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cluster").asc())
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("score").asc(), F.col("cluster").asc()
+                )
             ),
         )
         .where(F.col("rn") <= _SEM_M)
+        .select("vec_id", "cluster")
+        .join(
+            emb.select("vec_id", F.col("embedding").alias("v")).hint("SHUFFLE_HASH"),
+            "vec_id",
+        )
         .select("vec_id", "cluster", "v")
     )
     # within-cluster pair mining as a BLAS island: the SQL self-join
@@ -892,7 +979,7 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         ids = pdf["vec_id"].to_numpy()
-        X = np.asarray([list(map(float, v)) for v in pdf["v"]], dtype=np.float64)
+        X = _stack64(pdf["v"])
         n_i = len(X)
         out_a, out_b, out_c = [], [], []
         if n_i >= 2:

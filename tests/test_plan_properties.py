@@ -266,29 +266,25 @@ def test_heavy_hitters_sketch_then_broadcast_recount(spark, sf_dir):
 
 
 def test_semantic_dedup_two_level_routing_no_flat_centroid_cross(spark, sf_dir):
-    # round-6 fix for the quadratic assignment: the ONLY nested-loop
-    # broadcast is the ceil(sqrt(k))-row COARSE cell table; the k-scale
-    # FINE centroid table must arrive via an equi BroadcastHashJoin on
-    # the routed cell id, never a crossJoin — that is what keeps
-    # assignment O(n*sqrt(k)) instead of O(n*k).  Pair mining is a
-    # per-cluster Arrow island (FlatMapGroupsInPandas) fed by an
-    # explicit repartition on the cluster id — no SQL pair self-join,
-    # no corpus broadcast.
+    # round-8 second-decade shape: coarse routing is a mapInPandas
+    # matmul island (sqrt(k)-row coarse matrix as a closure — NO
+    # corpus-side nested-loop join at all), fine ranking is a cogroup
+    # island per (cell, shard) with the k-scale fine table distributed,
+    # and pair mining stays the per-cluster Arrow island.  The only
+    # permissible nested loop is the nshards replication of the fine
+    # table (corpus-independent row count per shard).
     plan = plan_of(spark, "ext_dedup_semantic", sf_dir)
-    assert "FlatMapGroupsInPandas" in plan
-    # fine centroids arrive via an EQUI join on the routed cell id — any
-    # hash/merge strategy qualifies; r7 mirror rule removed the FORCED
-    # broadcast (k = n/target scales with the corpus), so the static
-    # plan shows SMJ and AQE broadcasts the tiny LocalRelation at runtime
-    assert (
-        "BroadcastHashJoin" in plan
-        or "SortMergeJoin" in plan
-        or "ShuffledHashJoin" in plan
-    )
-    # formatted explain prints each node twice (tree + details): <= 2
-    # occurrences means exactly ONE nested-loop join — the coarse cross
-    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "MapInPandas" in plan  # coarse routing island
+    assert "FlatMapCoGroupsInPandas" in plan  # fine ranking island
+    assert "FlatMapGroupsInPandas" in plan  # pair mining island
     assert "CartesianProduct" not in plan
+    # exactly two embeddings scans (tree + details = 2 mentions each):
+    # the routing input and the narrow top-m survivors' v re-fetch —
+    # the corpus never feeds a nested-loop join
+    assert plan.count("Scan parquet") == 4
+    # the v re-fetch is the pinned shuffle join (corpus-scale both
+    # sides: never a broadcast build, never a sort-merge sort)
+    assert "ShuffledHashJoin" in plan
 
 
 def test_bm25_pruned_postings_takeordered(spark, sf_dir):

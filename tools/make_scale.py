@@ -56,7 +56,10 @@ BLOCK_KEYS = {
 DIMS = ("region", "nation")  # copied once, never replicated
 
 
-def scale_table(spark, src_dir: str, out_dir: str, name: str, factor: int) -> None:
+def scale_table(
+    spark, src_dir: str, out_dir: str, name: str, factor: int,
+    distinct_content: bool = False,
+) -> None:
     df = spark.read.parquet(f"{src_dir}/{name}.parquet")
     out = f"{out_dir}/{name}.parquet"
     if name in DIMS:
@@ -77,6 +80,39 @@ def scale_table(spark, src_dir: str, out_dir: str, name: str, factor: int) -> No
                 rep = rep.withColumn(bk, F.concat(F.col(bk), F.lit(f"_r{r}")))
             else:
                 rep = rep.withColumn(bk, F.col(bk) + F.lit(r * 1000))
+        if distinct_content and r > 0 and name == "documents":
+            # CONTENT-distinct replicas (--distinct-content): verbatim
+            # text copies make every content-keyed blocker (MinHash
+            # buckets, digests, shingles) collide ACROSS replicas — a
+            # 100x copy-replica is a 99%-duplicate corpus whose true
+            # near-dup pair count is itself quadratic in the replica
+            # factor, so the rehearsal would measure output-size
+            # pathology, not plan scaling.  A replica marker token
+            # inserted before every 2nd token puts >=1 marker in every
+            # word-3-gram: all shingles (and signatures, digests)
+            # become replica-distinct while vocabulary grows by only
+            # ONE token per replica (real corpora grow sub-linearly in
+            # vocab).  n_chars is recomputed to stay consistent.
+            marked = (
+                "concat_ws(' ', flatten(transform(split(text, ' '), "
+                f"(t, i) -> CASE WHEN i % 2 = 0 THEN array('zr{r}q', t) "
+                "ELSE array(t) END)))"
+            )
+            rep = rep.withColumn("text", F.expr(marked)).withColumn(
+                "n_chars", F.length("text").cast(dict(df.dtypes)["n_chars"])
+            )
+        if distinct_content and r > 0 and name == "embeddings":
+            # deterministic per-replica direction offset (~0.85 relative
+            # to the unit vectors) drops replica-copy cosines to ~0.76 —
+            # below every near-dup threshold — so embedding blockers see
+            # new content, not 100 coincident copies
+            rep = rep.withColumn(
+                "embedding",
+                F.expr(
+                    "transform(embedding, (x, i) -> CAST(x + 0.15 * "
+                    f"sin((i + 1) * ({r} + 0.7)) AS FLOAT))"
+                ),
+            )
         parts.append(rep)
     full = parts[0]
     for p in parts[1:]:
@@ -85,14 +121,17 @@ def scale_table(spark, src_dir: str, out_dir: str, name: str, factor: int) -> No
 
 
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    out = sys.argv[3] if len(sys.argv) > 3 else f"/tmp/gordo_sf_scale/sf{factor}x"
+    distinct = "--distinct-content" in sys.argv
+    argv = [a for a in sys.argv[1:] if a != "--distinct-content"]
+    factor = int(argv[0]) if len(argv) > 0 else 10
+    src = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
+    suffix = "d" if distinct else ""
+    out = argv[2] if len(argv) > 2 else f"/tmp/gordo_sf_scale/sf{factor}x{suffix}"
     spark = get_spark("gordo-make-scale")
     os.makedirs(out, exist_ok=True)
     for name in ("region", "nation", "customer", "supplier", "part",
                  "orders", "lineitem", "events", "documents", "embeddings"):
-        scale_table(spark, src, out, name, factor)
+        scale_table(spark, src, out, name, factor, distinct_content=distinct)
         n = spark.read.parquet(f"{out}/{name}.parquet").count()
         print(f"{name}: {n} rows")
     # source fingerprint: scale_bench refuses a replica built from a
@@ -106,6 +145,7 @@ def main() -> None:
     fp = {
         "src": src,
         "factor": factor,
+        "distinct_content": distinct,
         "rows": {t: _parquet_rows(src, t) for t in ("events", "documents", "lineitem")},
     }
     with open(os.path.join(out, "_SRC_FP.json"), "w") as fh:

@@ -109,6 +109,110 @@ HEAVY = (
 # reason on record — the guard fails on any other omission.
 EXEMPT: dict[str, str] = {}
 
+SF10XD = "/tmp/gordo_sf_scale/sf10xd"
+SF100XD = "/tmp/gordo_sf_scale/sf100xd"
+
+# Second-decade subset (--decade2): measured at 10× AND 100× the bench
+# SF, so the scaling claim covers TWO decades.  Chosen = the flagship
+# dedup/similarity/pipeline ops plus everything whose first-decade
+# ratio flirts with 3 (a constant-dominated op can hide super-linear
+# terms in its first decade; the second decade has nowhere to hide).
+# pipe_bpe_merges is excluded: iteration-bound training, minutes at
+# 100× for no additional scaling information.
+DECADE2 = (
+    "ext_dedup_exact",
+    "ext_dedup_minhash",
+    "ext_dedup_ngram_jaccard",
+    "ext_tfidf_similar_capped",
+    "ext_dedup_semantic",
+    "pipe_dedup_incremental",
+    "pipe_dedup_incremental_fuzzy",
+    "ext_ann_ivf",
+    "pipe_quality_trim",
+    "pipe_split_leakage_safe",
+    "pipe_pack_sequences",
+    "agg_resample_gapfill",
+    "join_interval_overlap",
+)
+
+
+def _check_fp(sf_dir: str) -> None:
+    fp_path = os.path.join(sf_dir, "_SRC_FP.json")
+    from gordo_components_spark.caches import _parquet_rows
+
+    want = {t: _parquet_rows(SF01, t) for t in ("events", "documents", "lineitem")}
+    try:
+        with open(fp_path) as fh:
+            have = json.load(fh).get("rows")
+    except (OSError, ValueError):
+        have = None
+    if have != want:
+        raise SystemExit(
+            f"{sf_dir} was built from a different sf0.1 than {SF01} "
+            f"(fingerprint {have} != {want}) — re-run tools/make_scale.py"
+        )
+
+
+def main_decade2(out_path: str) -> None:
+    """10× → 100× ratios for the DECADE2 subset → BENCH_sf10.json.
+
+    Uses the CONTENT-DISTINCT replicas (make_scale --distinct-content):
+    verbatim-copy replicas make every content-keyed blocker collide
+    across replicas — a 100× copy-replica is a 99%-duplicate corpus
+    whose true near-dup pair count is itself quadratic in the factor
+    (measured: MinHash 10×→100× ratio 19 on copies, because the OUTPUT
+    is 24.7M genuine pairs) — so copies measure output-size pathology,
+    not plan scaling.  Real corpora grow in new content."""
+    for d in (SF10XD, SF100XD):
+        if not os.path.isdir(d):
+            raise SystemExit(
+                f"{d} missing — run tools/make_scale.py <10|100> --distinct-content"
+            )
+        _check_fp(d)
+    registry = load_all()
+    spark = get_spark("gordo-scale-bench-d2")
+    for sf in (SF10XD, SF100XD):
+        registry["ext_dedup_exact"].fn(spark, sf).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    ratios: dict[str, dict[str, float]] = {}
+    for name in DECADE2:
+        fn = registry[name].fn
+        t10 = _best_of(spark, fn, SF10XD)
+        t100 = _best_of(spark, fn, SF100XD)
+        ratios[name] = {
+            "sf10x": round(t10, 2),
+            "sf100x": round(t100, 2),
+            "ratio": round(t100 / t10, 1),
+        }
+        print(f"{name:28s} 10x={t10:6.2f}s  100x={t100:7.2f}s  ratio={t100 / t10:4.1f}")
+    worst = max(r["ratio"] for r in ratios.values())
+    verdict = (
+        f"second decade (10x -> 100x data, fixed cores): worst ratio {worst}"
+        + ("" if worst <= 12.0 else " — SUPER-LINEAR")
+    )
+    doc = {
+        "note": (
+            "second-decade rehearsal: sf0.1 replicated 10x and 100x via "
+            "tools/make_scale.py --distinct-content (distinct block keys AND "
+            "replica-distinct text/embedding content — copy-replicas are a "
+            "99%-duplicate corpus whose true pair count is quadratic). Ratios are "
+            "100x-data time / 10x-data time on the same local[32] box — the "
+            "claim covers TWO decades above the bench SF. Reproduce: "
+            "python tools/make_scale.py 10 --distinct-content && "
+            "python tools/make_scale.py 100 --distinct-content && "
+            "python tools/scale_bench.py --decade2"
+        ),
+        "decade2_ratios": ratios,
+        "verdict": verdict,
+    }
+    with open(out_path, "w") as fh:
+        json.dump(doc, fh, indent=1)
+    print(f"wrote {out_path}")
+    if worst > 12.0:
+        print(f"FAIL: {verdict}", file=sys.stderr)
+        sys.exit(1)
+
 
 def check_heavy_covers_joins(registry) -> list[str]:
     """CLAUDE.md invariant, made mechanical (r7 verdict item 2): every
@@ -155,6 +259,10 @@ def _best_of(spark, fn, sf_dir: str, runs: int = 2) -> float:
 
 
 def main() -> None:
+    if "--decade2" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--decade2"]
+        main_decade2(args[0] if args else "BENCH_sf10.json")
+        return
     out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_sf1.json"
     if not os.path.isdir(SF10X):
         raise SystemExit(f"{SF10X} missing — run tools/make_scale.py first")
