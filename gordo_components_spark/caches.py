@@ -90,17 +90,37 @@ def _parquet_rows(sf_dir: str, table: str) -> int:
     return pq.read_metadata(path).num_rows
 
 
+def source_stat(sf_dir: str, table: str):
+    """Stat fingerprint of a fixture table: (mtime_ns, size) for a file,
+    the sorted child listing for a directory.  Strictly stronger than the
+    footer row count (which a regenerated same-shape fixture preserves —
+    the tables.py relation-cache rationale); round-8 review upgraded the
+    scratch caches to carry BOTH."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    st = os.stat(path)
+    if os.path.isdir(path):
+        # lists, not tuples: the fingerprint is compared against its
+        # JSON round-trip, which has no tuple type
+        kids = sorted(
+            [e.name, e.stat().st_size, e.stat().st_mtime_ns] for e in os.scandir(path)
+        )
+        return [st.st_mtime_ns, kids]
+    return [st.st_mtime_ns, st.st_size]
+
+
 def materialized_cache(sf_dir: str, scratch_root: str, name: str, table: str, build) -> str:
     """Fingerprinted, atomically-installed /tmp materialization cache —
     ONE definition of the discipline the streaming replay dir pioneered,
     now shared by every scan leg that round-trips the fixture through a
     scratch format (CSV/JSONL/ORC, date-partitioned, schema-evolution):
 
-    - keyed by {sf_dir, parquet-footer row count}: a REGENERATED fixture
-      under the same basename (the driver rebuilds testdata between
-      rounds) can never serve stale data — the _SUCCESS-marker-only
-      check this replaces would have (oracle reads the new parquet,
-      Spark reads the old scratch copy: silent cross-round mismatch);
+    - keyed by {sf_dir, parquet-footer row count, source stat}: a
+      REGENERATED fixture under the same basename (the driver rebuilds
+      testdata between rounds) can never serve stale data — the
+      _SUCCESS-marker-only check this replaces would have (oracle reads
+      the new parquet, Spark reads the old scratch copy: silent
+      cross-round mismatch), and a same-shape regeneration that
+      preserves row counts is caught by the mtime/size stat;
     - built into a pid-suffixed temp dir and ``os.replace``'d: two
       concurrent cold-cache sessions (pytest + bench) never see a
       half-written dir, and a killed build leaves no visible state.
@@ -113,7 +133,12 @@ def materialized_cache(sf_dir: str, scratch_root: str, name: str, table: str, bu
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     out = f"{scratch_root}/{sf_tag}/{name}"
     marker = os.path.join(out, "_FP.json")
-    fp = {"sf_dir": sf_dir, "n_rows": _parquet_rows(sf_dir, table), "v": 1}
+    fp = {
+        "sf_dir": sf_dir,
+        "n_rows": _parquet_rows(sf_dir, table),
+        "src": source_stat(sf_dir, table),
+        "v": 2,
+    }
     if os.path.isfile(marker):
         try:
             with open(marker) as fh:

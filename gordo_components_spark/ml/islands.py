@@ -139,15 +139,17 @@ def _trained_rows(
 ) -> list:
     import json
 
-    from gordo_components_spark.caches import _parquet_rows
+    from gordo_components_spark.caches import _parquet_rows, source_stat
 
-    # the footer row count keys the cache to the fixture CONTENTS, not
-    # just its path — a regenerated same-basename fixture retrains
-    # instead of serving stale models (same discipline as
-    # caches.materialized_cache, review r7)
+    # the footer row count + stat fingerprint key the cache to the
+    # fixture CONTENTS, not just its path — a regenerated same-basename
+    # fixture retrains instead of serving stale models, even when the
+    # regeneration preserves the row count (same discipline as
+    # caches.materialized_cache, reviews r7/r8)
     key = (
         sf_dir,
         _parquet_rows(sf_dir, "events"),
+        json.dumps(source_stat(sf_dir, "events")),
         duration,
         json.dumps(definition, sort_keys=True, default=str),
     )

@@ -88,7 +88,14 @@ def build_dedup_index(spark: SparkSession, sf_dir: str, force: bool = False) -> 
     root = f"{_DEDUP_IDX_ROOT}_{base}"
     marker = os.path.join(root, "_BUILT.json")
     payload = os.path.join(root, "hist")
-    fp = {"sf_dir": sf_dir, "n_rows": _table_rows(sf_dir, "documents"), "v": 1}
+    from gordo_components_spark.caches import source_stat
+
+    fp = {
+        "sf_dir": sf_dir,
+        "n_rows": _table_rows(sf_dir, "documents"),
+        "src": source_stat(sf_dir, "documents"),
+        "v": 2,  # r8: + stat fingerprint (same-shape regeneration guard)
+    }
     if not force and os.path.isfile(marker) and os.path.isdir(payload):
         try:
             with open(marker) as fh:
@@ -573,11 +580,14 @@ def pipe_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return [[r["lhs"], r["rhs"]] for r in rows]
 
+    from gordo_components_spark.caches import source_stat
+
     fp = {
         "sf_dir": sf_dir,
         "n_docs": _table_rows(sf_dir, "documents"),
+        "src": source_stat(sf_dir, "documents"),
         "iters": _BPE_ITERS,
-        "v": 1,
+        "v": 2,  # r8: + stat fingerprint (same-shape regeneration guard)
     }
     pairs = _artifact_cache("bpemerges", sf_dir, fp, induce)
     merges = [(lhs, rhs, f"{lhs}{_BPE_SEP}{rhs}") for lhs, rhs in pairs]
@@ -857,13 +867,16 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = _sem_k_for(n_vecs)
     n_coarse = max(2, math.isqrt(k - 1) + 1)  # ceil(sqrt(k))
 
+    from gordo_components_spark.caches import source_stat
+
     fp = {
         "sf_dir": sf_dir,
         "n": n_vecs,
+        "src": source_stat(sf_dir, "embeddings"),
         "k": k,
         "c": n_coarse,
         "seed": 7,
-        "v": 3,  # r8: island routing + sampled coarse fit
+        "v": 4,  # r8: island routing + sampled coarse fit + stat guard
     }
     art = _artifact_cache(
         "semcent",

@@ -559,6 +559,23 @@ def run_streaming_session_agg(
     return _run_to_memory(agg, name)
 
 
+def _v100(v: float) -> int:
+    """Integer-cents scaling that EXACTLY mirrors Spark SQL's
+    ``CAST(round(value * 100) AS BIGINT)`` on doubles: Spark rounds the
+    double's SHORTEST decimal repr (BigDecimal.valueOf ⇒ Double.toString)
+    with HALF_UP — Python's builtin ``round`` is half-EVEN and would
+    diverge from the batch face on exact half-ties (r8 review).
+    ``repr(float)`` is the same shortest repr, so Decimal(repr)·HALF_UP
+    is bit-identical."""
+    import decimal
+
+    return int(
+        decimal.Decimal(repr(v * 100)).to_integral_value(
+            rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 def run_streaming_cusum(
     spark: SparkSession, sf_dir: str, single_batch: bool = False
 ) -> DataFrame:
@@ -620,7 +637,7 @@ def run_streaming_cusum(
             rows = rows.sort_values(["ts", "event_id"])
             thr = bn * _CUSUM_H100
             for v in rows["value"]:
-                d = bn * (int(round(v * 100)) - _CUSUM_K100) - bs1
+                d = bn * (_v100(v) - _CUSUM_K100) - bs1
                 s = max(0, s + d)
                 n_seen += 1
                 if s > thr:

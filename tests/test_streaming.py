@@ -254,7 +254,7 @@ def test_streaming_cusum_single_batch_matches_sequential(spark, sf_dir):
     # sequentially against the train-window baseline
     from gordo_components_spark.operators.windows import _CUSUM_H100, _CUSUM_K100
     from gordo_components_spark.sources.tables import load_table
-    from gordo_components_spark.streaming.micro_batch import run_streaming_cusum
+    from gordo_components_spark.streaming.micro_batch import _v100, run_streaming_cusum
 
     import pandas as pd
 
@@ -272,16 +272,16 @@ def test_streaming_cusum_single_batch_matches_sequential(spark, sf_dir):
     split = pd.Timestamp("2024-01-16 00:00:00")
     for (uid, et), g in ev.groupby(["user_id", "event_type"]):
         tr = g[g["ts"] < split]
-        import numpy as np
-
-        bn, bs1 = len(tr), int(np.round(tr["value"].to_numpy() * 100).sum())
+        # _v100 mirrors Spark SQL round (shortest-repr HALF_UP) — the
+        # operator's baseline aggregate and its island use the same
+        bn, bs1 = len(tr), sum(_v100(v) for v in tr["value"])
         row = got.loc[(uid, et)]
         if bn == 0:
             assert row["n_seen"] == len(g) and pd.isna(row["cusum"])
             continue
         s = n_alerts = 0
         for v in g.sort_values(["ts", "event_id"])["value"]:
-            s = max(0, s + bn * (int(round(v * 100)) - _CUSUM_K100) - bs1)
+            s = max(0, s + bn * (_v100(v) - _CUSUM_K100) - bs1)
             if s > bn * _CUSUM_H100:
                 n_alerts += 1
         assert row["n_seen"] == len(g)
