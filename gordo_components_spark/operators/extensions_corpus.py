@@ -903,13 +903,39 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # while per-task flops stay ~50k*sqrt(k)*dim BLAS.  Each group emits
     # only its per-vector top-m, so the global-window input is <=
     # probe*m rows per vector — linear, never n*sqrt(k) rows.
-    nshards = max(1, math.ceil(n_vecs * _SEM_PROBE / (n_coarse * 50_000)))
-    routed_s = routed.withColumn(
-        "shard", F.pmod(F.xxhash64("vec_id"), F.lit(nshards)).cast("int")
-    )
-    fine_s = fine.crossJoin(
-        spark.range(nshards).select(F.col("id").cast("int").alias("shard"))
-    )
+    # Shard counts are PER-CELL (r8 review): a global count derived from
+    # the average cell only caps the average — under coarse-cell skew a
+    # hot cell's group would blow past the 50k bound.  The fit artifact
+    # already sized k_i ∝ cell population, so per-cell routed volume
+    # (~probe·n·k_i/k) is known driver-side with no extra corpus pass.
+    # Sharding never changes results: per-group top-m is an exact
+    # pre-reduction (every group holds its cell's FULL centroid set).
+    from collections import Counter
+
+    kcounts = Counter(int(cell) for cell, _ in art["fine"])
+    shard_of = [
+        max(1, math.ceil(_SEM_PROBE * n_vecs * kcounts.get(c, 0) / max(k, 1) / 50_000))
+        for c in range(n_coarse)
+    ]
+    if max(shard_of) == 1:
+        # every cell fits one group (all checked SFs): the shard joins
+        # would be pure constant overhead — same cogroup, degenerate key
+        routed_s = routed.withColumn("shard", F.lit(0))
+        fine_s = fine.withColumn("shard", F.lit(0))
+    else:
+        nsh_df = spark.createDataFrame(
+            [(c, n) for c, n in enumerate(shard_of)], "cell int, nsh int"
+        )
+        routed_s = (
+            routed.join(nsh_df, "cell")
+            .withColumn("shard", F.pmod(F.col("vec_id"), F.col("nsh")).cast("int"))
+            .drop("nsh")
+        )
+        fine_s = (
+            fine.join(nsh_df, "cell")
+            .withColumn("shard", F.explode(F.expr("sequence(0, nsh - 1)")))
+            .select("cluster", "cell", "cv", F.col("shard").cast("int").alias("shard"))
+        )
 
     def rank_fine(key, routed_pdf, fine_pdf):
         import numpy as np
