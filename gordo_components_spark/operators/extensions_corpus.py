@@ -922,6 +922,16 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         # would be pure constant overhead — same cogroup, degenerate key
         routed_s = routed.withColumn("shard", F.lit(0))
         fine_s = fine.withColumn("shard", F.lit(0))
+    elif len(set(shard_of)) == 1:
+        # balanced cells, uniform count (the 10x/100x rehearsal case):
+        # a literal modulus keeps the n*probe-row side join-free
+        s = shard_of[0]
+        routed_s = routed.withColumn(
+            "shard", F.pmod(F.col("vec_id"), F.lit(s)).cast("int")
+        )
+        fine_s = fine.crossJoin(
+            spark.range(s).select(F.col("id").cast("int").alias("shard"))
+        )
     else:
         nsh_df = spark.createDataFrame(
             [(c, n) for c, n in enumerate(shard_of)], "cell int, nsh int"
