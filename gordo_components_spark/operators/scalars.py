@@ -258,3 +258,73 @@ def scalar_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("k") % 2 == 0)
     )
     return hash_leg.unionByName(extract_leg)
+
+
+@register(
+    "scalar_winsorize",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, user_id, event_type, value,
+             CAST(round(value * 100) AS BIGINT) AS v100
+      FROM events
+    ), q AS (
+      SELECT user_id, event_type,
+             quantile_cont(v100, 0.05) AS lo,
+             quantile_cont(v100, 0.95) AS hi
+      FROM v GROUP BY user_id, event_type
+    )
+    SELECT v.event_id, v.user_id, v.event_type, v.value,
+           least(greatest(CAST(v.v100 AS DOUBLE), q.lo), q.hi) / 100.0 AS value_w,
+           (CAST(v.v100 AS DOUBLE) < q.lo OR CAST(v.v100 AS DOUBLE) > q.hi)
+             AS is_clipped
+    FROM v JOIN q ON q.user_id = v.user_id AND q.event_type = v.event_type
+    """,
+)
+def scalar_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O31 adjacency — winsorization: clamp each reading into its
+    (machine, tag) series' exact [p5, p95] band, flagging what was
+    clipped.  The outlier-limiting transform applied to training
+    frames where the InfImputer face (O31) only repairs inf/NaN —
+    tails from sensor glitches get pinned to the percentile fence
+    instead of feeding the model.
+
+    Spark-first shape: per-(machine, tag) exact percentiles via ONE
+    partial-free groupBy (group count = machines × tags — the fleet
+    dimension, so reducer parallelism GROWS with the corpus; never a
+    per-tag global window), then a join back on the same keys.  The
+    fence side scales with the fleet, so it is NOT force-broadcast
+    (CLAUDE.md mirror rule) — AQE broadcasts it at bench SF and keeps
+    a shuffle join at 100 TB.  The scale path swaps `percentile` for
+    `approx_percentile` when a fleet's per-group history outgrows the
+    exact aggregate's buffer; the checked face stays exact for oracle
+    parity.
+
+    Exactness: fences are exact-percentile interpolations of 2-dp
+    integer readings — identical `(n−1)·p` positional algebra in both
+    engines (the agg_error_quantile convention); the clamp is
+    least/greatest on exact doubles and one /100 report division."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v100"),
+    )
+    q = v.groupBy("user_id", "event_type").agg(
+        F.expr("percentile(v100, 0.05)").alias("lo"),
+        F.expr("percentile(v100, 0.95)").alias("hi"),
+    )
+    j = v.join(q, ["user_id", "event_type"])
+    return j.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("least(greatest(CAST(v100 AS DOUBLE), lo), hi) / 100.0").alias(
+            "value_w"
+        ),
+        F.expr(
+            "(CAST(v100 AS DOUBLE) < lo OR CAST(v100 AS DOUBLE) > hi)"
+        ).alias("is_clipped"),
+    )

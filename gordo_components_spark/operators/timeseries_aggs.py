@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from gordo_components_spark.caches import persist_tracked
 from gordo_components_spark.functions.timeseries import resample
 from gordo_components_spark.operators.relational import _fshift, _fshift_col, _fshift_expr
 from gordo_components_spark.registry import register
@@ -811,4 +812,264 @@ def agg_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.expr(ffill).alias("value_ffill"),
         F.col("v").isNull().alias("was_gap"),
+    )
+
+
+# Classical additive seasonal decomposition (Cleveland's decompose
+# lineage, on the hourly-TOTAL series per tag): trend = centered
+# 24-bucket moving average, seasonal = per-hour-of-day mean of the
+# detrended series, residual = the rest.  Exactness: clearing the /24
+# and /|B_h| denominators keeps every component numerator an exact
+# integer — d24 = 24·s − S24 (bigint), Q_h = Σ d24 (decimal-routed: the
+# per-hod group is span-unbounded, CLAUDE.md integer-moment rule), and
+# the residual numerator d24·|B_h| − Q_h (decimal).  Each report value
+# is then ONE double division of exact integers — bit-identical across
+# engines, additivity trend+seasonal+residual = total holds in exact
+# rationals by construction.
+_SDEC_W = (
+    "PARTITION BY event_type ORDER BY bucket "
+    "ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING"
+)
+
+
+@register(
+    "agg_seasonal_decompose",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket,
+             CAST(round(value * 100) AS BIGINT) AS v100
+      FROM events
+    ), b AS (
+      SELECT event_type, bucket, CAST(sum(v100) AS BIGINT) AS s
+      FROM v GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type, bucket, s,
+             CAST(sum(s) OVER ({_SDEC_W}) AS BIGINT) AS s24,
+             CAST(count(*) OVER ({_SDEC_W}) AS BIGINT) AS nf
+      FROM b
+    ), f AS (
+      SELECT event_type, bucket, s, s24, 24 * s - s24 AS d24,
+             CAST(hour(bucket) AS BIGINT) AS hod
+      FROM t WHERE nf = 24
+    ), g AS (
+      SELECT event_type, hod,
+             sum(CAST(d24 AS HUGEINT)) AS q,
+             CAST(count(*) AS BIGINT) AS bh
+      FROM f GROUP BY 1, 2
+    )
+    SELECT f.event_type, f.bucket, f.hod,
+           CAST(f.s AS DOUBLE) / 100.0 AS total,
+           CAST(f.s24 AS DOUBLE) / 2400.0 AS trend,
+           CAST(g.q AS DOUBLE) / (CAST(g.bh AS DOUBLE) * 2400.0) AS seasonal,
+           CAST(CAST(f.d24 AS HUGEINT) * g.bh - g.q AS DOUBLE)
+             / (CAST(g.bh AS DOUBLE) * 2400.0) AS residual
+    FROM f JOIN g ON g.event_type = f.event_type AND g.hod = f.hod
+    """,
+)
+def agg_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O18/O21 adjacency — additive seasonal decomposition of each
+    tag's hourly-total series: total = trend (centered 24-bucket moving
+    average) + seasonal (hour-of-day mean of the detrended series) +
+    residual.  The residual is what a drift detector should watch once
+    load shape and diurnal cycle are explained away; buckets without a
+    full 24-bucket trend context are dropped (same full-frame rule as
+    the Hampel face).
+
+    Spark-first shape: one partial-combinable bucket aggregation (the
+    only corpus-scale pass), a 24-row frame over the BUCKET series
+    (span-bounded — its size is hours-in-span × tags, independent of
+    row count), a hod regroup of that same small frame, and a join
+    back on (event_type, hod) whose build side is ≤ tags × 24 rows —
+    fixed cardinality, so the explicit broadcast is policy-clean.  At
+    100 TB only the first aggregation touches the corpus.
+
+    Exactness: integer/decimal-routed throughout (block comment); each
+    output is a single int→double division, no rounding convention."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.window("ts", "1 hour").start.alias("bucket"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v100"),
+    )
+    b = v.groupBy("event_type", "bucket").agg(
+        F.sum("v100").cast("bigint").alias("s")
+    )
+    t = b.select(
+        "*",
+        F.expr(f"CAST(sum(s) OVER ({_SDEC_W}) AS BIGINT)").alias("s24"),
+        F.expr(f"CAST(count(*) OVER ({_SDEC_W}) AS BIGINT)").alias("nf"),
+    )
+    # span-bounded frame (hours-in-span × tags rows): persist so the
+    # seasonal regroup and the join probe share ONE corpus aggregation —
+    # without it Catalyst re-derives the whole bucket chain (and a second
+    # corpus scan) under the broadcast build
+    f = persist_tracked(
+        t.where(F.col("nf") == 24).select(
+            "event_type",
+            "bucket",
+            "s",
+            "s24",
+            F.expr("24 * s - s24").alias("d24"),
+            F.expr("CAST(hour(bucket) AS BIGINT)").alias("hod"),
+        )
+    )
+    g = f.groupBy("event_type", "hod").agg(
+        F.expr("CAST(sum(CAST(d24 AS DECIMAL(28,0))) AS DECIMAL(38,0))").alias("q"),
+        F.count(F.lit(1)).cast("bigint").alias("bh"),
+    )
+    j = f.join(F.broadcast(g), ["event_type", "hod"])
+    return j.select(
+        "event_type",
+        "bucket",
+        "hod",
+        F.expr("CAST(s AS DOUBLE) / 100.0").alias("total"),
+        F.expr("CAST(s24 AS DOUBLE) / 2400.0").alias("trend"),
+        F.expr("CAST(q AS DOUBLE) / (CAST(bh AS DOUBLE) * 2400.0)").alias("seasonal"),
+        F.expr(
+            "CAST(CAST(d24 AS DECIMAL(25,0)) * CAST(bh AS DECIMAL(12,0)) - q"
+            " AS DOUBLE) / (CAST(bh AS DOUBLE) * 2400.0)"
+        ).alias("residual"),
+    )
+
+
+# Sample autocorrelation at lags 1–3 per machine series — the
+# diagnostics a forecaster (O42's AR face) reads before picking a
+# lookback.  Pairwise-Pearson form over (x_t, x_{t−k}) pairs; the same
+# exact-integer co-moment machinery as agg_tag_correlation (nanos →
+# here 2-dp ints directly), DECIMAL(38,0) in Spark / HUGEINT in DuckDB,
+# numerators bit-identical; final sqrt/divide masked by floor-shift.
+def _acf_moments(k: int, hugeint: bool) -> list[tuple[str, str]]:
+    """(alias, expr) co-moment pairs for lag k — HUGEINT dialect for the
+    DuckDB oracle, DECIMAL(38,0)-summed for Spark."""
+    if hugeint:
+        return [
+            (f"n{k}", f"CAST(count(y{k}) AS HUGEINT)"),
+            (f"sx{k}", f"sum(CASE WHEN y{k} IS NOT NULL THEN CAST(x AS HUGEINT) END)"),
+            (f"sy{k}", f"sum(CAST(y{k} AS HUGEINT))"),
+            (f"sxy{k}", f"sum(CAST(x AS HUGEINT) * y{k})"),
+            (f"sxx{k}", f"sum(CASE WHEN y{k} IS NOT NULL THEN CAST(x AS HUGEINT) * x END)"),
+            (f"syy{k}", f"sum(CAST(y{k} AS HUGEINT) * y{k})"),
+        ]
+    big = "DECIMAL(28,0)"
+    return [
+        (f"n{k}", f"CAST(count(y{k}) AS BIGINT)"),
+        (f"sx{k}", f"CAST(sum(CASE WHEN y{k} IS NOT NULL THEN x END) AS BIGINT)"),
+        (f"sy{k}", f"CAST(sum(y{k}) AS BIGINT)"),
+        (f"sxy{k}", f"sum(CAST(x * y{k} AS {big}))"),
+        (f"sxx{k}", f"sum(CASE WHEN y{k} IS NOT NULL THEN CAST(x * x AS {big}) END)"),
+        (f"syy{k}", f"sum(CAST(y{k} * y{k} AS {big}))"),
+    ]
+
+
+def _acf_moments_sql(k: int) -> str:
+    return ", ".join(f"{e} AS {a}" for a, e in _acf_moments(k, True))
+
+
+def _acf_expr(k: int) -> str:
+    n = f"CAST(n{k} AS DECIMAL(11,0))"
+    num = (
+        f"CAST({n} * sxy{k} - CAST(sx{k} AS DECIMAL(19,0))"
+        f" * CAST(sy{k} AS DECIMAL(19,0)) AS DOUBLE)"
+    )
+    vx = (
+        f"CAST({n} * sxx{k} - CAST(sx{k} AS DECIMAL(19,0))"
+        f" * CAST(sx{k} AS DECIMAL(19,0)) AS DOUBLE)"
+    )
+    vy = (
+        f"CAST({n} * syy{k} - CAST(sy{k} AS DECIMAL(19,0))"
+        f" * CAST(sy{k} AS DECIMAL(19,0)) AS DOUBLE)"
+    )
+    return (
+        f"CASE WHEN n{k} >= 3 AND {vx} > 0 AND {vy} > 0 THEN "
+        f"{_fshift_expr(f'{num} / sqrt({vx} * {vy})')} ELSE NULL END"
+    )
+
+
+def _acf_expr_duck(k: int) -> str:
+    num = f"CAST(n{k} * sxy{k} - sx{k} * sy{k} AS DOUBLE)"
+    vx = f"CAST(n{k} * sxx{k} - sx{k} * sx{k} AS DOUBLE)"
+    vy = f"CAST(n{k} * syy{k} - sy{k} * sy{k} AS DOUBLE)"
+    return (
+        f"CASE WHEN n{k} >= 3 AND {vx} > 0 AND {vy} > 0 THEN "
+        f"{_fshift_expr(f'{num} / sqrt({vx} * {vy})')} ELSE NULL END"
+    )
+
+
+_ACF_LAG_O = "PARTITION BY user_id ORDER BY ts, event_id"
+
+
+@register(
+    "agg_autocorr",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS v100
+      FROM events
+    ), l AS (
+      SELECT user_id, v100 AS x,
+             LAG(v100, 1) OVER ({_ACF_LAG_O}) AS y1,
+             LAG(v100, 2) OVER ({_ACF_LAG_O}) AS y2,
+             LAG(v100, 3) OVER ({_ACF_LAG_O}) AS y3
+      FROM v
+    ), m AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             {_acf_moments_sql(1)}, {_acf_moments_sql(2)},
+             {_acf_moments_sql(3)}
+      FROM l GROUP BY user_id HAVING count(*) >= 10
+    )
+    SELECT user_id, n,
+           {_acf_expr_duck(1)} AS acf1,
+           {_acf_expr_duck(2)} AS acf2,
+           {_acf_expr_duck(3)} AS acf3
+    FROM m
+    """,
+)
+def agg_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O42/O45 adjacency — per-machine sample autocorrelation of the
+    reading series at lags 1–3 (pairwise-Pearson over (x_t, x_{t−k})):
+    the stationarity/persistence diagnostic read before choosing a
+    forecast lookback, and the whiteness check on residuals after.
+    Machines with < 10 readings or a constant series report NULL.
+
+    Spark-first shape: one (machine, ts) window pass producing the
+    three lag columns (single exchange + sort), then a groupBy on the
+    SAME key — Catalyst reuses the partitioning, so the whole operator
+    is ONE shuffle; all 18 co-moments are partial-combinable
+    DECIMAL(38,0) sums.  At 100 TB: parallelism = machines, no join.
+
+    Exactness: integer co-moments (block comment above
+    :func:`_acf_moments`); only the closing sqrt/divide are float,
+    floor-shift-rounded per the registry convention."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v100"),
+    )
+    l = v.select(
+        "user_id",
+        F.col("v100").alias("x"),
+        *[
+            F.expr(f"LAG(v100, {k}) OVER ({_ACF_LAG_O})").alias(f"y{k}")
+            for k in (1, 2, 3)
+        ],
+    )
+    m = (
+        l.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            *[
+                F.expr(e).alias(a)
+                for k in (1, 2, 3)
+                for a, e in _acf_moments(k, False)
+            ],
+        )
+        .where(F.col("n") >= 10)
+    )
+    return m.select(
+        "user_id",
+        "n",
+        *[F.expr(_acf_expr(k)).alias(f"acf{k}") for k in (1, 2, 3)],
     )

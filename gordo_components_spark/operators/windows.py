@@ -508,3 +508,108 @@ def window_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cusum"),
         F.expr(f"(sc > CAST(n AS DECIMAL(19,0)) * {_CUSUM_H100})").alias("is_alert"),
     )
+
+
+# Hampel identifier (Pearson 2002 survey of Hampel 1974) — the robust
+# sibling of the SPC z-score: a reading is an outlier when it sits more
+# than 3 robust-σ from the CENTERED rolling MEDIAN, with σ estimated as
+# 1.4826·MAD.  Unlike the mean/stddev chart, one spike cannot inflate
+# its own baseline (median breakdown point 50%), which is why plants
+# run Hampel on tags whose sensors glitch.  Two-stage practical form:
+# med_i = median(window_i); dev_j = |x_j − med_j|; mad_i =
+# median_of_window_i(dev).  Exactness: readings are 2-dp-exact
+# (v100 bigint); a 21-row full frame has ODD count so med100 is a pure
+# selection (integer), dev200 = 2·|v100 − med100| is an exact bigint
+# even where boundary rows' partial even frames interpolate a .5, and
+# mad400 = 4·median(dev) is a bigint for the same reason.  The 3σ test
+# dev100 > 4.4478·mad100 clears denominators to PURE INTEGER algebra:
+# 10000·dev200 > 22239·mad400 (≤ 4.4e9 — no float threshold anywhere).
+# Report doubles (med/dev/σ) are single correctly-rounded ops on exact
+# inputs — bit-identical across engines, no rounding convention needed.
+_HAMPEL_F = "ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING"
+_HAMPEL_W = f"{_ORDER} {_HAMPEL_F}"
+
+
+@register(
+    "window_hampel_outlier",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CAST(round(value * 100) AS BIGINT) AS v100
+      FROM events
+    ), m AS (
+      SELECT event_id, user_id, ts, value, v100,
+             quantile_cont(v100, 0.5) OVER ({_HAMPEL_W}) AS med100,
+             CAST(count(*) OVER ({_HAMPEL_W}) AS BIGINT) AS n_win
+      FROM v
+    ), d AS (
+      SELECT *, CAST(round(abs(v100 - med100) * 2) AS BIGINT) AS dev200
+      FROM m
+    ), h AS (
+      SELECT *,
+             CAST(round(quantile_cont(dev200, 0.5) OVER ({_HAMPEL_W}) * 2)
+                  AS BIGINT) AS mad400
+      FROM d
+    )
+    SELECT event_id, user_id, value,
+           CAST(med100 AS DOUBLE) / 100.0 AS med,
+           CAST(dev200 AS DOUBLE) / 200.0 AS dev,
+           CAST(mad400 AS DOUBLE) * CAST(1.4826 AS DOUBLE) / 400.0 AS mad_sigma,
+           (10000 * dev200 > 22239 * mad400) AS is_out
+    FROM h
+    WHERE n_win = 21
+    """,
+)
+def window_hampel_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O25/O44 adjacency — Hampel robust outlier flags per machine: each
+    reading against the median of its centered 21-sample neighbourhood,
+    flagged when the deviation exceeds 3·(1.4826·MAD) — the
+    despike/cleaning pass run BEFORE training data reaches a model
+    (median baseline, so a glitch can't mask itself the way it inflates
+    a mean/σ chart).  Boundary rows without a full frame are dropped
+    (a centered filter needs full context).
+
+    Spark-first shape: TWO stacked window passes (rolling median, then
+    rolling median of deviations) over the SAME (machine, ts) order —
+    one hash exchange, one sort, both frames inside whole-stage-adjacent
+    window nodes; no join, no second scan (asserted in
+    tests/test_plan_properties.py).  At 100 TB this is per-machine
+    linear work, embarrassingly parallel across machines; exact medians
+    over a FIXED 21-row frame cost O(frame) per row with no
+    per-group buffering beyond the frame.
+
+    Exactness: integer-routed end to end — see the block comment; the
+    outlier test is pure bigint algebra, never a float threshold."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v100"),
+    )
+    m = v.select(
+        "*",
+        F.expr(f"percentile(v100, 0.5) OVER ({_HAMPEL_W})").alias("med100"),
+        F.expr(f"CAST(count(*) OVER ({_HAMPEL_W}) AS BIGINT)").alias("n_win"),
+    )
+    d = m.select(
+        "*", F.expr("CAST(round(abs(v100 - med100) * 2) AS BIGINT)").alias("dev200")
+    )
+    h = d.select(
+        "*",
+        F.expr(
+            f"CAST(round(percentile(dev200, 0.5) OVER ({_HAMPEL_W}) * 2) AS BIGINT)"
+        ).alias("mad400"),
+    )
+    return h.where(F.col("n_win") == 21).select(
+        "event_id",
+        "user_id",
+        "value",
+        F.expr("CAST(med100 AS DOUBLE) / 100.0").alias("med"),
+        F.expr("CAST(dev200 AS DOUBLE) / 200.0").alias("dev"),
+        F.expr("CAST(mad400 AS DOUBLE) * CAST(1.4826 AS DOUBLE) / 400.0").alias(
+            "mad_sigma"
+        ),
+        F.expr("(10000 * dev200 > 22239 * mad400)").alias("is_out"),
+    )

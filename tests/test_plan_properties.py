@@ -557,3 +557,48 @@ def test_incremental_fuzzy_probes_index_never_broadcasts_history(spark, sf_dir):
     head = plan.split("ShuffledHashJoin")[0]
     assert "BroadcastExchange" not in head
     assert "buckets" in plan and "shingles" in plan  # index scans present
+
+
+def test_hampel_two_windows_one_exchange_no_join(spark, sf_dir):
+    # both rolling-median passes (med, then MAD of deviations) must ride
+    # ONE (machine, ts) exchange + sort; no join, no second scan
+    plan = plan_of(spark, "window_hampel_outlier", sf_dir)
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange") == 2  # one exchange, tree + details
+    assert plan.count("Scan parquet") == 2  # one scan, tree + details
+
+
+def test_seasonal_decompose_one_corpus_pass_broadcast_hod(spark, sf_dir):
+    # the corpus is aggregated ONCE (persisted span-bounded bucket frame
+    # feeds both join sides); the hod frame (tags × 24, fixed
+    # cardinality) is the only broadcast build; never a sort-merge join
+    plan = plan_of(spark, "agg_seasonal_decompose", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan  # both sides probe the cached frame
+
+
+def test_autocorr_window_and_regroup_share_exchange(spark, sf_dir):
+    # lag window and the co-moment groupBy share the machine
+    # partitioning — ONE exchange total, no join
+    plan = plan_of(spark, "agg_autocorr", sf_dir)
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange") == 2  # one exchange, tree + details
+
+
+def test_winsorize_fleet_fences_never_forced_broadcast(spark, sf_dir):
+    # the fence side scales with machines × tags (fleet dimension): the
+    # plan must not carry an explicit broadcast HINT (AQE may still
+    # choose broadcast at bench SF — that is fine); no cartesian; both
+    # scans column-pruned to the 5 needed columns
+    from gordo_components_spark.registry import load_all
+
+    df = load_all()["scalar_winsorize"].fn(spark, sf_dir)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" not in logical and "hint" not in logical.lower()
+    plan = plan_of(spark, "scalar_winsorize", sf_dir)
+    assert "CartesianProduct" not in plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert all("props" not in r and "ts" not in r for r in read)
