@@ -519,3 +519,115 @@ def test_ks_drift_matches_numpy_ecdf(spark, sf_dir):
         ks_num = int(np.max(np.abs(f1 * len(b) - f2 * len(a))))
         assert ks_num == row["ks_num"]
         assert bool(row["drifted"]) == (ks_num * 10 > len(a) * len(b))
+
+
+def test_hampel_matches_pure_python_two_stage(spark, sf_dir):
+    # independent reference: the two-stage Hampel (rolling median, then
+    # rolling median of |x - med|) in plain Python over exact 2-dp ints
+    import statistics
+
+    rows = load_all()["window_hampel_outlier"].fn(spark, sf_dir).collect()
+    assert rows
+    ev = sorted(
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    series = {}
+    for r in ev:
+        series.setdefault(r.user_id, []).append((r.event_id, round(r.value * 100)))
+    expect = {}
+    for uid, vs in series.items():
+        v100 = [v for _, v in vs]
+        med = [
+            statistics.median(v100[max(0, i - 10): i + 11])
+            for i in range(len(v100))
+        ]
+        dev = [abs(v100[i] - med[i]) for i in range(len(v100))]
+        for i, (eid, _) in enumerate(vs):
+            if min(i, len(v100) - 1 - i) >= 10:  # full 21-row frame
+                mad = statistics.median(dev[i - 10: i + 11])
+                expect[eid] = (med[i], dev[i], dev[i] > 4.4478 * mad)
+    assert len(rows) == len(expect)
+    checked = 0
+    for r in rows:
+        m, d, out = expect[r.event_id]
+        assert abs(r.med - m / 100.0) < 1e-12
+        assert abs(r.dev - d / 100.0) < 1e-12
+        assert r.is_out == out
+        checked += 1
+    assert checked >= 500
+
+
+def test_seasonal_decompose_additivity_and_centered_seasonal(spark, sf_dir):
+    # additive identity total = trend + seasonal + residual must hold
+    # row-wise, and residual+seasonal must average to zero per hod group
+    # (both hold exactly in rationals; floats to 1e-9)
+    rows = load_all()["agg_seasonal_decompose"].fn(spark, sf_dir).collect()
+    assert rows
+    groups = {}
+    for r in rows:
+        assert abs(r.total - (r.trend + r.seasonal + r.residual)) < 1e-9 * max(
+            1.0, abs(r.total)
+        )
+        groups.setdefault((r.event_type, r.hod), []).append(r.residual)
+    for (et, hod), res in groups.items():
+        assert abs(sum(res)) / len(res) < 1e-9, (et, hod)
+
+
+def test_autocorr_matches_numpy_pairwise_pearson(spark, sf_dir):
+    import numpy as np
+
+    rows = {r.user_id: r for r in load_all()["agg_autocorr"].fn(spark, sf_dir).collect()}
+    assert rows
+    ev = sorted(
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    series = {}
+    for r in ev:
+        series.setdefault(r.user_id, []).append(round(r.value * 100))
+    checked = 0
+    for uid, v in series.items():
+        if len(v) < 10:
+            assert uid not in rows
+            continue
+        a = np.array(v, dtype=float)
+        for k in (1, 2, 3):
+            x, y = a[k:], a[:-k]
+            got = getattr(rows[uid], f"acf{k}")
+            if len(x) < 3 or np.std(x) == 0 or np.std(y) == 0:
+                assert got is None
+            else:
+                ref = np.corrcoef(x, y)[0, 1]
+                assert abs(got - ref) < 2e-6, (uid, k)
+                checked += 1
+    assert checked >= 30
+
+
+def test_winsorize_matches_numpy_linear_quantiles(spark, sf_dir):
+    import numpy as np
+
+    rows = load_all()["scalar_winsorize"].fn(spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    ).collect()
+    groups = {}
+    for r in ev:
+        groups.setdefault((r.user_id, r.event_type), []).append(round(r.value * 100))
+    fences = {
+        k: (np.quantile(v, 0.05, method="linear"), np.quantile(v, 0.95, method="linear"))
+        for k, v in groups.items()
+    }
+    n_clip = 0
+    for r in rows:
+        lo, hi = fences[(r.user_id, r.event_type)]
+        want = min(max(round(r.value * 100), lo), hi) / 100.0
+        assert abs(r.value_w - want) < 1e-9
+        assert r.is_clipped == (round(r.value * 100) < lo or round(r.value * 100) > hi)
+        n_clip += bool(r.is_clipped)
+    assert 0 < n_clip < len(rows) * 0.25
