@@ -103,6 +103,12 @@ HEAVY = (
     # round 8 new: delta batch vs persisted LSH index (band probe +
     # shingle verify joins — history must never be rescanned)
     "pipe_dedup_incremental_fuzzy",
+    # round 8 late robust-stats family: the stacked rolling-median pair
+    # (O(frame·n) window work — the costliest pure-window shape) and the
+    # fleet-fence winsorize join (AQE broadcast at bench SF must not
+    # hide a quadratic term at 10×)
+    "window_hampel_outlier",
+    "scalar_winsorize",
 )
 
 # Join-bearing queries that are deliberately NOT rehearsed, with the
