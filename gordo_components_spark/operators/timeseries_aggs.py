@@ -1073,3 +1073,173 @@ def agg_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         *[F.expr(_acf_expr(k)).alias(f"acf{k}") for k in (1, 2, 3)],
     )
+
+
+# Cross-correlation lead/lag scan — agg_tag_correlation generalized
+# over a time shift: corr(x_t, y_{t+k}) for k ∈ [−2, 2] days on each
+# machine's daily-mean series, shifted along a DENSE daily grid (the
+# gapfill densification) so lag k is exactly k days even across
+# missing buckets.  The argmax lag answers "does the error tag LEAD
+# the purchase tag?" — the sensor-causality screen run before wiring
+# one tag as a leading indicator of another.  Same nanos-pinned
+# integer co-moment discipline as agg_tag_correlation (DECIMAL(38,0)
+# Spark / HUGEINT DuckDB); is_best ranks the FLOOR-SHIFTED corr with a
+# lag-ascending tiebreak, so the flag is deterministic across engines.
+_XCORR_LAGS = (-2, -1, 0, 1, 2)
+_XCORR_SHIFTS = (
+    ("y_m2", "LAG(y9, 2)"),
+    ("y_m1", "LAG(y9, 1)"),
+    ("y_0", "LAG(y9, 0)"),
+    ("y_p1", "LEAD(y9, 1)"),
+    ("y_p2", "LEAD(y9, 2)"),
+)
+_XCORR_YL = (
+    "CASE lag WHEN -2 THEN y_m2 WHEN -1 THEN y_m1 WHEN 0 THEN y_0 "
+    "WHEN 1 THEN y_p1 ELSE y_p2 END"
+)
+_XCORR_RANK_O = (
+    "PARTITION BY user_id ORDER BY xcorr DESC NULLS LAST, lag ASC"
+)
+
+
+def _xcorr_moments(hugeint: bool) -> list[tuple[str, str]]:
+    both = "x9 IS NOT NULL AND yl IS NOT NULL"
+    if hugeint:
+        return [
+            ("n", f"CAST(count(CASE WHEN {both} THEN 1 END) AS HUGEINT)"),
+            ("sx", f"sum(CASE WHEN {both} THEN CAST(x9 AS HUGEINT) END)"),
+            ("sy", f"sum(CASE WHEN {both} THEN CAST(yl AS HUGEINT) END)"),
+            ("sxy", f"sum(CASE WHEN {both} THEN CAST(x9 AS HUGEINT) * yl END)"),
+            ("sxx", f"sum(CASE WHEN {both} THEN CAST(x9 AS HUGEINT) * x9 END)"),
+            ("syy", f"sum(CASE WHEN {both} THEN CAST(yl AS HUGEINT) * yl END)"),
+        ]
+    d16 = "DECIMAL(16,0)"
+    return [
+        ("n", f"CAST(count(CASE WHEN {both} THEN 1 END) AS DECIMAL(10,0))"),
+        ("sx", f"sum(CASE WHEN {both} THEN CAST(x9 AS DECIMAL(19,0)) END)"),
+        ("sy", f"sum(CASE WHEN {both} THEN CAST(yl AS DECIMAL(19,0)) END)"),
+        ("sxy", f"sum(CASE WHEN {both} THEN CAST(x9 AS {d16}) * CAST(yl AS {d16}) END)"),
+        ("sxx", f"sum(CASE WHEN {both} THEN CAST(x9 AS {d16}) * CAST(x9 AS {d16}) END)"),
+        ("syy", f"sum(CASE WHEN {both} THEN CAST(yl AS {d16}) * CAST(yl AS {d16}) END)"),
+    ]
+
+
+_XCORR_VAL = (
+    f"CASE WHEN n >= 3 AND n * sxx <> sx * sx AND n * syy <> sy * sy THEN "
+    f"{_fshift_expr(f'{_CORR_XY} / sqrt({_CORR_XX} * {_CORR_YY})')} ELSE NULL END"
+)
+
+
+@register(
+    "agg_xcorr_leadlag",
+    oracle=f"""
+    WITH b AS (
+      SELECT user_id,
+             time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS bucket,
+             CAST(round(avg(CASE WHEN event_type = 'error' THEN value END)
+                        * 1000000000) AS BIGINT) AS x9,
+             CAST(round(avg(CASE WHEN event_type = 'purchase' THEN value END)
+                        * 1000000000) AS BIGINT) AS y9
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM b GROUP BY 1
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(b0, b1, INTERVAL 1 DAY)) AS bucket
+      FROM r
+    ), j AS (
+      SELECT g.user_id, g.bucket, b.x9, b.y9
+      FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.bucket = g.bucket
+    ), s AS (
+      SELECT user_id, bucket, x9,
+             {', '.join(f'{e} OVER w AS {a}' for a, e in _XCORR_SHIFTS)}
+      FROM j WINDOW w AS (PARTITION BY user_id ORDER BY bucket)
+    ), l AS (
+      SELECT s.*, k.lag FROM s
+      CROSS JOIN (VALUES (-2), (-1), (0), (1), (2)) AS k(lag)
+    ), p AS (
+      SELECT user_id, lag, x9, {_XCORR_YL} AS yl FROM l
+    ), m AS (
+      SELECT user_id, lag,
+             {', '.join(f'{e} AS {a}' for a, e in _xcorr_moments(True))}
+      FROM p GROUP BY 1, 2
+    ), c AS (
+      SELECT user_id, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+             {_XCORR_VAL} AS xcorr
+      FROM m WHERE n >= 3
+    )
+    SELECT user_id, lag, n_pairs, xcorr,
+           (xcorr IS NOT NULL AND rank() OVER ({_XCORR_RANK_O}) = 1) AS is_best
+    FROM c
+    """,
+)
+def agg_xcorr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead/lag cross-correlation screen between two tags ('error' vs
+    'purchase') per machine: Pearson corr of the daily-mean series at
+    shifts of −2…+2 days along the dense daily grid, with ``is_best``
+    marking each machine's strongest (floor-shifted, lag-ascending
+    tiebreak) alignment.  Positive best lag ⇒ x leads y — the
+    screen for wiring one tag as another's leading indicator, and the
+    shifted generalization of agg_tag_correlation's k = 0.
+
+    Spark-first shape: one corpus pass (partial-combinable bucket
+    agg), then everything rides the machines × days bucket frame:
+    per-machine `sequence()` grid + co-partitioned left join (the
+    gapfill pattern — HEAVY-rehearsed), ONE window pass computing all
+    five shifts, a fixed 5-row explode (never a corpus-side fan-out),
+    and a regroup per (machine, lag).  At 100 TB only the first
+    aggregation sees raw events.
+
+    Exactness: bucket means pinned to integer nanos, 128-bit co-moment
+    sums, floor-shift on the closing sqrt/divide — the
+    agg_tag_correlation discipline, reusing its numerator fragments."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy("user_id", F.window("ts", "1 day").start.alias("bucket")).agg(
+        F.expr(
+            "CAST(round(avg(CASE WHEN event_type = 'error' THEN value END)"
+            " * 1000000000) AS BIGINT)"
+        ).alias("x9"),
+        F.expr(
+            "CAST(round(avg(CASE WHEN event_type = 'purchase' THEN value END)"
+            " * 1000000000) AS BIGINT)"
+        ).alias("y9"),
+    )
+    # machines x days frame: persist so the grid derivation and the join
+    # probe share ONE corpus aggregation (the seasonal-decompose rule)
+    b = persist_tracked(b)
+    r = b.groupBy("user_id").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = r.select(
+        "user_id",
+        F.explode(F.expr("sequence(b0, b1, interval 1 day)")).alias("bucket"),
+    )
+    j = grid.join(b, ["user_id", "bucket"], "left")
+    w = "PARTITION BY user_id ORDER BY bucket"
+    s = j.select(
+        "user_id",
+        "bucket",
+        "x9",
+        *[F.expr(f"{e} OVER ({w})").alias(a) for a, e in _XCORR_SHIFTS],
+    )
+    l = s.select(
+        "*", F.explode(F.array(*[F.lit(k) for k in _XCORR_LAGS])).alias("lag")
+    )
+    p = l.select("user_id", "lag", "x9", F.expr(_XCORR_YL).alias("yl"))
+    m = (
+        p.groupBy("user_id", "lag")
+        .agg(*[F.expr(e).alias(a) for a, e in _xcorr_moments(False)])
+        .where(F.col("n") >= 3)
+    )
+    c = m.select(
+        "user_id",
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.expr(_XCORR_VAL).alias("xcorr"),
+    )
+    return c.select(
+        "*",
+        F.expr(
+            f"(xcorr IS NOT NULL AND rank() OVER ({_XCORR_RANK_O}) = 1)"
+        ).alias("is_best"),
+    ).select("user_id", "lag", "n_pairs", "xcorr", "is_best")

@@ -631,3 +631,39 @@ def test_winsorize_matches_numpy_linear_quantiles(spark, sf_dir):
         assert r.is_clipped == (round(r.value * 100) < lo or round(r.value * 100) > hi)
         n_clip += bool(r.is_clipped)
     assert 0 < n_clip < len(rows) * 0.25
+
+
+def test_xcorr_leadlag_matches_numpy_on_dense_grid(spark, sf_dir):
+    # independent reference: dense daily grid in pandas, shifted Pearson
+    import numpy as np
+    import pandas as pd
+
+    rows = load_all()["agg_xcorr_leadlag"].fn(spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    ).toPandas()
+    ev["bucket"] = ev["ts"].dt.floor("D")
+    checked = 0
+    by_user = {}
+    for uid, g in ev.groupby("user_id"):
+        x = g[g.event_type == "error"].groupby("bucket")["value"].mean()
+        y = g[g.event_type == "purchase"].groupby("bucket")["value"].mean()
+        both = pd.concat([x.rename("x"), y.rename("y")], axis=1)
+        if both.empty:
+            continue
+        idx = pd.date_range(both.index.min(), both.index.max(), freq="D")
+        both = both.reindex(idx)
+        x9 = (both["x"] * 1e9).round()
+        y9 = (both["y"] * 1e9).round()
+        by_user[uid] = (x9, y9)
+    for r in rows:
+        x9, y9 = by_user[r.user_id]
+        yl = y9.shift(-int(r.lag))  # lead k ⇒ y at t+k aligned to x at t
+        mask = x9.notna() & yl.notna()
+        assert int(mask.sum()) == r.n_pairs, (r.user_id, r.lag)
+        if r.xcorr is not None:
+            ref = np.corrcoef(x9[mask], yl[mask])[0, 1]
+            assert abs(r.xcorr - ref) < 2e-6, (r.user_id, r.lag)
+            checked += 1
+    assert checked >= 20

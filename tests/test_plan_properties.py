@@ -602,3 +602,15 @@ def test_winsorize_fleet_fences_never_forced_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
     read = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert all("props" not in r and "ts" not in r for r in read)
+
+
+def test_xcorr_single_corpus_pass_fixed_fanout(spark, sf_dir):
+    # only the bucket aggregation touches events (one scan); the 5-lag
+    # explode fans out the SMALL grid frame, never the corpus; no
+    # cartesian anywhere
+    plan = plan_of(spark, "agg_xcorr_leadlag", sf_dir)
+    assert "CartesianProduct" not in plan
+    # one events scan inside the persisted bucket frame; grid + probe
+    # sides both read the cache
+    assert plan.count("Scan parquet") <= 3
+    assert "InMemoryTableScan" in plan

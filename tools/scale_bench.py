@@ -109,6 +109,8 @@ HEAVY = (
     # hide a quadratic term at 10×)
     "window_hampel_outlier",
     "scalar_winsorize",
+    # the lead/lag xcorr rides the gapfill grid join (join-bearing rule)
+    "agg_xcorr_leadlag",
 )
 
 # Join-bearing queries that are deliberately NOT rehearsed, with the
