@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from gordo_components_spark.caches import persist_tracked
 from gordo_components_spark.operators.relational import _osum_cents
 from gordo_components_spark.registry import register
 from gordo_components_spark.sources.tables import load_table
@@ -318,4 +319,90 @@ def reshape_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         "day",
         *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in _PIVOT_TYPES],
+    )
+
+
+@register(
+    "agg_cooccurrence_lift",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), tc AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_t FROM ut GROUP BY 1
+    ), total AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ut
+    ), pc AS (
+      SELECT a.event_type AS tag_a, b.event_type AS tag_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM ut a JOIN ut b ON b.user_id = a.user_id
+                         AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT pc.tag_a, pc.tag_b, ta.n_t AS n_a, tb.n_t AS n_b, pc.n_ab,
+           CAST(pc.n_ab AS DOUBLE) / total.n_users AS support,
+           CAST(pc.n_ab AS DOUBLE) / ta.n_t AS confidence_ab,
+           CAST(pc.n_ab * total.n_users AS DOUBLE)
+             / CAST(ta.n_t * tb.n_t AS DOUBLE) AS lift
+    FROM pc
+    JOIN tc ta ON ta.event_type = pc.tag_a
+    JOIN tc tb ON tb.event_type = pc.tag_b
+    CROSS JOIN total
+    """,
+)
+def agg_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association screen over (machine, tag) incidence: for each
+    unordered tag pair, the machines reporting both, with support,
+    confidence(a→b) and lift vs independence — the market-basket
+    statistics that say which alarms travel together across a fleet
+    (lift ≫ 1 ⇒ the pair co-trips; the screen before building a joint
+    anomaly model on both tags).
+
+    Spark-first shape: dedup to the (machine, tag) incidence list once
+    (partial-combinable — at 100 TB this is the only corpus pass, and
+    the list is machines × ≤tags rows); the pair self-join is keyed on
+    machine with a ≤ tags-choose-2 fan-out per machine (never
+    quadratic in machines); the tag-count frame (≤ tags rows) and the
+    1-row total fold are fixed-cardinality broadcasts, policy-clean.
+
+    Exactness: integer counts; support/confidence are single
+    int→double divisions and lift divides two exact ≤2⁵³ integer
+    products — bit-identical, no rounding convention."""
+    ev = load_table(spark, sf_dir, "events")
+    # machines x tags incidence list: persist so the tag counts, the
+    # total fold, and both self-join sides share ONE corpus dedup pass
+    ut = persist_tracked(ev.select("user_id", "event_type").distinct())
+    tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
+    total = ut.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+    a = ut.select(F.col("user_id"), F.col("event_type").alias("tag_a"))
+    b = ut.select(F.col("user_id"), F.col("event_type").alias("tag_b"))
+    pc = (
+        a.join(b, "user_id")
+        .where(F.col("tag_a") < F.col("tag_b"))
+        .groupBy("tag_a", "tag_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    j = (
+        pc.join(
+            F.broadcast(tc.select(F.col("event_type").alias("tag_a"), F.col("n_t").alias("n_a"))),
+            "tag_a",
+        )
+        .join(
+            F.broadcast(tc.select(F.col("event_type").alias("tag_b"), F.col("n_t").alias("n_b"))),
+            "tag_b",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    return j.select(
+        "tag_a",
+        "tag_b",
+        "n_a",
+        "n_b",
+        "n_ab",
+        F.expr("CAST(n_ab AS DOUBLE) / n_users").alias("support"),
+        F.expr("CAST(n_ab AS DOUBLE) / n_a").alias("confidence_ab"),
+        F.expr(
+            "CAST(n_ab * n_users AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)"
+        ).alias("lift"),
     )

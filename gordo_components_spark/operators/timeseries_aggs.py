@@ -1243,3 +1243,70 @@ def agg_xcorr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(xcorr IS NOT NULL AND rank() OVER ({_XCORR_RANK_O}) = 1)"
         ).alias("is_best"),
     ).select("user_id", "lag", "n_pairs", "xcorr", "is_best")
+
+
+@register(
+    "agg_rolling_distinct",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT event_type,
+             time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS day,
+             user_id
+      FROM events
+    ), r AS (
+      SELECT event_type, min(day) AS d0, max(day) AS d1 FROM pairs GROUP BY 1
+    ), grid AS (
+      SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM r
+    )
+    SELECT g.event_type, g.day,
+           CAST(count(DISTINCT p.user_id) AS BIGINT) AS active_7d
+    FROM grid g
+    JOIN pairs p ON p.event_type = g.event_type
+                AND p.day BETWEEN g.day - INTERVAL 6 DAY AND g.day
+    GROUP BY 1, 2
+    """,
+)
+def agg_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct actives per tag (the WAU/rolling-MAU
+    shape): for each day, how many distinct machines reported that tag
+    in the trailing week.  Days whose trailing window saw no activity
+    are absent (inner semantics on both sides).
+
+    Spark-first shape: COUNT(DISTINCT) over a sliding range has no
+    window form, and the naive day×activity range join re-scans a
+    week of corpus per day.  Instead: dedup to (tag, day, machine)
+    once (partial-combinable), EXPLODE each activity row into the ≤7
+    report days it covers (a fixed ×7 fan-out of the already-tiny
+    pair frame — linear, shuffle on (tag, day)), and count distinct
+    per report day; a fixed-cardinality per-tag max-day frame (≤ tags
+    rows, broadcast) trims cover days past the observed span.  The
+    range join survives only in the DuckDB oracle, where it is the
+    independent-path check.
+
+    Exactness: pure integer counting — no float anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    # machines x days x tags incidence frame: persist so the bounds
+    # lookup and the cover explode share ONE corpus dedup pass
+    pairs = persist_tracked(
+        ev.select(
+            "event_type",
+            F.window("ts", "1 day").start.alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    bounds = pairs.groupBy("event_type").agg(F.max("day").alias("d1"))
+    cover = pairs.select(
+        "event_type",
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, day + interval 6 days, interval 1 day)")
+        ).alias("day"),
+    )
+    trimmed = cover.join(F.broadcast(bounds), "event_type").where(
+        F.col("day") <= F.col("d1")
+    )
+    return trimmed.groupBy("event_type", "day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("active_7d")
+    )

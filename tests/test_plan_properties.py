@@ -614,3 +614,24 @@ def test_xcorr_single_corpus_pass_fixed_fanout(spark, sf_dir):
     # sides both read the cache
     assert plan.count("Scan parquet") <= 3
     assert "InMemoryTableScan" in plan
+
+
+def test_rolling_distinct_explodes_persisted_pairs_no_range_join(spark, sf_dir):
+    # the sliding distinct must be the explode-cover decomposition over
+    # the persisted incidence frame — never a day-range theta join
+    plan = plan_of(spark, "agg_rolling_distinct", sf_dir)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "InMemoryTableScan" in plan
+    assert "sequence(" in plan or "Generate" in plan
+
+
+def test_cooccurrence_pair_join_keyed_on_machine(spark, sf_dir):
+    # the self-join must be keyed on user_id (per-machine <=C(tags,2)
+    # fan-out, never machine-cross-machine); incidence list persisted
+    plan = plan_of(spark, "agg_cooccurrence_lift", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
+    # the pair join's equi keys are user_id (formatted explain lists
+    # them on Left/Right keys detail lines)
+    key_lines = [l for l in plan.splitlines() if "keys [" in l.lower()]
+    assert any("user_id" in l for l in key_lines), key_lines

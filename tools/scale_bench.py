@@ -111,6 +111,10 @@ HEAVY = (
     "scalar_winsorize",
     # the lead/lag xcorr rides the gapfill grid join (join-bearing rule)
     "agg_xcorr_leadlag",
+    # machine-keyed incidence self-join (<= C(tags,2) fan-out per machine)
+    "agg_cooccurrence_lift",
+    # explode-cover rolling distinct (7x fan-out of the incidence frame)
+    "agg_rolling_distinct",
 )
 
 # Join-bearing queries that are deliberately NOT rehearsed, with the
