@@ -257,3 +257,17 @@ def stream_session_genuine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gordo_components_spark.streaming.micro_batch import run_streaming_session_agg
 
     return run_streaming_session_agg(spark, sf_dir)
+
+
+@register("stream_hampel_genuine", oracle=None)
+def stream_hampel_genuine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trailing-Hampel despiker (rows-only): the serving face
+    of ``window_hampel_outlier`` — per-machine robust outlier flags over
+    the trailing 21-sample window, integer-exact bigint-array state
+    carried across three forced micro-batches via
+    ``applyInPandasWithState``.  Single-batch parity vs a sequential
+    reference and multi-batch state-carry equality are asserted in
+    tests/test_streaming.py."""
+    from gordo_components_spark.streaming.micro_batch import run_streaming_hampel
+
+    return run_streaming_hampel(spark, sf_dir)

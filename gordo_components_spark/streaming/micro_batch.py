@@ -691,3 +691,116 @@ def run_streaming_cusum(
         .where("rn = 1")
         .drop("rn")
     )
+
+
+def run_streaming_hampel(
+    spark: SparkSession, sf_dir: str, single_batch: bool = False
+) -> DataFrame:
+    """Streaming TRAILING-Hampel despiker via ``applyInPandasWithState``
+    — the serving-side sibling of ``window_hampel_outlier``: per machine,
+    each reading is tested against the median of its trailing 21-sample
+    window with a MAD-robust 3σ fence, state (the last 20 readings and
+    their deviations) carried across micro-batches.  Where the batch
+    face looks ±10 samples around each point (retrospective cleaning),
+    the stream can only look BACK — the standard live-despiking variant.
+
+    Integer-exact: windows hold 2-dp-exact v100 bigints; medians are
+    tracked ×2 (med200 = w[k]·2 or w[k−1]+w[k] — always an int), so
+    dev200 = |2·v100 − med200| and mad400 reuse the batch face's pure
+    bigint fence 10000·dev200 > 22239·mad400 with IDENTICAL constants.
+    Flags fire only once the trailing window is full (21 samples), so a
+    cold key warms up silently.  State is two ≤20-element bigint arrays
+    per machine — bounded regardless of stream length."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    prepare(spark)
+    src = _replay_dir(spark, sf_dir)
+    reader = spark.readStream.schema(_RAW_SCHEMA)
+    if not single_batch:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    stream = reader.parquet(src)
+
+    def _med2(sorted_win: list[int]) -> int:
+        m = len(sorted_win)
+        if m % 2:
+            return 2 * sorted_win[m // 2]
+        return sorted_win[m // 2 - 1] + sorted_win[m // 2]
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            hv, hd, n_seen, n_flagged = state.get
+            hv, hd = list(hv), list(hd)
+        else:
+            hv, hd, n_seen, n_flagged = [], [], 0, 0
+        last_med = None
+        last_dev = None
+        chunks = list(pdfs)
+        rows = pd.concat(chunks) if chunks else pd.DataFrame()
+        if len(rows):
+            rows = rows.sort_values(["ts", "event_id"])
+            for v in rows["value"]:
+                v100 = _v100(v)
+                med200 = _med2(sorted(hv + [v100]))
+                dev200 = abs(2 * v100 - med200)
+                mad400 = _med2(sorted(hd + [dev200]))
+                if len(hv) >= 20 and 10000 * dev200 > 22239 * mad400:
+                    n_flagged += 1
+                n_seen += 1
+                hv.append(v100)
+                hd.append(dev200)
+                del hv[:-20], hd[:-20]
+                last_med = med200 / 200.0
+                last_dev = dev200 / 200.0
+        state.update(
+            ([int(x) for x in hv], [int(x) for x in hd], int(n_seen), int(n_flagged))
+        )
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "n_seen": n_seen,
+                    "n_flagged": n_flagged,
+                    "last_med": last_med,
+                    "last_dev": last_dev,
+                }
+            ]
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id bigint, n_seen bigint, n_flagged bigint, "
+            "last_med double, last_dev double"
+        ),
+        stateStructType=(
+            "hv array<bigint>, hd array<bigint>, n_seen bigint, n_flagged bigint"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    import shutil
+
+    name = f"stream_hampel_{uuid.uuid4().hex[:8]}"
+    chk = f"/tmp/gordo_spark_stream/chk/{name}"
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        q.awaitTermination()
+        full = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(chk, ignore_errors=True)
+    spark.catalog.dropTempView(name)
+    w = "PARTITION BY user_id ORDER BY n_seen DESC"
+    return (
+        full.withColumn("rn", F.expr(f"ROW_NUMBER() OVER ({w})"))
+        .where("rn = 1")
+        .drop("rn")
+    )

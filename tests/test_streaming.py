@@ -306,3 +306,57 @@ def test_streaming_cusum_state_carries_across_batches(spark, sf_dir):
     assert (merged["n_seen"] == merged["count"]).all()
     assert (merged["n_alerts"] >= 0).all()
     assert (merged["cusum"].dropna() >= 0).all()
+
+
+def test_streaming_hampel_single_batch_matches_sequential(spark, sf_dir):
+    # single-batch delivery = exact (ts, event_id) order: the streaming
+    # trailing-Hampel must agree with an independent sequential
+    # statistics.median reference using the batch face's integer fence
+    import statistics
+
+    from gordo_components_spark.sources.tables import load_table
+    from gordo_components_spark.streaming.micro_batch import _v100, run_streaming_hampel
+
+    got = (
+        run_streaming_hampel(spark, sf_dir, single_batch=True)
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .toPandas()
+    )
+    for uid, g in ev.groupby("user_id"):
+        hv, hd, n_flagged = [], [], 0
+        last_med = last_dev = None
+        for v in g.sort_values(["ts", "event_id"])["value"]:
+            v100 = _v100(v)
+            win = hv[-20:] + [v100]
+            med = statistics.median(win)  # int or .5 — exact
+            dev200 = round(abs(v100 - med) * 2)
+            mad = statistics.median(hd[-20:] + [dev200])
+            mad400 = round(mad * 2)
+            if len(hv) >= 20 and 10000 * dev200 > 22239 * mad400:
+                n_flagged += 1
+            hv.append(v100)
+            hd.append(dev200)
+            last_med, last_dev = float(med) / 100.0, dev200 / 200.0
+        row = got.loc[uid]
+        assert row["n_seen"] == len(g)
+        assert row["n_flagged"] == n_flagged, uid
+        assert abs(row["last_med"] - last_med) < 1e-12
+        assert abs(row["last_dev"] - last_dev) < 1e-12
+
+
+def test_streaming_hampel_state_carries_across_batches(spark, sf_dir):
+    # 3 forced micro-batches: every event seen exactly once per machine
+    from gordo_components_spark.sources.tables import load_table
+    from gordo_components_spark.streaming.micro_batch import run_streaming_hampel
+
+    got = run_streaming_hampel(spark, sf_dir).toPandas()
+    want = load_table(spark, sf_dir, "events").groupBy("user_id").count().toPandas()
+    merged = got.merge(want, on="user_id", validate="one_to_one")
+    assert (merged["n_seen"] == merged["count"]).all()
+    assert (merged["n_flagged"] <= merged["n_seen"]).all()
