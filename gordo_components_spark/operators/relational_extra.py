@@ -406,3 +406,80 @@ def agg_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_ab * n_users AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)"
         ).alias("lift"),
     )
+
+
+# Benford first-digit conformance (Newcomb 1881 / Benford 1938; Nigrini's
+# audit statistic): natural multi-decade measurements follow
+# P(d) = log10(1 + 1/d); a stuck/clipped/fabricated sensor does not.
+# The 9 expected proportions are compile-time double literals (identical
+# parse in both engines) and the chi² is ONE fixed-order expression
+# chain, so every float op runs in the same sequence on both sides —
+# bit-identical without a rounding convention.  15.507 = χ²₀.₉₅ (8 dof).
+_BENFORD_P = {
+    1: "0.3010299956639812", 2: "0.17609125905568124", 3: "0.12493873660829992",
+    4: "0.09691001300805642", 5: "0.07918124604762482", 6: "0.06694678963061322",
+    7: "0.05799194697768673", 8: "0.05115252244738129", 9: "0.04575749056067514",
+}
+_BENFORD_CHI2 = " + ".join(
+    f"((o{d} - n * CAST({p} AS DOUBLE)) * (o{d} - n * CAST({p} AS DOUBLE))"
+    f" / (n * CAST({p} AS DOUBLE)))"
+    for d, p in _BENFORD_P.items()
+)
+_BENFORD_OBS_PAIRS = [
+    (f"o{d}", f"CAST(count(CASE WHEN d = '{d}' THEN 1 END) AS BIGINT)")
+    for d in _BENFORD_P
+]
+_BENFORD_OBS = ", ".join(f"{e} AS {a}" for a, e in _BENFORD_OBS_PAIRS)
+
+
+@register(
+    "agg_benford_screen",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type,
+             substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1)
+               AS d
+      FROM events
+    ), o AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n, {_BENFORD_OBS}
+      FROM v GROUP BY event_type
+    )
+    SELECT event_type, n, o1, o9,
+           ({_BENFORD_CHI2}) AS chi2,
+           (({_BENFORD_CHI2}) < 15.507) AS conforms
+    FROM o
+    """,
+)
+def agg_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit conformance per tag — the
+    data-quality screen that catches stuck, clipped, or fabricated
+    sensor feeds (a healthy multi-decade reading stream follows
+    log10(1 + 1/d); a sensor pinned near one value does not): observed
+    first-digit counts of the 2-dp-exact readings, the χ² distance
+    from the Benford expectation, and a pass flag at the 95% level.
+
+    Spark-first shape: ONE partial-combinable aggregation per tag (the
+    9 digit counts are conditional counts inside the same groupBy —
+    no pivot shuffle, no join); at 100 TB this is a single map-side
+    combinable pass.  Exactness: integer counts; the χ² is a
+    fixed-order float chain over compile-time literals (block
+    comment) — bit-identical, no rounding convention."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.expr(
+            "substr(CAST(CAST(round(value * 100) AS BIGINT) AS STRING), 1, 1)"
+        ).alias("d"),
+    )
+    o = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[F.expr(e).alias(a) for a, e in _BENFORD_OBS_PAIRS],
+    )
+    return o.select(
+        "event_type",
+        "n",
+        "o1",
+        "o9",
+        F.expr(_BENFORD_CHI2).alias("chi2"),
+        F.expr(f"(({_BENFORD_CHI2}) < 15.507)").alias("conforms"),
+    )

@@ -635,3 +635,12 @@ def test_cooccurrence_pair_join_keyed_on_machine(spark, sf_dir):
     # them on Left/Right keys detail lines)
     key_lines = [l for l in plan.splitlines() if "keys [" in l.lower()]
     assert any("user_id" in l for l in key_lines), key_lines
+
+
+def test_benford_single_pass_no_pivot_shuffle(spark, sf_dir):
+    # the 9 digit counts must be conditional aggregates inside ONE
+    # groupBy — a single exchange, no join, no second scan
+    plan = plan_of(spark, "agg_benford_screen", sf_dir)
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 2  # one exchange, tree + details
+    assert plan.count("Scan parquet") == 2
