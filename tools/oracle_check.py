@@ -122,6 +122,18 @@ def main():
             res = {"name": name, "status": "ERROR", "ok": False, "err": f"{type(e).__name__}: {e}"}
             if "-v" in sys.argv or True:
                 traceback.print_exc(limit=3)
+        finally:
+            # release per-query persisted frames so a 216-query replica
+            # run holds one query's caches at a time, not the union —
+            # an sf0.1 full run otherwise accumulates every
+            # persist_tracked frame in executor memory (observed: a
+            # full-registry leg died mid-run under that pressure)
+            try:
+                from gordo_components_spark.caches import release_caches
+
+                release_caches()
+            except Exception:
+                pass
         mark = "PASS" if res.get("ok") else "FAIL"
         if res.get("ok"):
             n_ok += 1
