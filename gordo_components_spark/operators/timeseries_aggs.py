@@ -1310,3 +1310,76 @@ def agg_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trimmed.groupBy("event_type", "day").agg(
         F.countDistinct("user_id").cast("bigint").alias("active_7d")
     )
+
+
+# M4 downsampling (Jugel et al., VLDB 2014): per pixel-column bucket,
+# keep first/last/min/max — the smallest aggregate set that renders a
+# line chart PIXEL-IDENTICAL to the raw series.  The dashboard-side
+# reducer that lets a 100 TB hypertable draw in milliseconds.
+_M4_BUCKET_P = "PARTITION BY user_id, event_type, bucket"
+
+
+@register(
+    "agg_m4_downsample",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, event_type, event_id, value,
+             CAST(ts AS TIMESTAMP) AS ts,
+             time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS bucket
+      FROM events
+    ), w AS (
+      SELECT *,
+             row_number() OVER ({_M4_BUCKET_P} ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER ({_M4_BUCKET_P} ORDER BY ts DESC, event_id DESC)
+               AS rn_z
+      FROM v
+    )
+    SELECT user_id, event_type, bucket,
+           max(CASE WHEN rn_a = 1 THEN value END) AS v_first,
+           max(CASE WHEN rn_z = 1 THEN value END) AS v_last,
+           min(value) AS v_min,
+           max(value) AS v_max,
+           CAST(count(*) AS BIGINT) AS n
+    FROM w GROUP BY 1, 2, 3
+    """,
+)
+def agg_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visualization downsampling per (machine, tag): first, last,
+    min, and max reading per 6-hour pixel bucket — the error-free line
+    -chart reducer (every pixel a full-resolution render would light is
+    lit by these four values; VLDB 2014's M4).  What a dashboard runs
+    instead of shipping raw points.
+
+    Spark-first shape: both row_number frames AND the closing groupBy
+    share the (machine, tag, bucket) hash partitioning — ONE exchange,
+    one sort, partial-combinable final aggregates; at 100 TB the output
+    is pixels × series rows, independent of input volume.
+
+    Exactness: first/last ride the unique (ts, event_id) total order;
+    min/max/count are exact; values are copied, never computed — no
+    rounding convention needed."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        "ts",
+        F.window("ts", "6 hours").start.alias("bucket"),
+    )
+    w = v.select(
+        "*",
+        F.expr(
+            f"row_number() OVER ({_M4_BUCKET_P} ORDER BY ts, event_id)"
+        ).alias("rn_a"),
+        F.expr(
+            f"row_number() OVER ({_M4_BUCKET_P} ORDER BY ts DESC, event_id DESC)"
+        ).alias("rn_z"),
+    )
+    return w.groupBy("user_id", "event_type", "bucket").agg(
+        F.max(F.expr("CASE WHEN rn_a = 1 THEN value END")).alias("v_first"),
+        F.max(F.expr("CASE WHEN rn_z = 1 THEN value END")).alias("v_last"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )

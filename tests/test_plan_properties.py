@@ -644,3 +644,13 @@ def test_benford_single_pass_no_pivot_shuffle(spark, sf_dir):
     assert "Join" not in plan
     assert plan.count("Exchange") == 2  # one exchange, tree + details
     assert plan.count("Scan parquet") == 2
+
+
+def test_m4_single_exchange_shared_by_windows_and_agg(spark, sf_dir):
+    # both row_number frames and the closing groupBy share the
+    # (machine, tag, bucket) partitioning — one exchange, no join
+    plan = plan_of(spark, "agg_m4_downsample", sf_dir)
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange") == 2  # one exchange, tree + details
+    assert plan.count("Scan parquet") == 2
