@@ -693,6 +693,17 @@ def run_streaming_cusum(
     )
 
 
+def _med2(sorted_win: list[int]) -> int:
+    """Doubled median of a sorted int window — ALWAYS an exact int
+    (selection for odd counts, midpoint sum for even), matching
+    2 x percentile(..., 0.5) on the batch face; property-ringed in
+    tests/test_streaming.py."""
+    m = len(sorted_win)
+    if m % 2:
+        return 2 * sorted_win[m // 2]
+    return sorted_win[m // 2 - 1] + sorted_win[m // 2]
+
+
 def run_streaming_hampel(
     spark: SparkSession, sf_dir: str, single_batch: bool = False
 ) -> DataFrame:
@@ -721,12 +732,6 @@ def run_streaming_hampel(
     if not single_batch:
         reader = reader.option("maxFilesPerTrigger", 1)
     stream = reader.parquet(src)
-
-    def _med2(sorted_win: list[int]) -> int:
-        m = len(sorted_win)
-        if m % 2:
-            return 2 * sorted_win[m // 2]
-        return sorted_win[m // 2 - 1] + sorted_win[m // 2]
 
     def update(key, pdfs, state: GroupState):
         if state.exists:

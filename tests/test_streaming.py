@@ -360,3 +360,23 @@ def test_streaming_hampel_state_carries_across_batches(spark, sf_dir):
     merged = got.merge(want, on="user_id", validate="one_to_one")
     assert (merged["n_seen"] == merged["count"]).all()
     assert (merged["n_flagged"] <= merged["n_seen"]).all()
+
+
+def test_streaming_hampel_med2_matches_statistics_median():
+    # property ring for the doubled-median integer algebra: _med2 over a
+    # sorted window must equal 2x statistics.median exactly (selection
+    # for odd counts, midpoint sum for even) — the invariant that keeps
+    # the streaming fence bit-compatible with the batch face's
+    # percentile(…, 0.5) semantics
+    import statistics
+
+    from hypothesis import given, strategies as st
+
+    from gordo_components_spark.streaming.micro_batch import _med2
+
+    @given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=41))
+    def check(vals):
+        w = sorted(vals)
+        assert _med2(w) == round(2 * statistics.median(w))
+
+    check()
