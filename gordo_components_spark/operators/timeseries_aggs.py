@@ -1383,3 +1383,86 @@ def agg_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("v_max"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
+
+
+# LTTB (Steinarsson 2013, "Downsampling Time Series for Visual
+# Representation"): per bucket keep the ONE point maximizing the
+# triangle area with the previously SELECTED point and the next
+# bucket's centroid — the perceptual sibling of M4 (shape-preserving
+# where M4 is pixel-exact).  The selection recurrence is inherently
+# sequential per series, so it runs as a per-machine Arrow island —
+# rows-only check by design; an independent pure-Python LTTB is the
+# parity reference in tests/test_operators_semantics.py.
+_LTTB_SCHEMA = (
+    "user_id bigint, event_id bigint, ts timestamp, value double, pos bigint"
+)
+
+
+def _lttb_select(ts_us, values, event_ids, n_out: int):
+    """Sequential LTTB over one series (µs-int x axis, float y).
+    Returns selected indices; ties break to the earliest index —
+    deterministic.  Pure function shared by the island and the test."""
+    n = len(values)
+    if n_out >= n:
+        return list(range(n))
+    if n_out < 3:
+        return [0, n - 1]
+    # n_out-2 interior buckets over points 1..n-2
+    import numpy as np
+
+    x = np.asarray(ts_us, dtype=np.float64)
+    y = np.asarray(values, dtype=np.float64)
+    edges = [1 + (i * (n - 2)) // (n_out - 2) for i in range(n_out - 1)]
+    sel = [0]
+    a = 0
+    for b in range(n_out - 2):
+        lo, hi = edges[b], edges[b + 1]
+        if b + 2 <= n_out - 2:
+            nlo, nhi = edges[b + 1], edges[b + 2]
+        else:
+            nlo, nhi = n - 1, n
+        cx = x[nlo:nhi].mean() if nhi > nlo else x[n - 1]
+        cy = y[nlo:nhi].mean() if nhi > nlo else y[n - 1]
+        ax, ay = x[a], y[a]
+        area = np.abs(
+            (ax - cx) * (y[lo:hi] - ay) - (ax - x[lo:hi]) * (cy - ay)
+        )
+        a = lo + int(np.argmax(area))  # argmax ties -> first index
+        sel.append(a)
+    sel.append(n - 1)
+    return sel
+
+
+@register("agg_lttb_downsample", oracle=None)
+def agg_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB perceptual downsampling to 60 points per machine series
+    (rows-only: the selection recurrence is sequential, not
+    SQL-expressible — parity vs an independent pure-Python LTTB plus
+    endpoint/count invariants are pytested).  Pairs with
+    ``agg_m4_downsample``: M4 is pixel-exact for line rendering, LTTB
+    is the shape-preserving sketch a thumbnail/sparkline wants.
+
+    Spark-first shape: ONE explicitly spread (machine)-island pass —
+    `repartition(n, user_id)` (AQE-coalesce-exempt, satisfies the
+    grouped-map clustering) then `applyInPandas` running the O(n)
+    selection per series.  At 100 TB: parallelism = machines; each
+    island is linear in its own series and emits exactly 60 rows."""
+    import pandas as pd
+
+    from gordo_components_spark.ml.islands import _spread
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        ts_us = pdf["ts"].astype("int64") // 1000
+        sel = _lttb_select(
+            ts_us.to_numpy(), pdf["value"].to_numpy(), pdf["event_id"], 60
+        )
+        out = pdf.iloc[sel][["user_id", "event_id", "ts", "value"]].copy()
+        out["pos"] = range(len(sel))
+        return out
+
+    return _spread(ev).groupBy("user_id").applyInPandas(fn, _LTTB_SCHEMA)

@@ -667,3 +667,51 @@ def test_xcorr_leadlag_matches_numpy_on_dense_grid(spark, sf_dir):
             assert abs(r.xcorr - ref) < 2e-6, (r.user_id, r.lag)
             checked += 1
     assert checked >= 20
+
+
+def test_lttb_matches_independent_python_reference(spark, sf_dir):
+    # independent sequential LTTB (textbook bucket-centroid form,
+    # written against the PAPER, not the operator's helper) must pick
+    # the same points; plus the structural invariants: endpoints kept,
+    # exactly min(60, n) points, pos strictly increasing in ts
+    rows = load_all()["agg_lttb_downsample"].fn(spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    ).collect()
+    series = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        series.setdefault(r.user_id, []).append(r)
+    got = {}
+    for r in rows:
+        got.setdefault(r.user_id, []).append(r)
+    for uid, pts in series.items():
+        n = len(pts)
+        n_out = min(60, n)
+        g = sorted(got[uid], key=lambda r: r.pos)
+        assert len(g) == n_out, uid
+        assert g[0].event_id == pts[0].event_id  # first endpoint
+        assert g[-1].event_id == pts[-1].event_id  # last endpoint
+        if n <= 60:
+            continue
+        # textbook reference
+        x = [p.ts.timestamp() * 1e6 for p in pts]
+        y = [p.value for p in pts]
+        edges = [1 + (i * (n - 2)) // 58 for i in range(59)]
+        sel = [0]
+        a = 0
+        for b in range(58):
+            lo, hi = edges[b], edges[b + 1]
+            nlo, nhi = (edges[b + 1], edges[b + 2]) if b + 2 <= 58 else (n - 1, n)
+            cx = sum(x[nlo:nhi]) / max(1, nhi - nlo)
+            cy = sum(y[nlo:nhi]) / max(1, nhi - nlo)
+            best, best_area = lo, -1.0
+            for i in range(lo, hi):
+                area = abs((x[a] - cx) * (y[i] - y[a]) - (x[a] - x[i]) * (cy - y[a]))
+                if area > best_area:
+                    best, best_area = i, area
+            sel.append(best)
+            a = best
+        sel.append(n - 1)
+        want = [pts[i].event_id for i in sel]
+        assert [r.event_id for r in g] == want, uid

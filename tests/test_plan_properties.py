@@ -654,3 +654,13 @@ def test_m4_single_exchange_shared_by_windows_and_agg(spark, sf_dir):
     assert "SinglePartition" not in plan
     assert plan.count("Exchange") == 2  # one exchange, tree + details
     assert plan.count("Scan parquet") == 2
+
+
+def test_lttb_is_spread_island_no_join(spark, sf_dir):
+    # the sequential selection must run as a per-machine Arrow island
+    # behind an explicit AQE-exempt repartition (CLAUDE.md islands rule)
+    plan = plan_of(spark, "agg_lttb_downsample", sf_dir)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobin" not in plan
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
