@@ -1398,10 +1398,12 @@ _LTTB_SCHEMA = (
 )
 
 
-def _lttb_select(ts_us, values, event_ids, n_out: int):
+def _lttb_select(ts_us, values, n_out: int):
     """Sequential LTTB over one series (µs-int x axis, float y).
     Returns selected indices; ties break to the earliest index —
-    deterministic.  Pure function shared by the island and the test."""
+    deterministic.  Selection is invariant to a uniform x rescale
+    (areas all scale by the same factor), so the µs/ns unit of the
+    pandas datetime view cannot change the picked points."""
     n = len(values)
     if n_out >= n:
         return list(range(n))
@@ -1458,9 +1460,7 @@ def agg_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
         ts_us = pdf["ts"].astype("int64") // 1000
-        sel = _lttb_select(
-            ts_us.to_numpy(), pdf["value"].to_numpy(), pdf["event_id"], 60
-        )
+        sel = _lttb_select(ts_us.to_numpy(), pdf["value"].to_numpy(), 60)
         out = pdf.iloc[sel][["user_id", "event_id", "ts", "value"]].copy()
         out["pos"] = range(len(sel))
         return out
