@@ -1433,3 +1433,82 @@ def pipe_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
         (F.col("doc_id") >= F.col("off")).alias("is_clone"),
     )
+
+
+# Rendezvous / highest-random-weight sharding (Thaler & Ravishankar
+# 1998): doc -> argmax_s h(doc, s).  THE stable work-assignment
+# primitive: growing N -> N+1 shards moves only the docs whose new
+# shard wins (expected 1/(N+1)), where mod-N sharding reshuffles
+# (N-1)/N of the corpus.  Weights are the repo's positional-hex md5
+# 16-bit bucket (identical across engines); argmax is greatest() + a
+# first-index-wins CASE, so the whole assignment is ONE map-only
+# expression — zero shuffles at any corpus size.
+_RDV_N = 10
+
+
+def _rdv_weight(strpos_fn: str, shard: int) -> str:
+    # instr = Spark dialect (STRING), strpos = DuckDB (VARCHAR)
+    str_t = "STRING" if strpos_fn == "instr" else "VARCHAR"
+    key = f"(CAST(doc_id AS {str_t}) || '#{shard}')"
+    return _bucket(key, strpos_fn)
+
+
+def _rdv_exprs(strpos_fn: str, n: int) -> tuple[list[tuple[str, str]], str]:
+    """([(alias, weight expr)…], argmax CASE over those columns)."""
+    ws = [(f"w{s}", _rdv_weight(strpos_fn, s)) for s in range(n)]
+    m = "greatest(" + ", ".join(f"w{s}" for s in range(n)) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN w{s} = {m} THEN {s}" for s in range(n))
+        + " END"
+    )
+    return ws, case
+
+
+_RDV_WS_DUCK_PAIRS, _RDV_CASE_DUCK = _rdv_exprs("strpos", _RDV_N)
+_RDV_WS_DUCK = ", ".join(f"{e} AS {a}" for a, e in _RDV_WS_DUCK_PAIRS)
+
+
+def rendezvous_assign(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, shard, weight) rendezvous assignment over n shards —
+    map-only; shared by the registered query and the stability pytest."""
+    from pyspark.sql import functions as F
+
+    ws, case = _rdv_exprs("instr", n)
+    w = docs.select("doc_id", *[F.expr(e).alias(a) for a, e in ws])
+    m = "greatest(" + ", ".join(f"w{s}" for s in range(n)) + ")"
+    return w.select(
+        "doc_id",
+        F.expr(f"CAST({case} AS BIGINT)").alias("shard"),
+        F.expr(f"CAST({m} AS BIGINT)").alias("weight"),
+    )
+
+
+@register(
+    "pipe_shard_rendezvous",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_RDV_WS_DUCK} FROM documents
+    )
+    SELECT doc_id,
+           CAST({_RDV_CASE_DUCK} AS BIGINT) AS shard,
+           CAST(greatest({", ".join(f"w{s}" for s in range(_RDV_N))})
+                AS BIGINT) AS weight
+    FROM w
+    """,
+)
+def pipe_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment of the
+    corpus over 10 shards — the stable layout primitive for
+    incremental pipelines: adding a shard reassigns only ~1/11 of
+    docs (pytested), so shard-local indexes (the dedup digest index,
+    LSH bands) stay ~90% warm through a resize, where doc_id % N
+    invalidates (N−1)/N of them.
+
+    Spark-first shape: ONE map-only expression per doc (10 positional
+    -hex md5 weights + greatest + first-index CASE) — zero shuffles,
+    zero joins at any corpus size; ties break to the lowest shard on
+    both engines by CASE order.  Exactness: pure integer hash algebra,
+    md5 hex identical across engines."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return rendezvous_assign(docs, _RDV_N)

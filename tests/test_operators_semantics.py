@@ -715,3 +715,27 @@ def test_lttb_matches_independent_python_reference(spark, sf_dir):
         sel.append(n - 1)
         want = [pts[i].event_id for i in sel]
         assert [r.event_id for r in g] == want, uid
+
+
+def test_rendezvous_resize_moves_only_new_shard_winners(spark, sf_dir):
+    # THE rendezvous guarantee: going 10 -> 11 shards, a doc moves IFF
+    # shard 10's weight beats its old maximum — expected ~1/11 of docs,
+    # and every mover lands on the NEW shard (nobody shuffles between
+    # old shards, unlike doc_id % N)
+    from gordo_components_spark.operators.extensions_pipeline import (
+        rendezvous_assign,
+    )
+    from gordo_components_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a10 = {r.doc_id: r.shard for r in rendezvous_assign(docs, 10).collect()}
+    a11 = {r.doc_id: r.shard for r in rendezvous_assign(docs, 11).collect()}
+    n = len(a10)
+    moved = [d for d in a10 if a10[d] != a11[d]]
+    assert all(a11[d] == 10 for d in moved)  # movers only ever join the new shard
+    assert len(moved) < n * 0.25  # expected 1/11 ~ 9%; generous bound
+    # and balance: no shard holds more than 3x its fair share
+    import collections
+
+    counts = collections.Counter(a10.values())
+    assert max(counts.values()) <= 3 * (n / 10) + 5

@@ -664,3 +664,12 @@ def test_lttb_is_spread_island_no_join(spark, sf_dir):
     assert "REPARTITION_BY_NUM" in plan or "RoundRobin" not in plan
     assert "Join" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_rendezvous_is_map_only(spark, sf_dir):
+    # the whole assignment is one expression per doc: zero exchanges,
+    # zero joins at any corpus size
+    plan = plan_of(spark, "pipe_shard_rendezvous", sf_dir)
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 2
