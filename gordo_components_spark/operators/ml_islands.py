@@ -458,3 +458,78 @@ def ml_train_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "coef_x double, intercept double, rmse double, r2 double, n bigint",
     )
+
+
+_HOLT_ALPHA, _HOLT_BETA = 0.3, 0.1
+_HOLT_SCHEMA = (
+    "user_id bigint, n bigint, level double, trend double, "
+    "forecast_next double, rmse double"
+)
+
+
+def holt_linear(values, alpha: float = _HOLT_ALPHA, beta: float = _HOLT_BETA):
+    """Holt's linear-trend double exponential smoothing (Holt 1957)
+    over one ordered series: returns (level, trend, sse over one-step
+    in-sample forecasts).  Pure function — shared by the island and the
+    independent-path pytest."""
+    l, b = float(values[0]), float(values[1]) - float(values[0])
+    sse = 0.0
+    for x in values[1:]:
+        x = float(x)
+        f = l + b
+        sse += (x - f) * (x - f)
+        l_new = alpha * x + (1.0 - alpha) * (l + b)
+        b = beta * (l_new - l) + (1.0 - beta) * b
+        l = l_new
+    return l, b, sse
+
+
+@register("ml_forecast_holt", oracle=None)
+def ml_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential-smoothing forecast per machine
+    (rows-only: the coupled level/trend recurrence is sequential, not
+    SQL-expressible — recurrence parity and constant-series invariants
+    are pytested).  Completes the classical forecasting triple next to
+    O42's ridge-AR (`ml_forecast_ar`) and the windowed recurrent face:
+    the model a plant runs on slow trending tags where an AR lookback
+    is overkill.  Emits each machine's fitted level/trend, the
+    one-step-ahead forecast, and in-sample one-step RMSE.
+
+    Spark-first shape: ONE spread per-machine Arrow island (the
+    O41–O43 pattern) — `repartition(n, user_id)` then `applyInPandas`
+    running the O(n) recurrence; parallelism = machines, each island
+    linear, output one row per machine.  Machines with < 8 readings
+    are skipped (no stable trend)."""
+    import math
+
+    import pandas as pd
+
+    from gordo_components_spark.ml.islands import _spread
+    from gordo_components_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) < 8:
+            return pd.DataFrame(
+                columns=["user_id", "n", "level", "trend", "forecast_next", "rmse"]
+            )
+        pdf = pdf.sort_values(["ts", "event_id"])
+        l, b, sse = holt_linear(pdf["value"].to_numpy())
+        n = len(pdf)
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": int(pdf["user_id"].iloc[0]),
+                    "n": n,
+                    "level": l,
+                    "trend": b,
+                    "forecast_next": l + b,
+                    "rmse": math.sqrt(sse / (n - 1)),
+                }
+            ]
+        )
+
+    return _spread(ev).groupBy("user_id").applyInPandas(fn, _HOLT_SCHEMA)

@@ -739,3 +739,41 @@ def test_rendezvous_resize_moves_only_new_shard_winners(spark, sf_dir):
 
     counts = collections.Counter(a10.values())
     assert max(counts.values()) <= 3 * (n / 10) + 5
+
+
+def test_holt_forecast_matches_sequential_and_constant_invariant(spark, sf_dir):
+    # recurrence parity vs a test-local Holt written against the
+    # textbook form, plus: a CONSTANT series must fit trend -> 0,
+    # forecast == the constant, rmse == 0
+    import math
+
+    import pandas as pd
+
+    rows = {r.user_id: r for r in load_all()["ml_forecast_holt"].fn(spark, sf_dir).collect()}
+    assert rows
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    ).toPandas()
+    for uid, g in ev.groupby("user_id"):
+        vals = g.sort_values(["ts", "event_id"])["value"].tolist()
+        if len(vals) < 8:
+            assert uid not in rows
+            continue
+        l, b = vals[0], vals[1] - vals[0]
+        sse = 0.0
+        for x in vals[1:]:
+            f = l + b
+            sse += (x - f) ** 2
+            l2 = 0.3 * x + 0.7 * (l + b)
+            b = 0.1 * (l2 - l) + 0.9 * b
+            l = l2
+        r = rows[uid]
+        assert r.n == len(vals)
+        assert abs(r.level - l) < 1e-9 and abs(r.trend - b) < 1e-9
+        assert abs(r.forecast_next - (l + b)) < 1e-9
+        assert abs(r.rmse - math.sqrt(sse / (len(vals) - 1))) < 1e-9
+    # constant-series invariant via the pure helper
+    from gordo_components_spark.operators.ml_islands import holt_linear
+
+    l, b, sse = holt_linear([7.5] * 50)
+    assert abs(l - 7.5) < 1e-12 and abs(b) < 1e-12 and sse < 1e-18

@@ -673,3 +673,10 @@ def test_rendezvous_is_map_only(spark, sf_dir):
     assert "Join" not in plan
     assert "Exchange" not in plan
     assert plan.count("Scan parquet") == 2
+
+
+def test_holt_is_spread_island_no_join(spark, sf_dir):
+    plan = plan_of(spark, "ml_forecast_holt", sf_dir)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
