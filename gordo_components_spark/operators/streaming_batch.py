@@ -271,3 +271,14 @@ def stream_hampel_genuine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gordo_components_spark.streaming.micro_batch import run_streaming_hampel
 
     return run_streaming_hampel(spark, sf_dir)
+
+
+@register("stream_m4_genuine", oracle=None)
+def stream_m4_genuine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming M4 chart reducer (rows-only): first/last/min/max per
+    (machine, tag, 6 h window) as a genuine watermarked Structured
+    Streaming aggregation — the live-dashboard face of
+    ``agg_m4_downsample``; bit-exact batch parity pytested."""
+    from gordo_components_spark.streaming.micro_batch import run_streaming_m4
+
+    return run_streaming_m4(spark, sf_dir)

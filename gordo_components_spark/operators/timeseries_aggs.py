@@ -1466,3 +1466,61 @@ def agg_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     return _spread(ev).groupBy("user_id").applyInPandas(fn, _LTTB_SCHEMA)
+
+
+@register(
+    "agg_markov_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), c AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n_ab
+      FROM s WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    )
+    SELECT cur, nxt, n_ab,
+           CAST(SUM(n_ab) OVER (PARTITION BY cur) AS BIGINT) AS n_a,
+           CAST(n_ab AS DOUBLE)
+             / CAST(SUM(n_ab) OVER (PARTITION BY cur) AS DOUBLE) AS p
+    FROM c
+    """,
+)
+def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each machine's event
+    sequence: for every (current tag, next tag) pair, the transition
+    count and conditional probability P(next | current) — the
+    path-analytics face (what usually follows an 'error'?), and the
+    empirical transition model a sequence-anomaly monitor scores
+    against.  Sequences never cross machines (LEAD partitions by
+    machine).
+
+    Spark-first shape: one (machine, ts) window exchange for the LEAD,
+    one partial-combinable (cur, nxt) count shuffle, and the row
+    totals ride a window over the tags × tags result frame — no join
+    anywhere.  At 100 TB the output is ≤ tags² rows.
+
+    Exactness: integer counts; p is one exact-int division —
+    bit-identical, no rounding convention."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.expr(
+            "LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        ).alias("nxt"),
+    )
+    c = (
+        s.where(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    tot = "SUM(n_ab) OVER (PARTITION BY cur)"
+    return c.select(
+        "cur",
+        "nxt",
+        "n_ab",
+        F.expr(f"CAST({tot} AS BIGINT)").alias("n_a"),
+        F.expr(f"CAST(n_ab AS DOUBLE) / CAST({tot} AS DOUBLE)").alias("p"),
+    )

@@ -809,3 +809,41 @@ def run_streaming_hampel(
         .where("rn = 1")
         .drop("rn")
     )
+
+
+def run_streaming_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming M4 downsampling: the serving face of
+    ``agg_m4_downsample`` — first/last/min/max reading per (machine,
+    tag, 6 h event-time window) maintained as a GENUINE watermarked
+    streaming aggregation (single-batch replay so no window is dropped
+    late; first/last ride ``min_by``/``max_by`` over the unique
+    (ts, event_id) struct order, exactly the batch face's total
+    order).  Batch↔stream parity is asserted in
+    tests/test_streaming.py."""
+    prepare(spark)
+    src = _replay_dir(spark, sf_dir)
+    stream = spark.readStream.schema(_RAW_SCHEMA).parquet(src)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", "event_type", F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.expr("min_by(value, struct(ts, event_id))").alias("v_first"),
+            F.expr("max_by(value, struct(ts, event_id))").alias("v_last"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("w.start").alias("bucket"),
+            "v_first",
+            "v_last",
+            "v_min",
+            "v_max",
+            "n",
+        )
+    )
+    name = f"stream_m4_{uuid.uuid4().hex[:8]}"
+    return _run_to_memory(agg, name)

@@ -680,3 +680,11 @@ def test_holt_is_spread_island_no_join(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in plan
     assert "Join" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_markov_no_join_two_exchanges(spark, sf_dir):
+    # LEAD exchange + (cur, nxt) count shuffle; totals ride a window on
+    # the tiny result — never a join
+    plan = plan_of(spark, "agg_markov_transitions", sf_dir)
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan

@@ -380,3 +380,36 @@ def test_streaming_hampel_med2_matches_statistics_median():
         assert _med2(w) == round(2 * statistics.median(w))
 
     check()
+
+
+def test_streaming_m4_matches_batch_face(spark, sf_dir):
+    # append-mode watermark contract (the session-face precedent):
+    # emitted ⊆ batch with BIT-EQUAL aggregates, and every window the
+    # final watermark (max ts − 1h) closed must have emitted — only
+    # the trailing not-yet-closed windows may be withheld
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from gordo_components_spark.registry import load_all
+    from gordo_components_spark.sources.tables import load_table
+    from gordo_components_spark.streaming.micro_batch import run_streaming_m4
+
+    got = {
+        (r.user_id, r.event_type, r.bucket): (r.v_first, r.v_last, r.v_min, r.v_max, r.n)
+        for r in run_streaming_m4(spark, sf_dir).collect()
+    }
+    want = {
+        (r.user_id, r.event_type, r.bucket): (r.v_first, r.v_last, r.v_min, r.v_max, r.n)
+        for r in load_all()["agg_m4_downsample"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) <= set(want)
+    for k, v in got.items():
+        assert v == want[k], k  # bit-equal where emitted
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    wm = max_ts - datetime.timedelta(hours=1)
+    closed = {
+        k for k in want if k[2] + datetime.timedelta(hours=6) <= wm
+    }
+    assert closed <= set(got)  # every watermark-closed window emitted
+    assert len(got) >= len(closed) > 0
