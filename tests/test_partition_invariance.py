@@ -38,6 +38,14 @@ QUERIES = [
     # rank cut (rank ties broken by doc_id, so the kept set is fixed)
     "pipe_decontaminate_semantic",
     "pipe_quality_trim",
+    # round 8 late: the two island downsamplers/forecasters (per-series
+    # sequential selection must depend only on the series, never the
+    # partition layout feeding the spread repartition), the stacked
+    # rolling-median pair, and the floor-shift-ranked xcorr is_best cut
+    "agg_lttb_downsample",
+    "ml_forecast_holt",
+    "window_hampel_outlier",
+    "agg_xcorr_leadlag",
 ]
 
 
