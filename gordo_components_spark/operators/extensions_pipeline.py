@@ -1512,3 +1512,88 @@ def pipe_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 hex identical across engines."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return rendezvous_assign(docs, _RDV_N)
+
+
+# Largest-remainder (Hamilton) apportionment of a fixed token budget
+# across sources: quota_s = floor(B·tok_s / T) plus one extra token for
+# the L = B − Σfloor largest remainders — the ONLY proportional
+# integer allocation whose quotas sum EXACTLY to the budget (a
+# per-source round() can miss B by ±#sources/2, which a downstream
+# packer then over/under-fills).  Exactness: B·tok_s routes through
+# HUGEINT/DECIMAL(38,0) (bigint wraps at ~92T total tokens — exactly
+# the 100 TB regime; DuckDB raises where Spark wraps, the CLAUDE.md
+# divergence), floor-division and remainders are pure integers, and
+# the remainder rank carries the unique source tiebreak.
+_APPORTION_B = 100_000  # tokens to allocate at the checked SFs
+
+
+@register(
+    "pipe_budget_apportion",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok
+      FROM documents GROUP BY source
+    ), t AS (
+      SELECT source, tok,
+             CAST(SUM(tok) OVER () AS BIGINT) AS total,
+             CAST(CAST(tok AS HUGEINT) * {_APPORTION_B} AS HUGEINT) AS btok
+      FROM s
+    ), q AS (
+      SELECT source, tok, total,
+             CAST(btok // total AS BIGINT) AS fl,
+             CAST(btok % total AS BIGINT) AS rem
+      FROM t
+    ), r AS (
+      SELECT *,
+             CAST({_APPORTION_B} - SUM(fl) OVER () AS BIGINT) AS leftover,
+             CAST(rank() OVER (ORDER BY rem DESC, source ASC) AS BIGINT) AS rk
+      FROM q
+    )
+    SELECT source, tok AS n_tokens,
+           (fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) AS quota
+    FROM r
+    """,
+)
+def pipe_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton largest-remainder apportionment of a 100k-token
+    training budget across sources, proportional to each source's
+    whitespace-token mass: floor shares plus one extra for the largest
+    remainders, so Σquota == budget EXACTLY (pytested) — the allocation
+    the mixture-weights face feeds a sampler/packer.
+
+    Spark-first shape: one partial-combinable per-source aggregation
+    (the only corpus pass) — everything after rides the ≤sources-row
+    frame (two unbounded windows over ~20 rows + a rank; at 100 TB
+    this tail is driver-trivial while the token count stays fully
+    distributed).  Exactness: integer end-to-end (block comment);
+    the rank tiebreak is the unique source name."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.expr("CAST(SUM(size(split(text, ' '))) AS BIGINT)").alias("tok")
+    )
+    t = s.select(
+        "source",
+        "tok",
+        F.expr("CAST(SUM(tok) OVER () AS BIGINT)").alias("total"),
+        F.expr(f"CAST(tok AS DECIMAL(28,0)) * {_APPORTION_B}").alias("btok"),
+    )
+    q = t.select(
+        "source",
+        "tok",
+        "total",
+        F.expr("CAST(btok div total AS BIGINT)").alias("fl"),
+        F.expr("CAST(btok % total AS BIGINT)").alias("rem"),
+    )
+    r = q.select(
+        "*",
+        F.expr(f"CAST({_APPORTION_B} - SUM(fl) OVER () AS BIGINT)").alias("leftover"),
+        F.expr("CAST(rank() OVER (ORDER BY rem DESC, source ASC) AS BIGINT)").alias(
+            "rk"
+        ),
+    )
+    return r.select(
+        "source",
+        F.col("tok").alias("n_tokens"),
+        F.expr("fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END").alias("quota"),
+    )

@@ -777,3 +777,15 @@ def test_holt_forecast_matches_sequential_and_constant_invariant(spark, sf_dir):
 
     l, b, sse = holt_linear([7.5] * 50)
     assert abs(l - 7.5) < 1e-12 and abs(b) < 1e-12 and sse < 1e-18
+
+
+def test_apportionment_sums_exactly_and_is_proportional(spark, sf_dir):
+    # Hamilton guarantee: quotas sum EXACTLY to the budget, every quota
+    # within 1 of the exact proportional share (quota rule)
+    rows = load_all()["pipe_budget_apportion"].fn(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.n_tokens for r in rows)
+    assert sum(r.quota for r in rows) == 100_000
+    for r in rows:
+        exact = 100_000 * r.n_tokens / total
+        assert exact - 1 < r.quota < exact + 1, (r.source, r.quota, exact)

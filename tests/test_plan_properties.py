@@ -688,3 +688,16 @@ def test_markov_no_join_two_exchanges(spark, sf_dir):
     plan = plan_of(spark, "agg_markov_transitions", sf_dir)
     assert "Join" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_apportion_single_corpus_pass_tiny_tail(spark, sf_dir):
+    # one partial-combinable corpus aggregation; the SinglePartition
+    # windows are legal here — they ride the <=sources-row frame (the
+    # 1-row-fold exception), never the corpus
+    plan = plan_of(spark, "pipe_budget_apportion", sf_dir)
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 2  # one scan, tree + details
+    # the corpus aggregation must be partial (map-side combine) before
+    # any single-partition tail
+    head = plan.split("SinglePartition")[0]
+    assert "HashAggregate" in head
