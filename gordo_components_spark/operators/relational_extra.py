@@ -440,6 +440,7 @@ _BENFORD_OBS = ", ".join(f"{e} AS {a}" for a, e in _BENFORD_OBS_PAIRS)
              substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1)
                AS d
       FROM events
+      WHERE round(value * 100) >= 1
     ), o AS (
       SELECT event_type, CAST(count(*) AS BIGINT) AS n, {_BENFORD_OBS}
       FROM v GROUP BY event_type
@@ -465,7 +466,12 @@ def agg_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-order float chain over compile-time literals (block
     comment) — bit-identical, no rounding convention."""
     ev = load_table(spark, sf_dir, "events")
-    v = ev.select(
+    # readings below half a cent (or negative) have no first significant
+    # digit in 1..9: excluding them keeps n = sum(observed) so the chi-sq
+    # expectation is well-posed (review finding: counting them in n but
+    # in no bucket biases chi2 upward identically in both engines, which
+    # oracle parity can never catch)
+    v = ev.where(F.expr("round(value * 100) >= 1")).select(
         "event_type",
         F.expr(
             "substr(CAST(CAST(round(value * 100) AS BIGINT) AS STRING), 1, 1)"

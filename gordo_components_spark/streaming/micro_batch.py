@@ -80,13 +80,23 @@ def _replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:
     return _replay_cache(spark, sf_dir, "events_replay", "events", build)
 
 
-def _run_to_memory(stream_df: DataFrame, query_name: str) -> DataFrame:
+def _run_to_memory(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    latest_by: tuple[tuple[str, ...], str] | None = None,
+) -> DataFrame:
     """Execute an availableNow streaming query into a memory sink and
     return the MATERIALIZED result (eager localCheckpoint), then drop
     the sink table — uuid-named memory sinks otherwise accrete full
-    result sets in driver memory for the session lifetime.  The
-    checkpoint dir is removed in a finally so a raising query can't
-    leak it (the uuid leaves don't match the PID sweeper's prefixes)."""
+    result sets in driver memory for the session lifetime.  Both the
+    checkpoint dir AND the temp view are released in the finally so a
+    raising query can't leak either (the uuid leaves don't match the
+    PID sweeper's prefixes).  ``latest_by=((keys...), order_col)``
+    post-filters UPDATE-mode emissions to each key's final row — the
+    stateful faces' per-key summary contract (review finding: the
+    CUSUM/Hampel faces each hand-rolled this tail, and their
+    dropTempView sat outside the finally)."""
     import shutil
 
     spark = stream_df.sparkSession
@@ -95,7 +105,7 @@ def _run_to_memory(stream_df: DataFrame, query_name: str) -> DataFrame:
         q = (
             stream_df.writeStream.format("memory")
             .queryName(query_name)
-            .outputMode("append")
+            .outputMode(output_mode)
             .trigger(availableNow=True)
             .option("checkpointLocation", chk)
             .start()
@@ -104,7 +114,18 @@ def _run_to_memory(stream_df: DataFrame, query_name: str) -> DataFrame:
         out = spark.table(query_name).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(chk, ignore_errors=True)  # run-scoped checkpoint
-    spark.catalog.dropTempView(query_name)
+        try:
+            spark.catalog.dropTempView(query_name)
+        except Exception:
+            pass
+    if latest_by is not None:
+        keys, order_col = latest_by
+        w = f"PARTITION BY {', '.join(keys)} ORDER BY {order_col} DESC"
+        out = (
+            out.withColumn("rn", F.expr(f"ROW_NUMBER() OVER ({w})"))
+            .where("rn = 1")
+            .drop("rn")
+        )
     return out
 
 
@@ -667,29 +688,12 @@ def run_streaming_cusum(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    import shutil
-
     name = f"stream_cusum_{uuid.uuid4().hex[:8]}"
-    chk = f"/tmp/gordo_spark_stream/chk/{name}"
-    try:
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", chk)
-            .start()
-        )
-        q.awaitTermination()
-        full = spark.table(name).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(chk, ignore_errors=True)
-    spark.catalog.dropTempView(name)
-    w = "PARTITION BY user_id, event_type ORDER BY n_seen DESC"
-    return (
-        full.withColumn("rn", F.expr(f"ROW_NUMBER() OVER ({w})"))
-        .where("rn = 1")
-        .drop("rn")
+    return _run_to_memory(
+        out,
+        name,
+        output_mode="update",
+        latest_by=(("user_id", "event_type"), "n_seen"),
     )
 
 
@@ -785,29 +789,9 @@ def run_streaming_hampel(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    import shutil
-
     name = f"stream_hampel_{uuid.uuid4().hex[:8]}"
-    chk = f"/tmp/gordo_spark_stream/chk/{name}"
-    try:
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", chk)
-            .start()
-        )
-        q.awaitTermination()
-        full = spark.table(name).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(chk, ignore_errors=True)
-    spark.catalog.dropTempView(name)
-    w = "PARTITION BY user_id ORDER BY n_seen DESC"
-    return (
-        full.withColumn("rn", F.expr(f"ROW_NUMBER() OVER ({w})"))
-        .where("rn = 1")
-        .drop("rn")
+    return _run_to_memory(
+        out, name, output_mode="update", latest_by=(("user_id",), "n_seen")
     )
 
 
@@ -823,7 +807,6 @@ def run_streaming_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     src = _replay_dir(spark, sf_dir)
     stream = spark.readStream.schema(_RAW_SCHEMA).parquet(src)
-    key = F.struct(F.col("ts"), F.col("event_id"))
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy("user_id", "event_type", F.window("ts", "6 hours").alias("w"))

@@ -695,7 +695,9 @@ def test_lttb_matches_independent_python_reference(spark, sf_dir):
         if n <= 60:
             continue
         # textbook reference
-        x = [p.ts.timestamp() * 1e6 for p in pts]
+        import datetime as _dt
+
+        x = [p.ts.replace(tzinfo=_dt.timezone.utc).timestamp() * 1e6 for p in pts]
         y = [p.value for p in pts]
         edges = [1 + (i * (n - 2)) // 58 for i in range(59)]
         sel = [0]

@@ -661,7 +661,10 @@ def test_lttb_is_spread_island_no_join(spark, sf_dir):
     # behind an explicit AQE-exempt repartition (CLAUDE.md islands rule)
     plan = plan_of(spark, "agg_lttb_downsample", sf_dir)
     assert "FlatMapGroupsInPandas" in plan
-    assert "REPARTITION_BY_NUM" in plan or "RoundRobin" not in plan
+    # strict: the explicit AQE-exempt repartition must be present (a
+    # plain groupBy exchange would pass a weaker disjunction and ship
+    # the 1-partition-Python-stage regression)
+    assert "REPARTITION_BY_NUM" in plan
     assert "Join" not in plan
     assert "SinglePartition" not in plan
 
