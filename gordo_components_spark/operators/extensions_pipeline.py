@@ -379,6 +379,18 @@ def pipe_quality_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.min("score").alias("s_thr"), F.min("n").alias("n_src"))
     )
+    # EXEMPT from the r7 no-broadcast-on-scaling-sides mirror rule
+    # (round-9 advisory): thr is one short row per SOURCE.  The scale
+    # harness rewrites documents.source per replica, so the hinted side
+    # grows with the replica factor there — but only to 20 rows/replica
+    # (sf0.1 has 20 distinct sources → ≤ 2 000 rows ≈ 80 KB at the 100×
+    # rehearsal), and in a real deployment
+    # sources are dump/subcorpus ids (FineWeb ~100).  Dropping the hint
+    # would let a mis-estimated static plan shuffle the CORPUS on
+    # `source` — a skew-prone exchange a dominant source serializes,
+    # strictly worse than a KB-scale broadcast.  Were source ever
+    # domain-granular (unbounded), switch to the (source, score)
+    # histogram equi-join noted in the docstring.
     return t.join(F.broadcast(thr), "source").select(
         "doc_id",
         "source",
@@ -1332,7 +1344,7 @@ def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- corpus-derived so clone ids can never collide with real ids at
       -- any corpus size (round-8 advisory: a fixed 1000000 collides past
       -- 1M docs and both engines would share the bug silently)
-      SELECT CAST('1' || repeat('0', length(CAST(MAX(doc_id) AS VARCHAR))) AS BIGINT) AS off
+      SELECT CAST('1' || repeat('0', length(CAST(COALESCE(MAX(doc_id), 0) AS VARCHAR))) AS BIGINT) AS off
       FROM documents
     ), doubled AS (
       SELECT doc_id, text FROM documents
@@ -1401,10 +1413,21 @@ def pipe_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus outgrows it, silently merging unrelated docs into one
     # component in BOTH engines), integer-exact via the decimal string
     # length, and a 1-row broadcast like every scalar fold in this repo
+    # Round-9 advisory hardening: max(doc_id) is NULL on an empty table
+    # (→ coalesce to 0, offset 10) and the derived power of 10 overflows
+    # bigint once max(doc_id) ≥ 10^18 (19 decimal digits → offset 10^19 >
+    # 2^63−1, which non-ANSI CAST would silently NULL) — fail LOUDLY
+    # instead, matching the repo's convention (assert_true raises at the
+    # fold, never a silent NULL is_clone downstream).
     off_row = docs.agg(
         F.expr(
-            "CAST(concat('1', repeat('0', length(CAST(max(doc_id) AS STRING))))"
-            " AS BIGINT)"
+            "CASE WHEN assert_true("
+            "  length(CAST(coalesce(max(doc_id), 0) AS STRING)) < 19,"
+            "  'pipe_split_leakage_safe: max(doc_id) >= 10^18 — clone-id"
+            " offset would overflow bigint') IS NULL"
+            " THEN CAST(concat('1', repeat('0',"
+            "   length(CAST(coalesce(max(doc_id), 0) AS STRING)))) AS BIGINT)"
+            " END"
         ).alias("off")
     )
     docs_o = docs.crossJoin(F.broadcast(off_row))

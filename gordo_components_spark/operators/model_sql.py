@@ -422,6 +422,7 @@ _KS_CUM = f"{_KS_W} ORDER BY v100 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT R
     GROUP BY event_type
     HAVING MAX(n_train) > 0 AND MAX(n_serve) > 0
     """,
+    tags=("bench",),  # round-9: ECDF drift class promoted (ROUND9_NOTES #1)
 )
 def ml_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample KS drift per tag between the train and serve

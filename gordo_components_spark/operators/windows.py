@@ -456,6 +456,7 @@ _CUSUM_CUM = (
            (sc > CAST(n AS DECIMAL(19,0)) * {_CUSUM_H100}) AS is_alert
     FROM s
     """,
+    tags=("bench",),  # round-9: change-point class promoted (ROUND9_NOTES #1)
 )
 def window_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM drift alarms per (machine, tag): the sequential

@@ -87,8 +87,26 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     if hit is not None and hit[0]() is spark:
         return hit[1]
     df = spark.read.parquet(path)
-    if len(_RELATION_CACHE) > 256:  # dead-session / regenerated entries
-        _RELATION_CACHE.clear()
+    if len(_RELATION_CACHE) > 256:
+        # Evict selectively (round-9 advisory: a full clear dropped hot
+        # live-session plans along with dead ones): first drop entries
+        # whose session weakref is dead, then stale fingerprints of
+        # still-live (session, path) pairs superseded by a regenerated
+        # fixture; fall back to a full clear only if both sweeps free
+        # nothing (256 genuinely-live relations in one session).
+        dead = [k for k, v in _RELATION_CACHE.items() if v[0]() is None]
+        live_keys = {
+            (k[0], k[1]) for k in _RELATION_CACHE if k not in set(dead)
+        }
+        for k in dead:
+            del _RELATION_CACHE[k]
+        if len(_RELATION_CACHE) > 256:
+            for sess_path in live_keys:
+                dups = [k for k in _RELATION_CACHE if (k[0], k[1]) == sess_path]
+                for k in dups[:-1]:  # keep the most recent insertion
+                    del _RELATION_CACHE[k]
+        if len(_RELATION_CACHE) > 256:
+            _RELATION_CACHE.clear()
     _RELATION_CACHE[key] = (weakref.ref(spark), df)
     return df
 

@@ -623,13 +623,17 @@ def run_streaming_cusum(
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from gordo_components_spark.operators.model_sql import _DRIFT_SPLIT
     from gordo_components_spark.operators.windows import _CUSUM_H100, _CUSUM_K100
+    from gordo_components_spark.sources.tables import load_events_in_range
 
     prepare(spark)
-    ev = load_table(spark, sf_dir, "events")
+    # Train-window scan via load_events_in_range (round-9 advisory): a
+    # literal compare on the DERIVED µs ts cannot reach the parquet scan
+    # on the ≤4.0 raw-long branch — the range loader filters the raw
+    # column first, so the baseline fold prunes row groups at the source.
+    # The bound is the drift family's _DRIFT_SPLIT (2024-01-16 UTC).
     base_rows = (
-        ev.where(F.expr(f"ts < {_DRIFT_SPLIT}"))
+        load_events_in_range(spark, sf_dir, to_ts="2024-01-16 00:00:00")
         .groupBy("user_id", "event_type")
         .agg(
             F.count(F.lit(1)).alias("bn"),
