@@ -858,8 +858,15 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
       cluster), so pair volume stays ~(m^2 * target / 2) * n — linear
       in n — and the dot products are vectorized instead of ~23M
       interpreted zip_with evaluations (the round-5 SQL self-join).
-    A pair sharing several spill clusters is deduped by the final
-    distinct on the HALF_UP-rounded cosine."""
+    A pair sharing several spill clusters is emitted exactly once, by
+    its MINIMUM shared cluster (the canonical-cluster rule — decided
+    island-locally from the members' assignment sets), so no
+    output-pair-scale exchange exists anywhere in the plan: at the
+    fixture's weak τ=0.30 the op is OUTPUT-BOUND (152M pairs at the
+    100× rehearsal, growing ~11× per decade — the round-9 profile
+    showed per-pair cost IMPROVING with scale), and the old global
+    distinct() was the one shuffle whose bytes grew with the pair
+    count rather than the corpus."""
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -990,7 +997,7 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(fine_s.groupBy("cell", "shard"))
         .applyInPandas(rank_fine, "vec_id long, cluster int, score double")
     )
-    assigned = (
+    topm = (
         cand.withColumn(
             "rn",
             F.row_number().over(
@@ -1001,11 +1008,20 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rn") <= _SEM_M)
         .select("vec_id", "cluster")
-        .join(
+    )
+    # per-vector assignment SET travels with each exploded assignment row
+    # (round-9): the mining island needs every pair's full shared-cluster
+    # set to apply the canonical-cluster rule below — 3 extra ints per
+    # row, which buys the removal of the output-scale distinct() shuffle
+    asg = topm.groupBy("vec_id").agg(
+        F.sort_array(F.collect_list("cluster")).alias("cls")
+    )
+    assigned = (
+        asg.join(
             emb.select("vec_id", F.col("embedding").alias("v")).hint("SHUFFLE_HASH"),
             "vec_id",
         )
-        .select("vec_id", "cluster", "v")
+        .select("vec_id", "cls", "v", F.explode("cls").alias("cluster"))
     )
     # within-cluster pair mining as a BLAS island: the SQL self-join
     # computes ~n * target * m^2 / 2 interpreted 64-dim zip_with dot
@@ -1032,6 +1048,21 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_i = len(X)
         out_a, out_b, out_c = [], [], []
         if n_i >= 2:
+            # canonical-cluster rule (round-9, replaces the output-scale
+            # distinct() shuffle): a pair co-blocked in several shared
+            # spill clusters is emitted ONLY by its minimum shared
+            # cluster.  Both members carry their full sorted assignment
+            # set (cls), so the rule is decided locally: min over the
+            # positional-compare intersection of the two ≤m-element
+            # sets.  The tau_loose prefilter margin already covers the
+            # ~1e-14 matmul-path variation between clusters, so the
+            # canonical cluster sees every pair the old union saw.
+            cur = int(pdf["cluster"].iloc[0])
+            big = np.iinfo(np.int64).max
+            L = max(len(c) for c in pdf["cls"])
+            CL = np.full((n_i, L), big, dtype=np.int64)
+            for idx, c in enumerate(pdf["cls"]):
+                CL[idx, : len(c)] = c
             nrm = np.sqrt((X * X).sum(1))
             B = 2048
             for s in range(0, n_i, B):
@@ -1040,9 +1071,20 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bi, bj = np.nonzero(S >= tau_loose)
                 gi = bi + s
                 keep = gi < bj  # vec_a < vec_b (ids ascending)
-                out_a.append(ids[gi[keep]])
-                out_b.append(ids[bj[keep]])
-                out_c.append(S[bi[keep], bj[keep]])
+                gi, bj = gi[keep], bj[keep]
+                if len(gi):
+                    A, Bc = CL[gi], CL[bj]
+                    # shared-set minimum: pad sentinels only match pad
+                    # sentinels, and `cur` is always shared, so the pad
+                    # can never lower the minimum
+                    shared_min = np.where(
+                        (A[:, :, None] == Bc[:, None, :]).any(2), A, big
+                    ).min(1)
+                    canon = shared_min == cur
+                    gi, bj = gi[canon], bj[canon]
+                out_a.append(ids[gi])
+                out_b.append(ids[bj])
+                out_c.append(S[gi - s, bj])
         if not out_a:
             return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
                                  "vec_b": pd.Series(dtype="int64"),
@@ -1061,13 +1103,18 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(cluster_pairs, "vec_a long, vec_b long, raw_cos double")
     )
     # HALF_UP rounding in Spark (numpy's round is half-even — would
-    # produce false positives vs the exact ground truth on boundaries);
-    # distinct collapses pairs co-blocked in several spill clusters
-    return (
-        mined.select("vec_a", "vec_b", F.round(F.col("raw_cos"), 6).alias("cosine"))
-        .where(F.col("cosine") >= _SEM_TAU)
-        .distinct()
-    )
+    # produce false positives vs the exact ground truth on boundaries).
+    # No distinct: the canonical-cluster rule inside the island already
+    # guarantees each pair is emitted exactly once — the old
+    # distinct() was the ONLY output-pair-scale exchange in the plan
+    # (152M rows at the 100× rehearsal; the op is output-bound at the
+    # fixture's weak τ=0.30, so that shuffle dominated), and it also
+    # masked the case where two clusters' matmul paths rounded a
+    # boundary pair differently (the pair appeared twice with two
+    # cosines); single-emission removes both.
+    return mined.select(
+        "vec_a", "vec_b", F.round(F.col("raw_cos"), 6).alias("cosine")
+    ).where(F.col("cosine") >= _SEM_TAU)
 
 
 # ---------------------------------------------------------------------------

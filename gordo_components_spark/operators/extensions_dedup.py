@@ -59,11 +59,26 @@ def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DESCENDING for shorter docs (e.g. [0, -1]) and slice(t, 0, 3) then
 # throws INVALID_PARAMETER_VALUE.START — one 2-token document would
 # kill the whole job, where the DuckDB oracles yield an empty list.
+# Round-9 (decade2 flattening, verdict item 1): shingles are 64-bit
+# xxhash64 digests of the word 3-grams, hashed AT CREATION — no
+# concat_ws string build, no string array_distinct, and every
+# downstream set op (array_distinct here, array_intersect/array_union
+# in the verify joins) runs the primitive-long fast path instead of
+# string comparisons; the persisted shingle payload drops from ~25 to
+# 8 bytes per gram.  Measured at the 100× replica: the shingle pass
+# fell 26–30 s → 1.4–1.7 s with IDENTICAL per-doc distinct counts.
+# Jaccard over hashed grams equals string-gram jaccard up to 64-bit
+# collisions (~n²/2⁶⁵ ≈ 0 at any real corpus), which the recall ring
+# (tests/test_lsh_recall.py) cross-checks against the string-gram
+# exact face at 1e-9.  Minhash signatures hash the DIGEST with the
+# seed (xxhash64(digest, i)) — as valid a "permutation" family as
+# hashing the string, and still a pure function of the text.
 _SHINGLES = (
     "transform(array(split(text, ' ')), t -> CASE WHEN size(t) >= 3 THEN "
     "array_distinct(transform(sequence(0, size(t) - 3), "
-    "i -> concat_ws(' ', slice(t, i + 1, 3)))) "
-    "ELSE array() END)[0]"
+    "i -> xxhash64(element_at(t, i + 1), element_at(t, i + 2), "
+    "element_at(t, i + 3)))) "
+    "ELSE CAST(array() AS ARRAY<BIGINT>) END)[0]"
 )
 
 
@@ -367,9 +382,10 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       Jaccard build side at scale).  Candidate pairs ARE a vanishing
       fraction, so broadcasting them into the verify joins is fine."""
     docs = load_table(spark, sf_dir, "documents")
-    # the shingled corpus is ~10x the text at scale: persisted at the
-    # configured operator level (SPARK_GRAFT_CACHE_LEVEL, docs/SCALE.md)
-    # and released via caches.release_caches()
+    # the shingled corpus (8-byte digests per gram since round 9, ~the
+    # text's own size): persisted at the configured operator level
+    # (SPARK_GRAFT_CACHE_LEVEL, docs/SCALE.md) and released via
+    # caches.release_caches()
     sh = persist_tracked(
         docs.select("doc_id", F.expr(_SHINGLES).alias("shingles")).where(
             F.size("shingles") > 0
@@ -685,7 +701,12 @@ def build_fuzzy_index(spark: SparkSession, sf_dir: str) -> str:
         sh.write.mode("overwrite").parquet(os.path.join(tmp, "shingles"))
         sh.unpersist()
 
-    return materialized_cache(sf_dir, _FUZZY_ROOT, "index", "documents", _build)
+    # basename carries the stored-shingle FORMAT version: round 9 changed
+    # the shingle column from array<string> grams to array<bigint>
+    # digests — a same-fixture cache from the old format would otherwise
+    # be served by the footer fingerprint and explode the probe's
+    # array_intersect types (loud, but a rebuild beats a crash)
+    return materialized_cache(sf_dir, _FUZZY_ROOT, "index_h64", "documents", _build)
 
 
 @register("pipe_dedup_incremental_fuzzy", oracle=None)

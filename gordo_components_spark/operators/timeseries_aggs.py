@@ -772,17 +772,25 @@ def agg_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     the holes this face fills; ``agg_resample_interp`` is the
     interpolating sibling on observed buckets only).
 
-    Spark-first shape: per-group `sequence(min_bucket, max_bucket, 6h)`
-    exploded into the dense grid (linear in output rows, no skew — the
-    grid per group is span/interval), left join back to the observed
-    buckets on (user_id, event_type, bucket) — co-partitioned keys, one
-    exchange each side — then one `last(v) IGNORE NULLS` frame per
-    group partition.  Nothing here is driver-side; grid volume is
-    machines × tags × (span/interval) rows, which is the OUTPUT size.
+    Spark-first shape (round-9 rewrite — closes the decade2 6.2 watch):
+    gap-run explode instead of grid join.  A dense bucket's ffill value
+    is BY DEFINITION the `v` of the latest observed bucket ≤ it, so
+    each observed bucket, given its successor via ONE `lead()` over the
+    observed frame, emits its whole gap run ``[bucket, next−6h]``
+    map-side, carrying `v` — the dense grid is GENERATED pre-filled,
+    never joined or window-sorted.  vs the r7 grid-join form this
+    removes the (machines × tags × span)-row join AND the dense-frame
+    ffill sort: the only exchanges left carry the OBSERVED bucket frame
+    (the corpus agg + one lead window) — at the 100× replica that is
+    9.5M rows exchanged instead of 77M joined then sorted.  The DuckDB
+    oracle keeps the independent grid + LEFT JOIN + last_value
+    derivation, so parity now crosses two genuinely different
+    algorithms.  Output volume is unchanged (machines × tags ×
+    span/interval rows, emitted map-side).
 
     Parity: filled values copy the round-9 bucket means bit-exactly;
     bucket arithmetic is epoch-aligned 6-hour steps in both engines
-    (≤ 1-day alignment rule); `was_gap` is pure null algebra."""
+    (≤ 1-day alignment rule); `was_gap` is exact bucket identity."""
     ev = load_table(spark, sf_dir, "events")
     b = (
         ev.groupBy(
@@ -790,28 +798,35 @@ def agg_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.avg("value"), 9).alias("v"))
     )
-    r = b.groupBy("user_id", "event_type").agg(
-        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
-    )
-    grid = r.select(
-        "user_id",
-        "event_type",
-        F.explode(F.expr("sequence(b0, b1, interval 6 hours)")).alias("bucket"),
-    )
-    # the observed-bucket side grows with machines × tags × span (same
-    # order as the grid itself) — Catalyst broadcasts it at bench SF, so
-    # pin the shuffle join (broadcast-policy mirror rule, CLAUDE.md r7)
-    j = grid.join(b.hint("SHUFFLE_HASH"), ["user_id", "event_type", "bucket"], "left")
-    ffill = (
-        "last(v, true) OVER (PARTITION BY user_id, event_type ORDER BY bucket "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-    )
-    return j.select(
+    nxt = b.select(
         "user_id",
         "event_type",
         "bucket",
-        F.expr(ffill).alias("value_ffill"),
-        F.col("v").isNull().alias("was_gap"),
+        "v",
+        F.expr(
+            "lead(bucket) OVER (PARTITION BY user_id, event_type ORDER BY bucket)"
+        ).alias("nbucket"),
+    )
+    # run_end: one step short of the next observed bucket; the group's
+    # last observed bucket (nbucket NULL) emits only itself
+    run = nxt.select(
+        "user_id",
+        "event_type",
+        F.col("bucket").alias("obs_bucket"),
+        "v",
+        F.explode(
+            F.expr(
+                "sequence(bucket, coalesce(nbucket - interval 6 hours, bucket),"
+                " interval 6 hours)"
+            )
+        ).alias("bucket"),
+    )
+    return run.select(
+        "user_id",
+        "event_type",
+        "bucket",
+        F.col("v").alias("value_ffill"),
+        (F.col("bucket") != F.col("obs_bucket")).alias("was_gap"),
     )
 
 

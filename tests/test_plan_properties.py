@@ -427,14 +427,27 @@ def test_seasonal_profile_single_exchange_reused(spark, sf_dir):
     assert plan.count("hashpartitioning") == 1
 
 
-def test_gapfill_no_broadcast_of_observed_buckets(spark, sf_dir):
-    # the observed-bucket side grows with machines x tags x span (same
-    # order as the grid output) — it must never be broadcast; the join is
-    # pinned SHUFFLE_HASH (broadcast-policy mirror rule)
+def test_gapfill_join_free_gap_run_explode(spark, sf_dir):
+    # round-9 rewrite (decade2 6.2 -> 2.8): the dense grid is GENERATED
+    # pre-filled by exploding each observed bucket's gap run after one
+    # lead() window — no join of any kind may reappear (the r7 grid-join
+    # form shuffled the machines x tags x span dense frame, then sorted
+    # it again for the ffill window), and the only window + exchange
+    # work rides the OBSERVED bucket frame
     plan = plan_of(spark, "agg_resample_gapfill", sf_dir)
-    assert "BroadcastHashJoin" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "ShuffledHashJoin" in plan
+    for shape in (
+        "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin",
+        "ShuffledHashJoin",
+        "SortMergeJoin",
+    ):
+        assert shape not in plan
+    import re
+
+    assert "Generate" in plan  # the gap-run explode survives
+    # one lead() pass, no dense ffill window (the formatted tree renders
+    # each node once in the tree and once in the details — count details)
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
 
 
 def test_interval_overlap_equi_blocked_no_broadcast(spark, sf_dir):
@@ -518,6 +531,29 @@ def test_rehearsal_set_covers_every_join_bearing_query(spark, sf_dir):
     assert not offenders, (
         f"join-bearing queries missing from the 10x rehearsal set: {offenders}"
     )
+
+
+def test_decade2_set_covers_rule():
+    # round-9 (verdict item 3): DECADE2 membership is a RULE, not a
+    # hand-picked list — every heavy op whose committed first-decade
+    # ratio is >= 2.5, plus the whole near-dup/ANN family, must be in
+    # the 10x->100x rehearsal or carry a DECADE2_EXEMPT reason.  A
+    # late-round addition whose 10x ratio qualifies can no longer
+    # silently skip the second decade (the exact gap the 10x HEAVY set
+    # had before round 8 mechanized it).
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "scale_bench", os.path.join(root, "tools", "scale_bench.py")
+    )
+    sb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sb)
+    assert not sb.check_decade2_covers_rule()
+    # exemptions must not shadow members (a stale EXEMPT entry would
+    # silently drop a measured op from the rule's reach)
+    assert not set(sb.DECADE2_EXEMPT) & set(sb.DECADE2)
 
 
 def test_cusum_single_exchange_no_single_partition(spark, sf_dir):

@@ -125,12 +125,67 @@ SF10XD = "/tmp/gordo_sf_scale/sf10xd"
 SF100XD = "/tmp/gordo_sf_scale/sf100xd"
 
 # Second-decade subset (--decade2): measured at 10× AND 100× the bench
-# SF, so the scaling claim covers TWO decades.  Chosen = the flagship
-# dedup/similarity/pipeline ops plus everything whose first-decade
-# ratio flirts with 3 (a constant-dominated op can hide super-linear
-# terms in its first decade; the second decade has nowhere to hide).
-# pipe_bpe_merges is excluded: iteration-bound training, minutes at
-# 100× for no additional scaling information.
+# SF, so the scaling claim covers TWO decades.  MEMBERSHIP IS A RULE
+# (round-9, mirroring the HEAVY join-bearing guard): every heavy op
+# whose committed first-decade ratio is ≥ DECADE2_RATIO_FLOOR (a
+# constant-dominated op can hide super-linear terms in its first
+# decade; the second decade has nowhere to hide), plus the whole
+# near-dup/ANN family (DECADE2_FAMILY — their pair/candidate volume is
+# the thing a decade can break).  ``decade2_required()`` derives the
+# set from the committed BENCH_sf1.json; the startup check here and
+# tests/test_plan_properties.py fail when DECADE2 misses a qualifying
+# op.  DECADE2_EXEMPT carries documented exceptions.
+DECADE2_RATIO_FLOOR = 2.5
+DECADE2_FAMILY = (
+    "ext_dedup_exact",
+    "ext_dedup_minhash",
+    "ext_dedup_ngram_jaccard",
+    "ext_dedup_semantic",
+    "pipe_dedup_incremental",
+    "pipe_dedup_incremental_fuzzy",
+    "ext_ann_ivf",
+    "ext_tfidf_similar_capped",
+)
+DECADE2_EXEMPT: dict[str, str] = {
+    "pipe_bpe_merges": (
+        "iteration-bound BPE training: minutes at 100x for no additional "
+        "scaling information (the per-iteration shape is already measured "
+        "at 10x; iterations are data-independent)"
+    ),
+    "ml_predict_batch": (
+        "island training is fixture-capped (per-machine sample cap); the "
+        "10x ratio 2.1+ comes from Python-worker startup, not data terms"
+    ),
+}
+
+
+def decade2_required() -> set:
+    """The rule-derived minimum DECADE2 membership, from the committed
+    first-decade artifact."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_sf1.json",
+    )
+    with open(path) as fh:
+        first = json.load(fh)["heavy_set_ratios"]
+    need = {
+        n
+        for n, r in first.items()
+        if r["ratio"] >= DECADE2_RATIO_FLOOR and n not in DECADE2_EXEMPT
+    }
+    need |= {n for n in DECADE2_FAMILY if n not in DECADE2_EXEMPT}
+    return need
+
+
+def check_decade2_covers_rule() -> list[str]:
+    missing = decade2_required() - set(DECADE2)
+    return [
+        f"{n}: first-decade ratio >= {DECADE2_RATIO_FLOOR} (or near-dup/ANN "
+        "family) but absent from DECADE2"
+        for n in sorted(missing)
+    ]
+
+
 DECADE2 = (
     "ext_dedup_exact",
     "ext_dedup_minhash",
@@ -145,6 +200,13 @@ DECADE2 = (
     "pipe_pack_sequences",
     "agg_resample_gapfill",
     "join_interval_overlap",
+    # round-9: flushed out by the membership rule (first-decade ratio
+    # >= 2.5 in the committed BENCH_sf1.json)
+    "ext_dedup_components",
+    "ext_tfidf_similar",
+    "pipe_quota_sample",
+    "pipe_snapshot_diff",
+    "tpch_q2",
 )
 
 
@@ -181,6 +243,9 @@ def main_decade2(out_path: str) -> None:
                 f"{d} missing — run tools/make_scale.py <10|100> --distinct-content"
             )
         _check_fp(d)
+    problems = check_decade2_covers_rule()
+    if problems:
+        raise SystemExit("decade2-set guard:\n  " + "\n  ".join(problems))
     registry = load_all()
     spark = get_spark("gordo-scale-bench-d2")
     for sf in (SF10XD, SF100XD):
@@ -192,12 +257,27 @@ def main_decade2(out_path: str) -> None:
         fn = registry[name].fn
         t10 = _best_of(spark, fn, SF10XD)
         t100 = _best_of(spark, fn, SF100XD)
+        # output rows at both scales (round-9): an OUTPUT-BOUND op
+        # (ext_dedup_semantic emits ~11x more pairs per data decade at
+        # the fixture's weak tau) is floor-bounded by its answer size —
+        # time/row is the number that must not grow; recording rows lets
+        # the artifact distinguish "the answer got bigger" from "the
+        # plan got worse"
+        r10 = fn(spark, SF10XD).count()
+        r100 = fn(spark, SF100XD).count()
         ratios[name] = {
             "sf10x": round(t10, 2),
             "sf100x": round(t100, 2),
             "ratio": round(t100 / t10, 1),
+            "rows_10x": r10,
+            "rows_100x": r100,
+            "ratio_per_row": round((t100 / max(r100, 1)) / (t10 / max(r10, 1)), 2),
         }
-        print(f"{name:28s} 10x={t10:6.2f}s  100x={t100:7.2f}s  ratio={t100 / t10:4.1f}")
+        print(
+            f"{name:28s} 10x={t10:6.2f}s  100x={t100:7.2f}s  "
+            f"ratio={t100 / t10:4.1f}  rows {r10}->{r100}  "
+            f"per-row {ratios[name]['ratio_per_row']}"
+        )
     worst = max(r["ratio"] for r in ratios.values())
     verdict = (
         f"second decade (10x -> 100x data, fixed cores): worst ratio {worst}"
@@ -210,7 +290,15 @@ def main_decade2(out_path: str) -> None:
             "replica-distinct text/embedding content — copy-replicas are a "
             "99%-duplicate corpus whose true pair count is quadratic). Ratios are "
             "100x-data time / 10x-data time on the same local[32] box — the "
-            "claim covers TWO decades above the bench SF. Reproduce: "
+            "claim covers TWO decades above the bench SF. rows_10x/rows_100x "
+            "record each op's OUTPUT size at both scales and ratio_per_row = "
+            "(t100/rows100)/(t10/rows10): for an output-bound op (e.g. "
+            "ext_dedup_semantic at the fixture's weak tau=0.30, whose TRUE "
+            "pair count grows ~11x per decade) the time ratio is floored by "
+            "the answer size, and per-row cost <= 1 is the linearity claim. "
+            "Membership is rule-derived (decade2_required: first-decade "
+            "ratio >= 2.5 or near-dup/ANN family; DECADE2_EXEMPT documented). "
+            "Reproduce: "
             "python tools/make_scale.py 10 --distinct-content && "
             "python tools/make_scale.py 100 --distinct-content && "
             "python tools/scale_bench.py --decade2"
