@@ -2003,3 +2003,168 @@ def join_fuzzy_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("match_key"),
         F.expr(ham).cast("long").alias("distance"),
     ).where(F.col("distance") <= _FUZZ_K)
+
+
+# Reciprocal-rank fusion (Cormack et al., SIGIR 2009): fuse two
+# retrieval legs' top-K' lists by rrf(d) = Σ_legs 1/(60 + rank_leg(d)).
+# The standard hybrid-retrieval combiner (lexical + second signal)
+# because it needs NO score calibration between legs — only ranks.
+_RRF_K = 60
+_RRF_LEG_K = 100  # per-leg candidate depth fused (fixed, scale-free)
+_RRF_TOPK = 10
+
+
+@register(
+    "ext_hybrid_rrf",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t.token, COUNT(*) AS tf
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+      GROUP BY doc_id, t.token
+    ), dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(len(string_split(text, ' '))) / COUNT(*) AS avgdl
+      FROM documents
+    ), q AS (
+      SELECT unnest([{', '.join(repr(t) for t in _BM25_QUERY)}]) AS token
+    ), df AS (
+      SELECT tok.token, COUNT(*) AS df_t
+      FROM tok JOIN q USING (token) GROUP BY tok.token
+    ), idf AS (
+      SELECT token, round(ln((stats.n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0), 9) AS idf
+      FROM df, stats
+    ), parts AS (
+      SELECT tok.doc_id, tok.tf, dl.dl, idf.idf, stats.avgdl
+      FROM tok JOIN q ON tok.token = q.token
+      JOIN idf ON tok.token = idf.token
+      JOIN dl ON tok.doc_id = dl.doc_id
+      CROSS JOIN stats
+    ), leg_a AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS ra
+      FROM (
+        SELECT doc_id,
+               round(SUM(round(idf * (tf * ({_BM25_K1} + 1.0))
+                     / (tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                        + {_BM25_B} * dl / avgdl)), 9)), 6) AS score
+        FROM parts GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT {_RRF_LEG_K}
+      )
+    ), leg_b AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rb
+      FROM (
+        SELECT doc_id, round(SUM(round(idf * tf / dl, 9)), 6) AS score
+        FROM parts GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT {_RRF_LEG_K}
+      )
+    ), fused AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, a.ra, b.rb,
+             COALESCE(1.0 / ({_RRF_K} + a.ra), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + b.rb), 0.0) AS rrf
+      FROM leg_a a FULL OUTER JOIN leg_b b ON a.doc_id = b.doc_id
+    )
+    SELECT doc_id, ra AS rank_bm25, rb AS rank_tfidf, rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT {_RRF_TOPK}
+    """,
+)
+def ext_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the BM25 leg and a
+    plain TF-IDF-dot leg each retrieve their top-100 for the fixed
+    query, and the lists are fused by rrf(d) = Σ 1/(60 + rank) — the
+    calibration-free combiner hybrid search (lexical + semantic) uses
+    in production RAG stacks; here both legs are lexical faces of the
+    same postings so the whole operator stays oracle-exact (an
+    embedding leg would join a vec_id space the fixture does not map
+    to doc_ids).
+
+    Spark-first shape: ONE corpus tokenize feeds both legs (shared
+    ``parts`` frame — a broadcast semi-probe of the query tokens, so
+    work is Σ df(q_t), never corpus-wide); each leg closes with
+    TakeOrdered(100) — distributed top-k, no global sort — and the
+    rank window then runs over a FIXED 100-row frame (constant at any
+    corpus size, the standard fuse-the-top-K' contract).  The fusion
+    join is 100×100 rows.  At 100 TB nothing here grows except the
+    semi-probed postings stream.
+
+    Float parity: per-part ROUND(…,9), per-doc sums ROUND(…,6),
+    unique (score, doc_id) ordering everywhere, and the rrf itself is
+    a fixed-order two-term sum of exact-int reciprocals — bit-identical
+    across engines."""
+    from gordo_components_spark.caches import persist_tracked
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame([(t,) for t in _BM25_QUERY], "token string")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    qtoks = toks.join(F.broadcast(q), "token", "left_semi")
+    tf = qtoks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.size(F.split("text", " "))) / F.count(F.lit(1))).alias("avgdl"),
+    )
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = df_t.crossJoin(F.broadcast(stats)).select(
+        "token",
+        F.round(
+            F.log(
+                (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0
+            ),
+            9,
+        ).alias("idf"),
+        "avgdl",
+    )
+    parts = persist_tracked(
+        tf.join(F.broadcast(idf), "token").join(dl, "doc_id")
+    )
+    part_a = F.round(
+        F.col("idf")
+        * (F.col("tf") * (_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        ),
+        9,
+    )
+    part_b = F.round(F.col("idf") * F.col("tf") / F.col("dl"), 9)
+
+    def leg(part_col, rank_name):
+        top = (
+            parts.select("doc_id", part_col.alias("part"))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("part"), 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(_RRF_LEG_K)
+        )
+        return top.select(
+            "doc_id",
+            F.expr(
+                "CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)"
+            ).alias(rank_name),
+        )
+
+    a = leg(part_a, "ra")
+    b = leg(part_b, "rb")
+    fused = (
+        a.join(b, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "ra",
+            "rb",
+            (
+                F.coalesce(1.0 / (_RRF_K + F.col("ra")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("rb")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.col("ra").alias("rank_bm25"),
+            F.col("rb").alias("rank_tfidf"),
+            "rrf",
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(_RRF_TOPK)
+    )

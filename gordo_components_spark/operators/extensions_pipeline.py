@@ -1620,3 +1620,195 @@ def pipe_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tok").alias("n_tokens"),
         F.expr("fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END").alias("quota"),
     )
+
+
+@register(
+    "ext_source_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT source, string_split(text, ' ') AS tk FROM documents
+    ), g AS (
+      SELECT DISTINCT source,
+             concat_ws(' ', tk[i], tk[i + 1], tk[i + 2]) AS gram
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS i
+      ) u
+    ), sc AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY 1
+    ), sh AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, ca.n_grams AS n_a, cb.n_grams AS n_b, n_shared,
+           CAST(n_shared AS DOUBLE) / ca.n_grams AS containment_ab,
+           CAST(n_shared AS DOUBLE) / cb.n_grams AS containment_ba,
+           CAST(n_shared AS DOUBLE) / (ca.n_grams + cb.n_grams - n_shared)
+             AS jaccard
+    FROM sh
+    JOIN sc ca ON ca.source = source_a
+    JOIN sc cb ON cb.source = source_b
+    """,
+)
+def ext_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, the
+    shared distinct word-3-gram count with containment both ways and
+    gram-set Jaccard — the dump-level overlap screen run before mixing
+    corpora (a benchmark dump whose grams are ≥ x% contained in a
+    training dump is leaked; two crawl snapshots with high mutual
+    containment double-count their weight in the mixture).  Doc-level
+    near-dup faces (E1/E2) answer "which documents"; this answers
+    "which SOURCES overlap at all" for #sources² cost.
+
+    Spark-first shape: distinct (source, gram-digest) incidence — the
+    only corpus-scale pass, using the round-9 64-bit gram digests (8
+    bytes per gram on the wire; the DuckDB oracle keeps string grams, so
+    parity also re-verifies the digest-collision-free claim) — then a
+    per-gram sorted source set (≤ #sources per gram) exploded into its
+    a<b pairs: pair volume is Σ_g C(|srcs_g|, 2) ≤ C(#sources, 2) per
+    gram, never corpus×corpus, and the closing joins ride the ≤
+    #sources-row count frame (AQE broadcasts at bench SF; unhinted per
+    the mirror rule).  Exactness: integer counts, single exact-int
+    divisions — bit-identical, no rounding convention."""
+    from gordo_components_spark.operators.extensions_dedup import _SHINGLES
+
+    docs = load_table(spark, sf_dir, "documents")
+    sg = docs.select("source", F.explode(F.expr(_SHINGLES)).alias("g")).distinct()
+    sc_counts = sg.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    per_g = (
+        sg.groupBy("g")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .where(F.size("srcs") > 1)
+    )
+    pairs = per_g.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(srcs, (a, i) -> "
+                "transform(slice(srcs, i + 2, size(srcs)), "
+                "b -> named_struct('source_a', a, 'source_b', b))))"
+            )
+        ).alias("p")
+    ).select("p.source_a", "p.source_b")
+    shared = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared")
+    )
+    ca = sc_counts.select(
+        F.col("source").alias("source_a"), F.col("n_grams").alias("n_a")
+    )
+    cb = sc_counts.select(
+        F.col("source").alias("source_b"), F.col("n_grams").alias("n_b")
+    )
+    return (
+        shared.join(ca, "source_a")
+        .join(cb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            F.expr("CAST(n_shared AS DOUBLE) / n_a").alias("containment_ab"),
+            F.expr("CAST(n_shared AS DOUBLE) / n_b").alias("containment_ba"),
+            F.expr(
+                "CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared)"
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "pipe_curriculum_rank",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000
+               // CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+      FROM documents
+    )
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+             AS global_rank
+    FROM t
+    """,
+)
+def pipe_curriculum_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: a GLOBAL contiguous rank over the whole
+    corpus by (quality DESC, doc_id) — the deterministic easy→hard /
+    clean→noisy schedule a curriculum-learning data loader consumes
+    (quality = the quality-trim face's integer lexical-diversity
+    score).  The primitive is "global row_number without a global
+    sort": a naive window ORDER BY score funnels the corpus through ONE
+    task; this face assigns identical ranks with no corpus sort at all.
+
+    Spark-first shape — three-level offset decomposition, all exact
+    integer counting:
+
+    * per-score histogram (bounded ≤ 10⁶+1 rows, the quality-trim
+      bound) → exclusive prefix = each score's global start offset;
+    * per-(score, doc_id-range shard) subtotals (shard width is
+      corpus-derived via the packing family's ``_pack_shard_docs``, so
+      shard COUNT tracks cluster parallelism) → exclusive prefix
+      WITHIN each score = the shard's same-score offset;
+    * row_number inside each (score, shard) group (≤ shard-width rows,
+      ordered by doc_id) + the two offsets = the global rank.
+
+    The corpus is never globally sorted or single-tasked: the only
+    corpus-scale exchanges are the histogram aggregation and the
+    offsets equi-join on (score, shard) — a key a dominant score
+    cannot skew, because shards split it.  Windows run over the
+    SUBTOTAL frames only.  Output is partition-invariant by
+    construction (every term is a pure function of (score, doc_id)).
+
+    The DuckDB oracle is the independent single-window derivation, so
+    parity proves the decomposition exactly reproduces the global
+    row_number at every checked SF."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard_w = _pack_shard_docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id",
+        F.expr(
+            "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000"
+            " div CAST(size(split(text, ' ')) AS BIGINT)"
+        ).alias("score"),
+        F.expr(f"doc_id div {shard_w}").alias("_shard"),
+    )
+    h2 = t.groupBy("score", "_shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2")
+    )
+    h1 = h2.groupBy("score").agg(F.sum("c2").alias("c1"))
+    score_start = h1.select(
+        "score",
+        F.coalesce(
+            F.expr(
+                "sum(c1) OVER (ORDER BY score DESC"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+            ),
+            F.lit(0),
+        ).alias("ss"),
+    )
+    shard_off = h2.select(
+        "score",
+        "_shard",
+        F.coalesce(
+            F.expr(
+                "sum(c2) OVER (PARTITION BY score ORDER BY _shard"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+            ),
+            F.lit(0),
+        ).alias("so"),
+    )
+    off = shard_off.join(score_start, "score").select(
+        "score", "_shard", (F.col("ss") + F.col("so")).alias("base")
+    )
+    r = t.join(off, ["score", "_shard"])
+    rn = (
+        "row_number() OVER (PARTITION BY score, _shard ORDER BY doc_id)"
+    )
+    return r.select(
+        "doc_id",
+        "score",
+        (F.col("base") + F.expr(rn)).cast("bigint").alias("global_rank"),
+    )

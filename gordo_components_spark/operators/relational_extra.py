@@ -489,3 +489,85 @@ def agg_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_BENFORD_CHI2).alias("chi2"),
         F.expr(f"(({_BENFORD_CHI2}) < 15.507)").alias("conforms"),
     )
+
+
+# Gini concentration of per-machine event counts (Gini 1912; the
+# standard inequality coefficient): with the k per-machine counts c_i
+# ranked ascending (rank i = 1..k), G = (2·Σ i·c_i − (k+1)·T) / (k·T).
+# Rank ties (equal counts) cannot move G: permuting equal c_i among
+# their ranks leaves Σ i·c_i unchanged, so the (cnt, machine) unique
+# order is both deterministic AND tie-order-invariant.  Σ i·c_i is
+# span-unbounded (CLAUDE.md integer-moment rule: at fleet scale
+# i ≈ 10⁷ and c_i ≈ 10⁷ put S ≈ 10²¹ past bigint) — decimal-routed,
+# with checked-SF values < 2⁵³ so the closing divisions are single
+# exact-int → double ops, bit-identical across engines.
+@register(
+    "agg_skew_gini",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT event_type, cnt,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY cnt, user_id) AS BIGINT) AS i
+      FROM c
+    ), g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(cnt) AS BIGINT) AS t,
+             sum(CAST(i AS HUGEINT) * cnt) AS s
+      FROM r GROUP BY 1
+    )
+    SELECT event_type, k AS n_machines, t AS n_events,
+           CAST(2 * s - CAST(k + 1 AS HUGEINT) * t AS DOUBLE)
+             / CAST(CAST(k AS HUGEINT) * t AS DOUBLE) AS gini
+    FROM g
+    """,
+)
+def agg_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleet-skew screen per tag: the Gini coefficient of how unevenly a
+    tag's events concentrate across machines (0 = every machine reports
+    equally, →1 = one machine dominates).  The capacity-planning /
+    hot-key diagnostic read before choosing partition keys — a tag with
+    G ≈ 1 is exactly the skewed-shuffle hazard the salting faces exist
+    for, so this operator IS the screen that says when to use them.
+
+    Spark-first shape: one partial-combinable corpus pass (the
+    (tag, machine) count), then everything rides the fleet × tags count
+    frame — one rank window and one regroup per tag, second-order small
+    next to the corpus.  At extreme fleet sizes (10⁷ machines) the
+    per-tag rank sort would shard via the bounded-count histogram
+    offsets the quality-trim/curriculum faces use; at any realistic
+    fleet the window frame is trivially sized.
+
+    Exactness: block comment — decimal-routed moments, tie-invariant
+    ranks, one exact-int division per output."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    r = c.select(
+        "event_type",
+        "cnt",
+        F.expr(
+            "CAST(row_number() OVER (PARTITION BY event_type"
+            " ORDER BY cnt, user_id) AS BIGINT)"
+        ).alias("i"),
+    )
+    g = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("cnt").cast("bigint").alias("t"),
+        F.expr("sum(CAST(i * cnt AS DECIMAL(28,0)))")
+        .cast("decimal(38,0)")
+        .alias("s"),
+    )
+    return g.select(
+        "event_type",
+        F.col("k").alias("n_machines"),
+        F.col("t").alias("n_events"),
+        F.expr(
+            "CAST(2 * s - CAST(k + 1 AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0))"
+            " AS DOUBLE)"
+            " / CAST(CAST(k AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0)) AS DOUBLE)"
+        ).alias("gini"),
+    )

@@ -533,6 +533,23 @@ def test_rehearsal_set_covers_every_join_bearing_query(spark, sf_dir):
     )
 
 
+def test_curriculum_rank_no_corpus_global_sort(spark, sf_dir):
+    # the point of the three-level offset decomposition: the global rank
+    # is assigned WITHOUT a global corpus sort — the only SinglePartition
+    # exchange may carry the bounded score histogram (no doc_id in its
+    # input); doc_id-bearing sorts are the (score, shard)-partitioned
+    # window sorts, which are shard-width-bounded by construction
+    import re
+
+    plan = plan_of(spark, "pipe_curriculum_rank", sf_dir)
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: SinglePartition",
+        plan,
+    ):
+        assert "doc_id" not in m.group(1), plan
+
+
 def test_decade2_set_covers_rule():
     # round-9 (verdict item 3): DECADE2 membership is a RULE, not a
     # hand-picked list — every heavy op whose committed first-decade

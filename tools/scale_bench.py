@@ -115,6 +115,13 @@ HEAVY = (
     "agg_cooccurrence_lift",
     # explode-cover rolling distinct (7x fan-out of the incidence frame)
     "agg_rolling_distinct",
+    # round 9: the RRF fusion (SMJ on the full-outer leg join — the
+    # join-bearing rule), the cross-source gram-overlap matrix (per-gram
+    # source-set explode + count-frame joins), and the curriculum global
+    # rank (three-level offset decomposition's (score, shard) equi-join)
+    "ext_hybrid_rrf",
+    "ext_source_overlap",
+    "pipe_curriculum_rank",
 )
 
 # Join-bearing queries that are deliberately NOT rehearsed, with the
