@@ -319,3 +319,131 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "user_id", "session_start", "session_end", "gap_start", "gap_end"
     ).distinct()
+
+
+# Nearest-neighbor join on the VALUE axis (the 1-D sibling of the as-of
+# join, which is nearest-on-TIME-looking-back): for every 'error'
+# reading, the machine's 'purchase' reading closest in value.  Spec
+# (shared by both engines): minimize |Δv100|; equidistant ties take the
+# LOWER purchase value; among equal (machine, value) purchases only the
+# MIN event_id is ever eligible.  One sorted-union window pass — never
+# an O(n_a·n_b) per-machine pair join: dedup purchases per (machine,
+# v100), interleave with errors ordered by (v100, side) with purchases
+# FIRST at equal value (so the inclusive-preceding fold catches the
+# distance-0 twin), and each error reads its floor/ceiling purchase
+# from two IGNORE NULLS window folds.  The winner is decided by exact
+# integer distance compare (<= prefers the floor = the lower value).
+@register(
+    "join_nearest_value",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, value,
+             CAST(round(value * 100) AS BIGINT) AS v100
+      FROM events WHERE event_type = 'error'
+    ), p0 AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v100,
+             MIN(event_id) AS p_event_id
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT e.event_id, e.user_id, e.value, e.v100,
+             p0.p_event_id, p0.v100 AS p_v100,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY abs(e.v100 - p0.v100), p0.v100
+             ) AS rn
+      FROM e JOIN p0 ON p0.user_id = e.user_id
+    )
+    SELECT event_id, user_id, value, p_event_id,
+           CAST(p_v100 AS DOUBLE) / 100.0 AS p_value,
+           CAST(abs(v100 - p_v100) AS BIGINT) AS dist_cents
+    FROM ranked WHERE rn = 1
+    """,
+)
+def join_nearest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-nearest join: each error reading paired with the machine's
+    closest-in-value purchase reading — the calibration/cross-sensor
+    matching primitive ("which reference reading does this alarm level
+    correspond to?") that time-axis as-of joins cannot express.
+
+    Spark-first shape: the sorted-union window trick (block comment) —
+    the corpus shuffles ONCE on machine and is sorted once by (v100,
+    side, event_id); the floor and ceiling purchases come from two
+    IGNORE NULLS folds over that order, so cost is O(n log n) per
+    machine regardless of how many purchases tie near a value.  The
+    DuckDB oracle is the INDEPENDENT naive argmin join over all
+    (error, purchase) pairs, so parity proves the window derivation
+    implements the spec exactly.  At 100 TB: one exchange, parallelism
+    = machines, no pair blow-up anywhere.
+
+    Exactness: all comparisons on exact 2-dp ints; outputs are copied
+    ints and one exact-int → double division."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.where(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v100"),
+    )
+    p0 = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("v100"),
+        )
+        .agg(F.min("event_id").alias("p_event_id"))
+    )
+    u = e.select(
+        "user_id",
+        "v100",
+        F.lit(1).alias("side"),
+        "event_id",
+        "value",
+        F.lit(None).cast("bigint").alias("p_event_id"),
+    ).unionByName(
+        p0.select(
+            "user_id",
+            "v100",
+            F.lit(0).alias("side"),
+            F.lit(None).cast("bigint").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+            "p_event_id",
+        )
+    )
+    # purchases (side 0) sort before an equal-value error so the
+    # inclusive floor fold sees the distance-0 twin
+    w = "PARTITION BY user_id ORDER BY v100, side, p_event_id"
+    g = u.select(
+        "*",
+        F.expr(
+            f"last(CASE WHEN side = 0 THEN named_struct('pv', v100, 'pid',"
+            f" p_event_id) END, true) OVER ({w}"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ).alias("floor_p"),
+        F.expr(
+            f"first(CASE WHEN side = 0 THEN named_struct('pv', v100, 'pid',"
+            f" p_event_id) END, true) OVER ({w}"
+            " ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+        ).alias("ceil_p"),
+    )
+    best = g.where(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        "value",
+        F.expr(
+            "CASE"
+            " WHEN floor_p IS NULL THEN ceil_p"
+            " WHEN ceil_p IS NULL THEN floor_p"
+            " WHEN v100 - floor_p.pv <= ceil_p.pv - v100 THEN floor_p"
+            " ELSE ceil_p END"
+        ).alias("ch"),
+        "v100",
+    )
+    return best.where(F.col("ch").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "value",
+        F.col("ch.pid").alias("p_event_id"),
+        F.expr("CAST(ch.pv AS DOUBLE) / 100.0").alias("p_value"),
+        F.expr("CAST(abs(v100 - ch.pv) AS BIGINT)").alias("dist_cents"),
+    )

@@ -1812,3 +1812,221 @@ def pipe_curriculum_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         (F.col("base") + F.expr(rn)).cast("bigint").alias("global_rank"),
     )
+
+
+@register(
+    "pipe_dedup_survivor",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, md5(text) AS h,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000
+               // CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+      FROM documents
+    ), r AS (
+      SELECT doc_id, h, score,
+             MIN(doc_id) OVER (PARTITION BY h) AS component,
+             CAST(count(*) OVER (PARTITION BY h) AS BIGINT) AS n_members,
+             row_number() OVER (PARTITION BY h ORDER BY score DESC, doc_id)
+               AS rk
+      FROM t
+    )
+    SELECT doc_id, component, n_members, score,
+           MIN(CASE WHEN rk = 1 THEN doc_id END) OVER (PARTITION BY h)
+             AS survivor_id,
+           (rk = 1) AS is_survivor
+    FROM r
+    """,
+)
+def pipe_dedup_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship resolution over exact-dup clusters: every document
+    mapped to its duplicate cluster (md5 groups — cluster id = min
+    doc_id) with the cluster's canonical SURVIVOR chosen by quality
+    (the quality-trim lexical-diversity score, doc_id tiebreak) — the
+    "which copy do we keep" step between dup DETECTION (E1) and corpus
+    rewrite, where naive keep-first keeps whichever copy a crawl saw
+    first rather than the best one.
+
+    Spark-first shape: one corpus pass computes (md5, score); the
+    cluster stats and survivor pick ride ONE (hash) window exchange
+    (three frames share the partitioning).  Dup groups are small by
+    nature, so per-partition frames are bounded; at 100 TB this is the
+    digest shuffle the exact-dedup family already pays.
+
+    Exactness: integer score, md5 identical across engines, unique
+    (score DESC, doc_id) pick — oracle-exact by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.expr(
+            "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000"
+            " div CAST(size(split(text, ' ')) AS BIGINT)"
+        ).alias("score"),
+    )
+    wp = "PARTITION BY h"
+    r = t.select(
+        "*",
+        F.expr(f"MIN(doc_id) OVER ({wp})").alias("component"),
+        F.expr(f"CAST(count(*) OVER ({wp}) AS BIGINT)").alias("n_members"),
+        F.expr(
+            f"row_number() OVER ({wp} ORDER BY score DESC, doc_id)"
+        ).alias("rk"),
+    )
+    return r.select(
+        "doc_id",
+        "component",
+        "n_members",
+        "score",
+        F.expr(f"MIN(CASE WHEN rk = 1 THEN doc_id END) OVER ({wp})").alias(
+            "survivor_id"
+        ),
+        (F.col("rk") == 1).alias("is_survivor"),
+    )
+
+
+_VOCAB_MIN_DF = 2
+# stopword band: the fixture's synthetic vocabulary is 31 tokens nearly
+# all at 75–80% df, so the textbook 50% cut would keep a single token —
+# 85% keeps the band meaningful on the fixture while still expressing
+# the max-df pruning contract (the constant is the knob, the predicate
+# is the operator)
+_VOCAB_MAX_DF_PCT = 85
+_VOCAB_SIZE = 1000
+
+
+@register(
+    "pipe_vocab_build",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, t.token
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+    ), n AS (
+      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tok
+    ), df AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1
+    ), kept AS (
+      SELECT token, df FROM df, n
+      WHERE df >= {_VOCAB_MIN_DF} AND df * 100 <= n_docs * {_VOCAB_MAX_DF_PCT}
+      ORDER BY df DESC, token LIMIT {_VOCAB_SIZE}
+    )
+    SELECT token, df,
+           CAST(row_number() OVER (ORDER BY df DESC, token) - 1 AS BIGINT)
+             AS vocab_id
+    FROM kept
+    """,
+)
+def pipe_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-vocabulary build (the CountVectorizer/tokenizer-prep
+    step): document frequency per token, min-df/max-df pruning (df ≥ 2
+    drops hapaxes, df ≤ 85% of docs drops stopwords — band widened
+    for the fixture's narrow synthetic vocabulary, see constant), and STABLE contiguous ids 0..V−1 assigned by (df DESC,
+    token) — the deterministic vocab contract a feature pipeline needs
+    so retrains map tokens identically.
+
+    Spark-first shape: one corpus tokenize → distinct (doc, token) →
+    partial-combinable df counts; the df band is a map-side filter
+    cross-checked against the 1-row corpus count; the top-V cut is
+    TakeOrdered (distributed, never a global sort) and the id window
+    then runs over a FIXED V-row frame.  At 100 TB only the tokenize
+    and df count touch the corpus.
+
+    Exactness: integer df, cross-multiplied max-df predicate (no
+    float), unique (df, token) order — oracle-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    n = tok.agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+    df = tok.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    kept = (
+        df.crossJoin(F.broadcast(n))
+        .where(
+            (F.col("df") >= _VOCAB_MIN_DF)
+            & (F.col("df") * 100 <= F.col("n_docs") * _VOCAB_MAX_DF_PCT)
+        )
+        .select("token", "df")
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(_VOCAB_SIZE)
+    )
+    return kept.select(
+        "token",
+        "df",
+        F.expr(
+            "CAST(row_number() OVER (ORDER BY df DESC, token) - 1 AS BIGINT)"
+        ).alias("vocab_id"),
+    )
+
+
+@register(
+    "pipe_mixture_temperature",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS wt,
+             SUM(sqrt(CAST(n_tokens AS DOUBLE))) OVER (
+               ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS run
+      FROM s
+    ), t AS (
+      SELECT source, n_tokens, wt, MAX(run) OVER () AS total,
+             SUM(n_tokens) OVER () AS tok_total
+      FROM w
+    )
+    SELECT source, n_tokens,
+           {_fshift('wt / total', 'mix_weight')},
+           {_fshift('''(wt / total) / (CAST(n_tokens AS DOUBLE)
+             / CAST(tok_total AS DOUBLE))''', 'upweight')}
+    FROM t
+    """,
+)
+def pipe_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (the α = 0.5 sampling rule
+    multilingual/multi-source LLM training uses: w_s ∝ tokens_s^α):
+    each source's sampling weight under square-root temperature plus
+    its upweight factor vs proportional sampling — small sources get
+    > 1, dominant dumps < 1.  Pairs with ``pipe_budget_apportion``
+    (which turns weights into integer quotas).
+
+    Spark-first shape: one partial-combinable token-count pass; the
+    weight algebra rides the ≤ #sources-row frame.  Determinism of the
+    float sum: sqrt is IEEE-correctly-rounded (exact-deterministic per
+    input), and Σ√tokens is folded in SOURCE ORDER via a running-sum
+    window (both engines evaluate running frames incrementally in
+    order), so the total is the identical left-fold in both engines —
+    never an unordered SUM whose accumulation order could differ.
+    Outputs floor-shifted per the registry convention."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.expr("CAST(SUM(size(split(text, ' '))) AS BIGINT)").alias("n_tokens")
+    )
+    w = s.select(
+        "source",
+        "n_tokens",
+        F.expr("sqrt(CAST(n_tokens AS DOUBLE))").alias("wt"),
+        F.expr(
+            "SUM(sqrt(CAST(n_tokens AS DOUBLE))) OVER ("
+            "ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ).alias("run"),
+    )
+    t = w.select(
+        "source",
+        "n_tokens",
+        "wt",
+        F.expr("MAX(run) OVER ()").alias("total"),
+        F.expr("SUM(n_tokens) OVER ()").alias("tok_total"),
+    )
+    return t.select(
+        "source",
+        "n_tokens",
+        _fshift_col(F.col("wt") / F.col("total")).alias("mix_weight"),
+        _fshift_col(
+            (F.col("wt") / F.col("total"))
+            / (
+                F.col("n_tokens").cast("double")
+                / F.col("tok_total").cast("double")
+            )
+        ).alias("upweight"),
+    )

@@ -1539,3 +1539,161 @@ def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST({tot} AS BIGINT)").alias("n_a"),
         F.expr(f"CAST(n_ab AS DOUBLE) / CAST({tot} AS DOUBLE)").alias("p"),
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v100
+      FROM events
+    ), r AS (
+      SELECT event_type, MIN(v100) AS lo, MAX(v100) AS hi
+      FROM v GROUP BY 1
+    ), b AS (
+      SELECT v.event_type,
+             LEAST(19, (v.v100 - r.lo) * 20 // (r.hi - r.lo + 1)) AS bin,
+             r.lo, r.hi
+      FROM v JOIN r ON r.event_type = v.event_type
+    )
+    SELECT event_type, CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(MIN(lo + bin * (hi - lo + 1) // 20) AS DOUBLE) / 100.0
+             AS bin_lo,
+           CAST(MIN(lo + (bin + 1) * (hi - lo + 1) // 20) AS DOUBLE) / 100.0
+             AS bin_hi
+    FROM b GROUP BY 1, 2
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram per tag (20 bins over the tag's exact
+    [min, max] 2-dp range) — the distribution summary a dashboard or a
+    drift monitor's reference window stores (the drift-bins face uses
+    FIXED global bins; this derives each tag's own range).  Empty bins
+    are absent (inner semantics both sides).
+
+    Spark-first shape: one partial-combinable min/max pass, a
+    fixed-cardinality (≤ tags rows) broadcast back, and one
+    partial-combinable (tag, bin) count — two corpus scans, zero
+    windows, zero skew (bin keys subdivide tags).  Exactness: binning
+    is pure bigint floor arithmetic on the 2-dp ints — the +1 on the
+    range denominator makes hi land in bin 19 without a float
+    boundary; bin edges are single exact-int → double divisions."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("v100")
+    )
+    r = v.groupBy("event_type").agg(
+        F.min("v100").alias("lo"), F.max("v100").alias("hi")
+    )
+    b = v.join(F.broadcast(r), "event_type").select(
+        "event_type",
+        F.expr("LEAST(19, (v100 - lo) * 20 div (hi - lo + 1))").alias("bin"),
+        "lo",
+        "hi",
+    )
+    return b.groupBy("event_type", F.col("bin").cast("bigint").alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(
+            "CAST(MIN(lo + bin * (hi - lo + 1) div 20) AS DOUBLE) / 100.0"
+        ).alias("bin_lo"),
+        F.expr(
+            "CAST(MIN(lo + (bin + 1) * (hi - lo + 1) div 20) AS DOUBLE) / 100.0"
+        ).alias("bin_hi"),
+    )
+
+
+# Time-weighted average (the hypertable `time_weight('Linear', ...)`
+# aggregate): the trapezoid integral of the piecewise-linear reading
+# curve divided by elapsed time — what "average sensor value" must mean
+# when sampling is IRREGULAR (a plain avg over-weights dense bursts).
+# Integer-exact: readings are 2-dp ints (v100) and timestamps exact µs,
+# so each segment's contribution (v100_i + v100_{i+1})·Δµs is an exact
+# integer; per-(machine, tag, day) the sum is bounded by
+# 2·max_v100·86400e6 ≈ 3.4e15 < 2⁵³, so the DECIMAL/HUGEINT numerator
+# converts to double EXACTLY in both engines and the closing division
+# is one IEEE op — bit-identical, no rounding convention.  Segments are
+# those BETWEEN readings inside one (machine, tag, day) bucket
+# (documented semantics: cross-midnight segments belong to neither
+# day); buckets with < 2 readings have no elapsed time and are absent.
+@register(
+    "agg_time_weighted_avg",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_type,
+             time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS day,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(round(value * 100) AS BIGINT) AS v100,
+             event_id
+      FROM events
+    ), s AS (
+      SELECT user_id, event_type, day, us, v100,
+             LEAD(us) OVER w AS us2, LEAD(v100) OVER w AS v2
+      FROM v
+      WINDOW w AS (PARTITION BY user_id, event_type, day
+                   ORDER BY us, event_id)
+    ), g AS (
+      SELECT user_id, event_type, day,
+             CAST(count(*) AS BIGINT) + 1 AS n,
+             sum(CAST(v100 + v2 AS HUGEINT) * (us2 - us)) AS num,
+             CAST(sum(us2 - us) AS BIGINT) AS span_us
+      FROM s WHERE us2 IS NOT NULL
+      GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_type, day, n, span_us,
+           CAST(num AS DOUBLE) / (200.0 * CAST(span_us AS DOUBLE)) AS twa
+    FROM g
+    """,
+)
+def agg_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per (machine, tag, day): trapezoid
+    integration over the irregular reading timeline — the aggregate a
+    hypertable continuous-aggregate stores so that burst-sampled hours
+    do not dominate a day's "average" (block comment: exact integer
+    numerators, < 2⁵³ by the per-day bound).
+
+    Spark-first shape: ONE (machine, tag, day) window exchange for the
+    LEAD pair-up, then a partial-combinable regroup on the same key —
+    Catalyst reuses the partitioning, so the whole operator is one
+    shuffle; embarrassingly parallel across series, day-bounded frame
+    sizes."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id",
+        "event_type",
+        F.window("ts", "1 day").start.alias("day"),
+        F.unix_micros("ts").alias("us"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v100"),
+        "event_id",
+    )
+    w = "PARTITION BY user_id, event_type, day ORDER BY us, event_id"
+    s = v.select(
+        "user_id",
+        "event_type",
+        "day",
+        "us",
+        "v100",
+        F.expr(f"LEAD(us) OVER ({w})").alias("us2"),
+        F.expr(f"LEAD(v100) OVER ({w})").alias("v2"),
+    )
+    g = (
+        s.where(F.col("us2").isNotNull())
+        .groupBy("user_id", "event_type", "day")
+        .agg(
+            (F.count(F.lit(1)) + 1).cast("bigint").alias("n"),
+            F.expr("sum(CAST((v100 + v2) AS DECIMAL(24,0)) * (us2 - us))")
+            .cast("decimal(38,0)")
+            .alias("num"),
+            F.sum(F.col("us2") - F.col("us")).cast("bigint").alias("span_us"),
+        )
+    )
+    return g.select(
+        "user_id",
+        "event_type",
+        "day",
+        "n",
+        "span_us",
+        F.expr(
+            "CAST(num AS DOUBLE) / (200.0 * CAST(span_us AS DOUBLE))"
+        ).alias("twa"),
+    )
