@@ -391,7 +391,12 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("shingles") > 0
         )
     )
-    slim = _band_buckets(sh)
+    # persist the banded frame (4 narrow rows per doc): BOTH self-join
+    # sides read it, and without the persist each side re-runs the
+    # 16-hash signature fold over every shingle array — the fold is the
+    # dominant CPU term, measured ~2× the whole candidate stage when
+    # evaluated twice (round-9 profile at the 100× replica)
+    slim = persist_tracked(_band_buckets(sh))
     a, b = slim.alias("a"), slim.alias("b")
     cand = (
         a.join(

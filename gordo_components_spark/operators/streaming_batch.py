@@ -282,3 +282,15 @@ def stream_m4_genuine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gordo_components_spark.streaming.micro_batch import run_streaming_m4
 
     return run_streaming_m4(spark, sf_dir)
+
+
+@register("stream_twa_genuine", oracle=None)
+def stream_twa_genuine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming time-weighted average (rows-only): the serving face of
+    ``agg_time_weighted_avg`` — per-(machine, tag) trapezoid integral
+    carried across micro-batches as exact integer state via
+    ``applyInPandasWithState``; integer-exact single/multi-batch parity
+    is asserted in tests/test_streaming.py."""
+    from gordo_components_spark.streaming.micro_batch import run_streaming_twa
+
+    return run_streaming_twa(spark, sf_dir)

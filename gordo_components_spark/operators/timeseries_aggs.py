@@ -1697,3 +1697,89 @@ def agg_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(num AS DOUBLE) / (200.0 * CAST(span_us AS DOUBLE))"
         ).alias("twa"),
     )
+
+
+@register(
+    "agg_value_runs",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS v100
+      FROM events
+    ), d AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, event_type, v100
+                                  ORDER BY ts, event_id) AS grp
+      FROM v
+    ), runs AS (
+      SELECT user_id, event_type, v100, grp,
+             CAST(count(*) AS BIGINT) AS run_len,
+             MIN(ts) AS run_start
+      FROM d GROUP BY 1, 2, 3, 4
+    ), best AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY run_len DESC, run_start, v100)
+               AS rk,
+             CAST(count(*) OVER (PARTITION BY user_id, event_type) AS BIGINT)
+               AS n_runs
+      FROM runs
+    )
+    SELECT user_id, event_type, n_runs,
+           run_len AS longest_run,
+           CAST(v100 AS DOUBLE) / 100.0 AS run_value,
+           run_start
+    FROM best WHERE rk = 1
+    """,
+)
+def agg_value_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stuck-sensor screen per (machine, tag): the LONGEST run of
+    consecutive identical 2-dp readings (gaps-and-islands via the
+    row_number difference), with the run's value and start time and the
+    total run count — the frozen-transmitter diagnostic that
+    complements the Benford screen (Benford catches fabricated
+    distributions; this catches a sensor literally pinned at one
+    value).  Ties take the earliest, then lowest-value run.
+
+    Spark-first shape: all three windows and the run regroup share ONE
+    (machine, tag) exchange (the sub-keyed islands window is a finer
+    sort of the same partitioning); output is one row per series.
+    Exactness: integer counts and 2-dp ints; `run_start` is the exact
+    µs timestamp; unique tiebreak chain."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v100"),
+    )
+    o = "ORDER BY ts, event_id"
+    d = v.select(
+        "*",
+        F.expr(
+            f"row_number() OVER (PARTITION BY user_id, event_type {o})"
+            f" - row_number() OVER (PARTITION BY user_id, event_type, v100 {o})"
+        ).alias("grp"),
+    )
+    runs = d.groupBy("user_id", "event_type", "v100", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("run_len"),
+        F.min("ts").alias("run_start"),
+    )
+    wp = "PARTITION BY user_id, event_type"
+    best = runs.select(
+        "*",
+        F.expr(
+            f"row_number() OVER ({wp} ORDER BY run_len DESC, run_start, v100)"
+        ).alias("rk"),
+        F.expr(f"CAST(count(*) OVER ({wp}) AS BIGINT)").alias("n_runs"),
+    )
+    return best.where(F.col("rk") == 1).select(
+        "user_id",
+        "event_type",
+        "n_runs",
+        F.col("run_len").alias("longest_run"),
+        F.expr("CAST(v100 AS DOUBLE) / 100.0").alias("run_value"),
+        "run_start",
+    )

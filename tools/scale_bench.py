@@ -122,6 +122,9 @@ HEAVY = (
     "ext_hybrid_rrf",
     "ext_source_overlap",
     "pipe_curriculum_rank",
+    # pinned SMJ over co-located buckets (zero shuffle by design — the
+    # rehearsal proves the layout keeps it that way at 10x)
+    "scan_bucketed_join",
 )
 
 # Join-bearing queries that are deliberately NOT rehearsed, with the
