@@ -1783,3 +1783,85 @@ def agg_value_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(v100 AS DOUBLE) / 100.0").alias("run_value"),
         "run_start",
     )
+
+
+# Shannon entropy of the binned value distribution per tag.  Float
+# discipline (the BM25-idf precedent, hardened): the only transcendental
+# is ln(p) on an exact rational p; each bin's term −p·ln(p)/ln(2) is
+# floor-shifted to 9 dp (our half-tie-proof rounding), then the ≤20
+# rounded terms are summed through DECIMAL(20,9) so accumulation order
+# cannot change the total; the result is exact at 9 dp in both engines.
+@register(
+    "agg_entropy",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v100
+      FROM events
+    ), r AS (
+      SELECT event_type, MIN(v100) AS lo, MAX(v100) AS hi,
+             CAST(count(*) AS BIGINT) AS n
+      FROM v GROUP BY 1
+    ), b AS (
+      SELECT v.event_type,
+             LEAST(19, (v.v100 - r.lo) * 20 // (r.hi - r.lo + 1)) AS bin,
+             r.n
+      FROM v JOIN r ON r.event_type = v.event_type
+    ), c AS (
+      SELECT event_type, bin, n, CAST(count(*) AS BIGINT) AS c
+      FROM b GROUP BY 1, 2, 3
+    ), t AS (
+      SELECT event_type, n,
+             floor((-(CAST(c AS DOUBLE) / n)
+                    * ln(CAST(c AS DOUBLE) / n) / ln(2.0))
+                   * 1000000000 + 0.5) / 1000000000 AS term
+      FROM c
+    )
+    SELECT event_type, n,
+           CAST(SUM(CAST(term AS DECIMAL(20,9))) AS DOUBLE) AS entropy_bits
+    FROM t GROUP BY 1, 2
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution entropy per tag: Shannon entropy (bits) of the
+    20-bin value histogram — the one-number "how spread is this
+    sensor" screen (≈0 bits = stuck near one bin, →log₂20 ≈ 4.32 =
+    uniform), pairing with ``agg_histogram`` (the shape),
+    ``agg_skew_gini`` (fleet concentration) and the Benford screen
+    (digit law).  A drift monitor alarms on entropy collapse long
+    before a mean shifts.
+
+    Spark-first shape: the histogram face's two combinable passes plus
+    a ≤ tags×20-row term frame — nothing else touches the corpus.
+    Float discipline per the block comment: floor-shifted per-bin
+    terms, decimal-summed — engine-identical at 9 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("v100")
+    )
+    r = v.groupBy("event_type").agg(
+        F.min("v100").alias("lo"),
+        F.max("v100").alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    b = v.join(F.broadcast(r), "event_type").select(
+        "event_type",
+        F.expr("LEAST(19, (v100 - lo) * 20 div (hi - lo + 1))").alias("bin"),
+        "n",
+    )
+    c = b.groupBy("event_type", "bin", "n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    t = c.select(
+        "event_type",
+        "n",
+        F.expr(
+            "floor((-(CAST(c AS DOUBLE) / n)"
+            " * ln(CAST(c AS DOUBLE) / n) / ln(2.0))"
+            " * 1000000000 + 0.5) / 1000000000"
+        ).alias("term"),
+    )
+    return t.groupBy("event_type", "n").agg(
+        F.expr("CAST(SUM(CAST(term AS DECIMAL(20,9))) AS DOUBLE)").alias(
+            "entropy_bits"
+        )
+    )

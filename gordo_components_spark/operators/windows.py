@@ -614,3 +614,117 @@ def window_hampel_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("(10000 * dev200 > 22239 * mad400)").alias("is_out"),
     )
+
+
+# Binary-segmentation change-point LOCALIZATION (Scott & Knott 1974
+# lineage): the split k maximizing the between-segment objective
+# J(k) = s_k²/k + (s_n−s_k)²/(n−k) over the prefix sums of the 2-dp
+# readings — equivalent to minimizing total within-segment SSE, the
+# first step of every binseg/PELT pipeline.  Pairs with the CUSUM face:
+# CUSUM *alarms* that drift exists, binseg says *where* the level
+# shifted.  Exactness: prefix sums are exact ints; at the checked SFs
+# |s_k| ≤ ~4e7 so dbl(s)·dbl(s) is an exact product < 2⁵³ and J is a
+# fixed 4-op IEEE chain on exact inputs — bit-identical, so the argmax
+# (row_number over J DESC, k ASC) agrees across engines without any
+# rounding convention; only the REPORTED j_gain is floor-shifted.
+# (At fleet scale the magnitudes outgrow 2⁵³; the operator would move
+# s to DECIMAL and report a scaled objective — same plan shape.)
+@register(
+    "window_binseg_split",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS v100
+      FROM events
+    ), p AS (
+      SELECT user_id, ts,
+             CAST(row_number() OVER w AS BIGINT) AS k,
+             CAST(sum(v100) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT) AS s,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+             CAST(sum(v100) OVER (PARTITION BY user_id) AS BIGINT) AS tot
+      FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), j AS (
+      SELECT user_id, ts, k, s, n, tot,
+             CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(k AS DOUBLE)
+             + CAST(tot - s AS DOUBLE) * CAST(tot - s AS DOUBLE)
+               / CAST(n - k AS DOUBLE) AS jval
+      FROM p WHERE k < n AND n >= 4
+    ), best AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY jval DESC, k) AS rk
+      FROM j
+    )
+    SELECT user_id, n, k AS split_k, ts AS split_ts,
+           CAST(s AS DOUBLE) / (100.0 * CAST(k AS DOUBLE)) AS mean_left,
+           CAST(tot - s AS DOUBLE) / (100.0 * CAST(n - k AS DOUBLE))
+             AS mean_right,
+           {_fshift('''jval - CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)
+             / CAST(n AS DOUBLE)''', 'j_gain')}
+    FROM best WHERE rk = 1
+    """,
+)
+def window_binseg_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point localization per machine: the single best binary-
+    segmentation split of the reading series — where the level shifted,
+    with the two segment means and the variance-reduction gain (block
+    comment).  Machines with < 4 readings are skipped.
+
+    Spark-first shape: ONE (machine) exchange carries the row_number,
+    both prefix frames, the series totals, and the argmax window — five
+    window functions, one sort, no join, embarrassingly parallel across
+    machines.  The all-k objective scan is O(n) per machine as window
+    algebra (the naive formulation recomputes two segment SSEs per
+    candidate split = O(n²))."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v100"),
+    )
+    w = "PARTITION BY user_id ORDER BY ts, event_id"
+    wp = "PARTITION BY user_id"
+    p = v.select(
+        "user_id",
+        "ts",
+        F.expr(f"CAST(row_number() OVER ({w}) AS BIGINT)").alias("k"),
+        F.expr(
+            f"CAST(sum(v100) OVER ({w} ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND CURRENT ROW) AS BIGINT)"
+        ).alias("s"),
+        F.expr(f"CAST(count(*) OVER ({wp}) AS BIGINT)").alias("n"),
+        F.expr(f"CAST(sum(v100) OVER ({wp}) AS BIGINT)").alias("tot"),
+    )
+    j = p.where((F.col("k") < F.col("n")) & (F.col("n") >= 4)).select(
+        "*",
+        F.expr(
+            "CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(k AS DOUBLE)"
+            " + CAST(tot - s AS DOUBLE) * CAST(tot - s AS DOUBLE)"
+            " / CAST(n - k AS DOUBLE)"
+        ).alias("jval"),
+    )
+    best = j.select(
+        "*",
+        F.expr(
+            f"row_number() OVER ({wp} ORDER BY jval DESC, k)"
+        ).alias("rk"),
+    )
+    return best.where(F.col("rk") == 1).select(
+        "user_id",
+        "n",
+        F.col("k").alias("split_k"),
+        F.col("ts").alias("split_ts"),
+        F.expr("CAST(s AS DOUBLE) / (100.0 * CAST(k AS DOUBLE))").alias(
+            "mean_left"
+        ),
+        F.expr(
+            "CAST(tot - s AS DOUBLE) / (100.0 * CAST(n - k AS DOUBLE))"
+        ).alias("mean_right"),
+        F.expr(
+            _fshift_expr(
+                "jval - CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)"
+                " / CAST(n AS DOUBLE)"
+            )
+        ).alias("j_gain"),
+    )
