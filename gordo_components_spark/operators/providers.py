@@ -302,7 +302,20 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BUCKET_N = 8  # bucket count for the co-located join face
+_BUCKET_ROWS = 750_000  # target rows per bucket for the co-located join
+
+
+def _bucket_n_for(sf_dir: str) -> int:
+    """Corpus-derived bucket count, shared by BOTH join sides (CLAUDE.md
+    fixed-block-count rule — round-9's own 100× rehearsal caught the
+    fixed 8: each bucket is one task at read time, so a constant count
+    caps join parallelism at 8 regardless of data volume; ratio 14.2,
+    GC-thrashing single-bucket sorts).  Derived from the LARGER side
+    (lineitem) so buckets stay ~`_BUCKET_ROWS` rows at any SF; both
+    tables must use the SAME count or co-location breaks."""
+    from gordo_components_spark.caches import _parquet_rows
+
+    return max(8, -(-_parquet_rows(sf_dir, "lineitem") // _BUCKET_ROWS))
 
 
 def _bucketed_table(
@@ -324,12 +337,14 @@ def _bucketed_table(
 
     from gordo_components_spark.caches import _parquet_rows, source_stat
 
+    n_buckets = _bucket_n_for(sf_dir)
     fp = _json.dumps(
         {
             "sf": sf_dir,
             "rows": _parquet_rows(sf_dir, table),
             "src": source_stat(sf_dir, table),
-            "v": 1,
+            "nb": n_buckets,  # layout-defining: a count change = new table
+            "v": 2,
         },
         sort_keys=True,
     )
@@ -351,8 +366,8 @@ def _bucketed_table(
             # one write task per bucket => ONE file per bucket: Spark
             # only trusts the sortBy metadata (skipping the join-side
             # Sort) when a bucket is a single file
-            .repartition(_BUCKET_N, F.col(key))
-            .write.bucketBy(_BUCKET_N, key)
+            .repartition(n_buckets, F.col(key))
+            .write.bucketBy(n_buckets, key)
             .sortBy(key)
             .mode("overwrite")
             .format("parquet")

@@ -217,6 +217,13 @@ DECADE2 = (
     "pipe_quota_sample",
     "pipe_snapshot_diff",
     "tpch_q2",
+    # round-9 refresh: the regenerated BENCH_sf1 lifted these over the
+    # 2.5 floor (the two new faces debut at 4.2; curation-write and
+    # z-order crossed on the refreshed measurement)
+    "ext_source_overlap",
+    "pipe_curation_write",
+    "pipe_zorder_layout",
+    "scan_bucketed_join",
 )
 
 
