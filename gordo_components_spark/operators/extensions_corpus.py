@@ -2168,3 +2168,121 @@ def ext_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(_RRF_TOPK)
     )
+
+
+# Jensen–Shannon divergence between the v1 and v2 snapshot token
+# distributions, per source — dataset-version drift monitoring (the
+# governance sibling of pipe_snapshot_diff: diff says WHICH docs
+# changed, this says whether the LANGUAGE of the corpus moved).  The
+# v2 corpus is the snapshot family's deterministic fixture IN TEXT
+# FORM: doc_id%13==0 deleted, %11==0 revised (text + ' rev2'),
+# %17==0 re-added as new docs (text + ' new').  Float discipline =
+# the entropy face's: p, q, m are exact-int ratios; each token's JS
+# contribution is one fixed-order ln chain floor-shifted to 9 dp,
+# then the ≤|vocab| terms per source are DECIMAL(20,9)-summed.
+_JS_TERM = """
+    floor((
+      CASE WHEN c1 > 0 THEN (CAST(c1 AS DOUBLE) / t1)
+        * ln((CAST(c1 AS DOUBLE) / t1)
+             / ((CAST(c1 AS DOUBLE) / t1 + CAST(c2 AS DOUBLE) / t2) / 2.0))
+        / ln(2.0) ELSE 0.0 END
+      + CASE WHEN c2 > 0 THEN (CAST(c2 AS DOUBLE) / t2)
+        * ln((CAST(c2 AS DOUBLE) / t2)
+             / ((CAST(c1 AS DOUBLE) / t1 + CAST(c2 AS DOUBLE) / t2) / 2.0))
+        / ln(2.0) ELSE 0.0 END
+    ) / 2.0 * 1000000000 + 0.5) / 1000000000
+"""
+
+
+@register(
+    "pipe_snapshot_drift",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT source, text FROM documents
+    ), v2 AS (
+      SELECT source,
+             CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END AS text
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT source, text || ' new' AS text
+      FROM documents WHERE doc_id % 17 = 0
+    ), c AS (
+      SELECT source, t.token,
+             CAST(count(*) FILTER (ver = 1) AS BIGINT) AS c1,
+             CAST(count(*) FILTER (ver = 2) AS BIGINT) AS c2
+      FROM (
+        SELECT 1 AS ver, source, text FROM v1
+        UNION ALL
+        SELECT 2 AS ver, source, text FROM v2
+      ), UNNEST(string_split(text, ' ')) AS t(token)
+      GROUP BY 1, 2
+    ), w AS (
+      SELECT source, c1, c2,
+             CAST(SUM(c1) OVER (PARTITION BY source) AS BIGINT) AS t1,
+             CAST(SUM(c2) OVER (PARTITION BY source) AS BIGINT) AS t2
+      FROM c
+    )
+    SELECT source, MIN(t1) AS n_tok_v1, MIN(t2) AS n_tok_v2,
+           CAST(SUM(CAST({_JS_TERM} AS DECIMAL(20,9))) AS DOUBLE) AS js_bits
+    FROM w GROUP BY source
+    """,
+)
+def pipe_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version drift per source: Jensen–Shannon divergence
+    (bits, 0 = identical language, 1 = disjoint) between the v1 and v2
+    snapshot token distributions — the release gate a training-data
+    registry runs before swapping corpus versions (a revision wave that
+    shifts a source's token mix shows up here even when the doc COUNT
+    barely moves; pairs with ``pipe_snapshot_diff``'s row-level
+    added/changed/deleted census).
+
+    Spark-first shape: the v1 ∪ v2 tokenize is the only corpus-scale
+    work (two pushed-down scans of the same table, combinable counts on
+    (source, token, version)); the JS algebra rides the ≤ sources ×
+    |vocab| count frame.  Float discipline per the block comment —
+    floor-shifted per-token terms, decimal-summed, engine-identical at
+    9 dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.select(F.lit(1).alias("ver"), "source", "text")
+    v2 = (
+        docs.where(F.col("doc_id") % 13 != 0)
+        .select(
+            F.lit(2).alias("ver"),
+            "source",
+            F.when(
+                F.col("doc_id") % 11 == 0, F.concat("text", F.lit(" rev2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionAll(
+            docs.where(F.col("doc_id") % 17 == 0).select(
+                F.lit(2).alias("ver"),
+                "source",
+                F.concat("text", F.lit(" new")).alias("text"),
+            )
+        )
+    )
+    c = (
+        v1.unionAll(v2)
+        .select("ver", "source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(
+            F.expr("CAST(count(CASE WHEN ver = 1 THEN 1 END) AS BIGINT)").alias("c1"),
+            F.expr("CAST(count(CASE WHEN ver = 2 THEN 1 END) AS BIGINT)").alias("c2"),
+        )
+    )
+    w = c.select(
+        "source",
+        "c1",
+        "c2",
+        F.expr("CAST(SUM(c1) OVER (PARTITION BY source) AS BIGINT)").alias("t1"),
+        F.expr("CAST(SUM(c2) OVER (PARTITION BY source) AS BIGINT)").alias("t2"),
+    )
+    return w.groupBy("source").agg(
+        F.min("t1").alias("n_tok_v1"),
+        F.min("t2").alias("n_tok_v2"),
+        F.expr(
+            f"CAST(SUM(CAST({_JS_TERM} AS DECIMAL(20,9))) AS DOUBLE)"
+        ).alias("js_bits"),
+    )

@@ -328,3 +328,96 @@ def scalar_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(CAST(v100 AS DOUBLE) < lo OR CAST(v100 AS DOUBLE) > hi)"
         ).alias("is_clipped"),
     )
+
+
+# Robust standardization (median/MAD z-score): the outlier-immune
+# sibling of O40's min-max scaler — one glitch reading shifts a mean/σ
+# scale but not a median/MAD one, so this is the standardization a
+# training frame wants when the despike pass runs AFTER scaling.
+# Exactness mirrors the Hampel face: whole-series medians over 2-dp
+# ints tracked ×2 (med200/mad400 are exact bigints even when an
+# even-count series interpolates a .5), the 3σ fence is pure integer
+# algebra (10000·dev200 > 22239·mad400), and the reported z is one
+# fixed-order float chain on exact ints, floor-shifted.
+@register(
+    "scalar_robust_scale",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, user_id, event_type, value,
+             CAST(round(value * 100) AS BIGINT) AS v100
+      FROM events
+    ), f AS (
+      SELECT user_id, event_type,
+             CAST(round(quantile_cont(v100, 0.5) * 2) AS BIGINT) AS med200,
+             CAST(count(*) AS BIGINT) AS n
+      FROM v GROUP BY 1, 2
+    ), d AS (
+      SELECT v.*, f.med200, f.n,
+             abs(2 * v.v100 - f.med200) AS dev200
+      FROM v JOIN f ON f.user_id = v.user_id AND f.event_type = v.event_type
+    ), m AS (
+      SELECT user_id, event_type,
+             CAST(round(quantile_cont(dev200, 0.5) * 2) AS BIGINT) AS mad400
+      FROM d GROUP BY 1, 2
+    )
+    SELECT d.event_id, d.user_id, d.event_type, d.value,
+           CAST(d.med200 AS DOUBLE) / 200.0 AS series_med,
+           CAST(m.mad400 AS DOUBLE) * 1.4826 / 400.0 AS mad_sigma,
+           CASE WHEN m.mad400 > 0 THEN
+             floor((CAST(2 * (2 * d.v100 - d.med200) AS DOUBLE)
+                    / (CAST(m.mad400 AS DOUBLE) * 1.4826))
+                   * 1000000 + 0.5) / 1000000
+           END AS robust_z,
+           (10000 * d.dev200 > 22239 * m.mad400) AS is_extreme
+    FROM d JOIN m ON m.user_id = d.user_id AND m.event_type = d.event_type
+    """,
+)
+def scalar_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O31/O40 adjacency — robust z-score standardization per (machine,
+    tag): (x − median) / (1.4826·MAD) with a pure-integer 3σ extreme
+    flag — the glitch-immune feature scaling used where min-max or
+    mean/σ would let one spike compress the whole feature range
+    (block comment: the Hampel exactness discipline over WHOLE series).
+    MAD = 0 (constant series) reports NULL z, flag false.
+
+    Spark-first shape: two exact-percentile groupBys on the fleet key
+    (partial-free aggregates — parallelism grows with machines × tags)
+    with joins back on the same key; the fence frames scale with the
+    fleet so they are NOT force-broadcast (the winsorize mirror rule —
+    AQE broadcasts at bench SF, shuffles at fleet scale).  At extreme
+    per-series history the exact percentile swaps for
+    ``approx_percentile`` exactly as the winsorize face documents."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v100"),
+    )
+    f = v.groupBy("user_id", "event_type").agg(
+        F.expr("CAST(round(percentile(v100, 0.5) * 2) AS BIGINT)").alias("med200"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    d = v.join(f, ["user_id", "event_type"]).select(
+        "*", F.expr("abs(2 * v100 - med200)").alias("dev200")
+    )
+    m = d.groupBy("user_id", "event_type").agg(
+        F.expr("CAST(round(percentile(dev200, 0.5) * 2) AS BIGINT)").alias("mad400")
+    )
+    out = d.join(m, ["user_id", "event_type"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("CAST(med200 AS DOUBLE) / 200.0").alias("series_med"),
+        F.expr("CAST(mad400 AS DOUBLE) * 1.4826 / 400.0").alias("mad_sigma"),
+        F.expr(
+            "CASE WHEN mad400 > 0 THEN"
+            " floor((CAST(2 * (2 * v100 - med200) AS DOUBLE)"
+            " / (CAST(mad400 AS DOUBLE) * 1.4826)) * 1000000 + 0.5) / 1000000"
+            " END"
+        ).alias("robust_z"),
+        F.expr("(10000 * dev200 > 22239 * mad400)").alias("is_extreme"),
+    )

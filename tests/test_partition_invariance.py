@@ -46,6 +46,18 @@ QUERIES = [
     "ml_forecast_holt",
     "window_hampel_outlier",
     "agg_xcorr_leadlag",
+    # round 9: the order-pinned float fold (running-sum window — the
+    # canonical partition-order hazard), the decimal-summed entropy
+    # terms, the double-argmax binseg split, the sorted-union nearest
+    # join, RRF's two TakeOrdered legs, the per-day trapezoid TWA, and
+    # the three-level global-rank decomposition
+    "pipe_mixture_temperature",
+    "agg_entropy",
+    "window_binseg_split",
+    "join_nearest_value",
+    "ext_hybrid_rrf",
+    "agg_time_weighted_avg",
+    "pipe_curriculum_rank",
 ]
 
 
@@ -122,3 +134,19 @@ def test_result_invariant_to_partition_count(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert low == high
+
+
+def test_curriculum_rank_shard_invariance(spark, sf_dir, monkeypatch):
+    """Round-9: the three-level offset decomposition must be invariant
+    to the corpus-derived shard width (at scale the width tracks
+    cluster parallelism, so it WILL differ between local[32] and a
+    1000-executor run) and must emit a contiguous 1..n permutation —
+    the literal global row_number the oracle derives with one window."""
+    from gordo_components_spark.operators import extensions_pipeline as ep
+
+    base = _rows(spark, "pipe_curriculum_rank", sf_dir)
+    monkeypatch.setattr(ep, "_pack_shard_docs", lambda spark, sf: 13)
+    sharded = _rows(spark, "pipe_curriculum_rank", sf_dir)
+    assert base == sharded
+    ranks = sorted(r[2] for r in base)
+    assert ranks == list(range(1, len(base) + 1))
