@@ -294,3 +294,15 @@ def stream_twa_genuine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gordo_components_spark.streaming.micro_batch import run_streaming_twa
 
     return run_streaming_twa(spark, sf_dir)
+
+
+@register("stream_benford_genuine", oracle=None)
+def stream_benford_genuine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Benford first-digit conformance (rows-only): the live
+    data-quality screen — per-tag digit counts as a genuine streaming
+    aggregation whose multi-batch final state equals the batch face
+    BIT-EXACTLY (counts are order-independent; parity asserted in
+    tests/test_streaming.py)."""
+    from gordo_components_spark.streaming.micro_batch import run_streaming_benford
+
+    return run_streaming_benford(spark, sf_dir)

@@ -909,3 +909,49 @@ def run_streaming_twa(
     return _run_to_memory(
         out, name, output_mode="update", latest_by=(("user_id", "event_type"), "span_us")
     )
+
+
+def run_streaming_benford(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """Streaming Benford first-digit screen — the live data-quality face
+    of ``agg_benford_screen``: per-tag first-significant-digit counts
+    maintained as a genuine Structured Streaming aggregation (update
+    mode; counts are ORDER-INDEPENDENT, so the multi-batch final state
+    equals the batch face EXACTLY — the strongest batch↔stream parity
+    in the repo, asserted in tests/test_streaming.py), with the χ²
+    conformance verdict recomputed per emission from the same
+    compile-time expression chain the batch face uses."""
+    from gordo_components_spark.operators.relational_extra import (
+        _BENFORD_CHI2,
+        _BENFORD_OBS_PAIRS,
+    )
+
+    prepare(spark)
+    src = _replay_dir(spark, sf_dir)
+    reader = spark.readStream.schema(_RAW_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src)
+    v = stream.where(F.expr("round(value * 100) >= 1")).select(
+        "event_type",
+        F.expr(
+            "substr(CAST(CAST(round(value * 100) AS BIGINT) AS STRING), 1, 1)"
+        ).alias("d"),
+    )
+    agg = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[F.expr(e).alias(a) for a, e in _BENFORD_OBS_PAIRS],
+    )
+    out = agg.select(
+        "event_type",
+        "n",
+        "o1",
+        "o9",
+        F.expr(_BENFORD_CHI2).alias("chi2"),
+        F.expr(f"(({_BENFORD_CHI2}) < 15.507)").alias("conforms"),
+    )
+    name = f"stream_benford_{uuid.uuid4().hex[:8]}"
+    return _run_to_memory(
+        out, name, output_mode="update", latest_by=(("event_type",), "n")
+    )

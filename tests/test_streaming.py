@@ -477,3 +477,30 @@ def test_streaming_twa_state_carries_across_batches(spark, sf_dir):
     # wall span of the fixture
     assert (merged["span_us_m"] > 0).all()
     assert (merged["span_us_s"] > 0).all()
+
+
+def test_streaming_benford_matches_batch_exactly(spark, sf_dir):
+    # digit counts are order-independent, so after the full replay the
+    # streaming aggregation's final per-tag rows must equal the BATCH
+    # face bit-for-bit — including the chi2 float chain (identical
+    # compile-time expressions over identical integer counts)
+    from gordo_components_spark.registry import load_all
+    from gordo_components_spark.streaming.micro_batch import run_streaming_benford
+
+    got = (
+        run_streaming_benford(spark, sf_dir)
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    ref = (
+        load_all()["agg_benford_screen"].fn(spark, sf_dir)
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    assert list(got.index) == list(ref.index)
+    for col in ("n", "o1", "o9"):
+        assert (got[col].to_numpy() == ref[col].to_numpy()).all()
+    assert (got["chi2"].to_numpy() == ref["chi2"].to_numpy()).all()
+    assert (got["conforms"].to_numpy() == ref["conforms"].to_numpy()).all()
