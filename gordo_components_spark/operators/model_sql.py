@@ -236,7 +236,12 @@ def udaf_ts_cv_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-row IEEE ops on identical inputs, so both engines produce the
 # bit-identical double before the floor-shift.  No transcendentals (a
 # PSI's ln(p/q) would diverge between libm builds — CLAUDE.md rule).
-_DRIFT_SPLIT = "TIMESTAMP '2024-01-16 00:00:00'"
+# Single source of truth for the train/serve boundary: the plain string
+# feeds load_events_in_range (streaming CUSUM baseline) and the
+# TIMESTAMP literal feeds every batch drift face — one constant, so the
+# streaming baseline can never silently diverge from the batch split.
+_DRIFT_SPLIT_TS = "2024-01-16 00:00:00"
+_DRIFT_SPLIT = f"TIMESTAMP '{_DRIFT_SPLIT_TS}'"
 _DRIFT_COUNTS_SQL = f"""
     e AS (
       SELECT event_type,

@@ -350,30 +350,72 @@ def _bucketed_table(
     )
     tag = hashlib.md5(fp.encode()).hexdigest()[:10]
     name = f"bkt_{table}_{tag}"
-    if not spark.catalog.tableExists(name):
-        # EXTERNAL table under /tmp: the driver's vanilla session has no
-        # warehouse conf (a builder-time static), so a managed table
-        # would land in ./spark-warehouse inside the repo and a later
-        # session would hit LOCATION_ALREADY_EXISTS after its in-memory
-        # catalog forgot the name.  An explicit path keeps the data in
-        # scratch space and lets a fresh session re-register by simply
-        # rewriting (bucketed layout metadata travels with the catalog
-        # entry, so DDL-less re-registration is not safe — the rewrite
-        # is the cheap, always-consistent path).
-        loc = f"/tmp/gordo_spark_warehouse/{name}"
-        (
-            load_table(spark, sf_dir, table)
-            # one write task per bucket => ONE file per bucket: Spark
-            # only trusts the sortBy metadata (skipping the join-side
-            # Sort) when a bucket is a single file
-            .repartition(n_buckets, F.col(key))
-            .write.bucketBy(n_buckets, key)
-            .sortBy(key)
-            .mode("overwrite")
-            .format("parquet")
-            .option("path", loc)
-            .saveAsTable(name)
-        )
+    # EXTERNAL table under /tmp: the driver's vanilla session has no
+    # warehouse conf (a builder-time static), so a managed table would
+    # land in ./spark-warehouse inside the repo and a later session
+    # would hit LOCATION_ALREADY_EXISTS after its in-memory catalog
+    # forgot the name.  Round-10 (r9 advisory): the scratch write now
+    # follows the materialized_cache discipline — built into a
+    # pid-unique temp location, atomically os.replace'd under an flock
+    # (two concurrent cold-catalog sessions can never overwrite a copy
+    # the other is reading), and a dangling in-session catalog entry
+    # (user deleted /tmp/gordo_spark_* mid-session — documented as
+    # always safe) is detected via the _SUCCESS marker and rebuilt
+    # instead of failing.  Re-registration over existing files is done
+    # with explicit CLUSTERED BY/SORTED BY DDL, which carries the exact
+    # layout metadata bucketBy wrote (bucket ids are encoded in the
+    # file names, so the spec round-trips).
+    import fcntl
+    import shutil
+
+    root = "/tmp/gordo_spark_warehouse"
+    loc = f"{root}/{name}"
+    os.makedirs(root, exist_ok=True)
+    have_files = os.path.exists(os.path.join(loc, "_SUCCESS"))
+    if spark.catalog.tableExists(name) and have_files:
+        return name
+    with open(f"{root}/.{name}.lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            have_files = os.path.exists(os.path.join(loc, "_SUCCESS"))
+            if spark.catalog.tableExists(name):
+                if have_files:
+                    return name
+                spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+            src = load_table(spark, sf_dir, table)
+            if not have_files:
+                tmp_name = f"{name}_w{os.getpid()}"
+                tmp_loc = f"{loc}.tmp-{os.getpid()}"
+                shutil.rmtree(tmp_loc, ignore_errors=True)
+                spark.sql(f"DROP TABLE IF EXISTS `{tmp_name}`")
+                (
+                    src
+                    # one write task per bucket => ONE file per bucket:
+                    # Spark only trusts the sortBy metadata (skipping
+                    # the join-side Sort) when a bucket is a single file
+                    .repartition(n_buckets, F.col(key))
+                    .write.bucketBy(n_buckets, key)
+                    .sortBy(key)
+                    .mode("overwrite")
+                    .format("parquet")
+                    .option("path", tmp_loc)
+                    .saveAsTable(tmp_name)
+                )
+                # external table: DROP removes metadata only, files stay
+                spark.sql(f"DROP TABLE IF EXISTS `{tmp_name}`")
+                shutil.rmtree(loc, ignore_errors=True)
+                os.replace(tmp_loc, loc)
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in src.schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE `{name}` ({cols}) USING parquet"
+                f" CLUSTERED BY (`{key}`) SORTED BY (`{key}`)"
+                f" INTO {n_buckets} BUCKETS LOCATION '{loc}'"
+            )
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
     return name
 
 

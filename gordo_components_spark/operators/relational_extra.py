@@ -557,7 +557,10 @@ def agg_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = r.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum("cnt").cast("bigint").alias("t"),
-        F.expr("sum(CAST(i * cnt AS DECIMAL(28,0)))")
+        # the PRODUCT itself is decimal-typed (not just the sum): a
+        # bigint i*cnt wraps silently past 2^63 at extreme fleet scale,
+        # while the oracle's HUGEINT product never does
+        F.expr("sum(CAST(i AS DECIMAL(19,0)) * cnt)")
         .cast("decimal(38,0)")
         .alias("s"),
     )

@@ -1716,11 +1716,13 @@ def agg_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), runs AS (
       SELECT user_id, event_type, v100, grp,
              CAST(count(*) AS BIGINT) AS run_len,
-             MIN(ts) AS run_start
+             MIN(ts) AS run_start,
+             MIN(event_id) AS run_id
       FROM d GROUP BY 1, 2, 3, 4
     ), best AS (
       SELECT *, row_number() OVER (PARTITION BY user_id, event_type
-                                   ORDER BY run_len DESC, run_start, v100)
+                                   ORDER BY run_len DESC, run_start, v100,
+                                            run_id)
                AS rk,
              CAST(count(*) OVER (PARTITION BY user_id, event_type) AS BIGINT)
                AS n_runs
@@ -1766,12 +1768,17 @@ def agg_value_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs = d.groupBy("user_id", "event_type", "v100", "grp").agg(
         F.count(F.lit(1)).cast("bigint").alias("run_len"),
         F.min("ts").alias("run_start"),
+        # guaranteed-unique run key: two same-value runs split by an
+        # interleaved reading at a DUPLICATE timestamp tie on
+        # (run_len, run_start, v100); MIN(event_id) never ties
+        F.min("event_id").alias("run_id"),
     )
     wp = "PARTITION BY user_id, event_type"
     best = runs.select(
         "*",
         F.expr(
-            f"row_number() OVER ({wp} ORDER BY run_len DESC, run_start, v100)"
+            f"row_number() OVER"
+            f" ({wp} ORDER BY run_len DESC, run_start, v100, run_id)"
         ).alias("rk"),
         F.expr(f"CAST(count(*) OVER ({wp}) AS BIGINT)").alias("n_runs"),
     )

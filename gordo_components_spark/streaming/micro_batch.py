@@ -605,10 +605,10 @@ def run_streaming_cusum(
     tag) accumulated-excess statistic that SURVIVES across micro-batches
     (state store), alarming when drift above a trained baseline mean
     crosses the threshold.  The baseline is fitted from the train window
-    (the drift family's ``_DRIFT_SPLIT``) of the static table — the
+    (the drift family's ``_DRIFT_SPLIT_TS``) of the static table — the
     trained-detector + live-stream split a real deployment has — and
-    travels as a driver dict (machines × tags: fixed cardinality, the
-    bounded-collect contract).
+    travels as a broadcast variable (machines × tags: group-cardinality
+    bounded, shipped once per executor — the bounded-collect contract).
 
     Semantics mirror the stateful-EWMA face: exact (ts, event_id) order
     within a micro-batch, arrival order across batches (any real
@@ -623,6 +623,7 @@ def run_streaming_cusum(
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    from gordo_components_spark.operators.model_sql import _DRIFT_SPLIT_TS
     from gordo_components_spark.operators.windows import _CUSUM_H100, _CUSUM_K100
     from gordo_components_spark.sources.tables import load_events_in_range
 
@@ -631,9 +632,10 @@ def run_streaming_cusum(
     # literal compare on the DERIVED µs ts cannot reach the parquet scan
     # on the ≤4.0 raw-long branch — the range loader filters the raw
     # column first, so the baseline fold prunes row groups at the source.
-    # The bound is the drift family's _DRIFT_SPLIT (2024-01-16 UTC).
+    # The bound is the drift family's shared _DRIFT_SPLIT_TS, so the
+    # streaming baseline and the batch drift faces cannot drift apart.
     base_rows = (
-        load_events_in_range(spark, sf_dir, to_ts="2024-01-16 00:00:00")
+        load_events_in_range(spark, sf_dir, to_ts=_DRIFT_SPLIT_TS)
         .groupBy("user_id", "event_type")
         .agg(
             F.count(F.lit(1)).alias("bn"),
@@ -643,7 +645,16 @@ def run_streaming_cusum(
         )
         .collect()
     )
-    baseline = {(r["user_id"], r["event_type"]): (r["bn"], r["bs1"]) for r in base_rows}
+    # Baseline travels as a BROADCAST VARIABLE, not a closure capture:
+    # the dict is bounded by group cardinality (machines × tags — the
+    # model-table size, NOT the corpus; a 10⁴-machine × 10²-tag fleet is
+    # ~10⁶ entries ≈ tens of MB), and broadcasting ships it once per
+    # executor instead of once per task serialization.  At a fleet where
+    # even that bound bites, the baseline would become a state-store
+    # initial-state load (statefulProcessor initialState) — same algebra.
+    baseline_bc = spark.sparkContext.broadcast(
+        {(r["user_id"], r["event_type"]): (r["bn"], r["bs1"]) for r in base_rows}
+    )
     src = _replay_dir(spark, sf_dir)
     reader = spark.readStream.schema(_RAW_SCHEMA)
     if not single_batch:
@@ -651,7 +662,7 @@ def run_streaming_cusum(
     stream = reader.parquet(src)
 
     def update(key, pdfs, state: GroupState):
-        bn, bs1 = baseline.get((key[0], key[1]), (0, 0))
+        bn, bs1 = baseline_bc.value.get((key[0], key[1]), (0, 0))
         if state.exists:
             s, n_seen, n_alerts = state.get
         else:
