@@ -59,6 +59,92 @@ _NODE_TYPES = {
 }
 
 
+# Fixture tables whose row count does NOT grow with the corpus: a
+# broadcast build over these is always safe.  Everything else (events,
+# documents, lineitem, orders, customer, supplier, part, partsupp,
+# embeddings — and any scratch materialization derived from them) is
+# SF-scaling, and a BroadcastHashJoin whose build side scans one is the
+# r9-verdict escape hatch: AQE broadcasts it at audit SF, so the
+# SMJ/SHJ-only rehearsal guard never pulls the query into HEAVY, yet at
+# 1000x the build side no longer fits and the query has never been
+# scale-measured.  (BNLJ-Cross scalar folds are NOT caught here — their
+# exchange feeds a BroadcastNestedLoopJoin, not a BHJ — so the 1-row
+# aggregate pattern stays sanctioned.)
+_FIXED_CARD_TABLES = {"nation", "region"}
+
+
+def _tree_nodes(plan: str) -> list[tuple[int, str, int]]:
+    """Parse the formatted-explain tree section into (depth, name, id)."""
+    tree = plan.split("\n\n", 1)[0]
+    nodes = []
+    for line in tree.splitlines():
+        m = re.match(r"^([:+\-| ]*)\*?\s*(.+?)\s*\((\d+)\)\s*$", line)
+        if not m:
+            continue
+        prefix, name, nid = m.groups()
+        nodes.append((len(prefix) // 3, name, int(nid)))
+    return nodes
+
+
+def _scan_tables(plan: str) -> dict[int, str]:
+    """node id -> scanned table basename, from the details section."""
+    out = {}
+    for block in re.split(r"\n\n", plan):
+        m = re.match(r"\((\d+)\) Scan parquet", block)
+        if not m:
+            continue
+        loc = re.search(r"Location: \S+ \[([^\],]*)", block)
+        if loc:
+            base = os.path.basename(loc.group(1).rstrip("/"))
+            out[int(m.group(1))] = base.split(".")[0]
+    return out
+
+
+def _subtree(nodes: list, i: int) -> list:
+    d = nodes[i][0]
+    j = i + 1
+    while j < len(nodes) and nodes[j][0] > d:
+        j += 1
+    return nodes[i:j]
+
+
+def _bhj_scaling_builds(plan: str) -> list[str]:
+    """Corpus-scaling tables scanned under any BroadcastHashJoin's build
+    side (the BroadcastExchange / ReusedExchange child)."""
+    nodes = _tree_nodes(plan)
+    scans = _scan_tables(plan)
+    reuses = {
+        int(m.group(1)): int(m.group(2))
+        for m in re.finditer(
+            r"\((\d+)\) ReusedExchange[^\n]*Reuses operator id: (\d+)", plan
+        )
+    }
+    by_id = {nid: i for i, (_, _, nid) in enumerate(nodes)}
+    hits: set[str] = set()
+
+    def scans_under(idx: int) -> None:
+        for _, nname, nid in _subtree(nodes, idx):
+            if nname.startswith("Scan parquet") and nid in scans:
+                t = scans[nid]
+                if t not in _FIXED_CARD_TABLES:
+                    hits.add(t)
+            elif nname.startswith("ReusedExchange") and nid in reuses:
+                target = reuses[nid]
+                if target in by_id:
+                    scans_under(by_id[target])
+
+    for i, (d, name, _) in enumerate(nodes):
+        if not name.startswith("BroadcastHashJoin"):
+            continue
+        for j, (cd, cname, _) in enumerate(_subtree(nodes, i)):
+            if cd == d + 1 and (
+                cname.startswith("BroadcastExchange")
+                or cname.startswith("ReusedExchange")
+            ):
+                scans_under(i + j)
+    return sorted(hits)
+
+
 def _audit_plan(plan: str) -> dict:
     entry = {
         k: len(re.findall(rf"^\(\d+\) {pat}", plan, re.M))
@@ -77,6 +163,7 @@ def _audit_plan(plan: str) -> dict:
     if bad_bnlj:
         hits.append(f"BroadcastNestedLoopJoin[{','.join(bad_bnlj)}]")
     entry["anti_patterns"] = hits
+    entry["bhj_scaling_builds"] = _bhj_scaling_builds(plan)
     return entry
 
 

@@ -125,6 +125,57 @@ HEAVY = (
     # pinned SMJ over co-located buckets (zero shuffle by design — the
     # rehearsal proves the layout keeps it that way at 10x)
     "scan_bucketed_join",
+    # round 10: the widened guard (join-bearing now also means "AQE
+    # broadcasts a corpus-scaling build side at audit SF" — the r9
+    # verdict's escape hatch) flushed these out.  agg_resample_interp is
+    # the named escapee (slowest query at sf0.1, never scale-measured;
+    # now rewritten join-free via gap-run explode but rehearsed anyway);
+    # the rest are every TPC-H face, the plain join/set family, and the
+    # bounded-aggregate-build faces — rehearsed wholesale rather than
+    # exempted, so the coverage claim needs no judgment calls.
+    "agg_resample_interp",
+    "agg_entropy",
+    "agg_funnel_steps",
+    "agg_histogram",
+    "agg_retention_cohorts",
+    "agg_seasonal_decompose",
+    "ext_dedup_substring_cut",
+    "join_anti",
+    "join_asof_ffill",
+    "join_correlated_scalar",
+    "join_equi_inner",
+    "join_left_outer",
+    "join_semi",
+    "join_variants",
+    "ml_drift_bins",
+    "ml_drift_score",
+    "pipe_pack_slices",
+    "pipe_pack_stats",
+    "pipe_shuffle_global",
+    "scalar_robust_scale",
+    "set_except",
+    "set_intersect",
+    "set_ops",
+    "udaf_ts_cv_metrics",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
 )
 
 # Join-bearing queries that are deliberately NOT rehearsed, with the
@@ -332,25 +383,37 @@ def main_decade2(out_path: str) -> None:
 
 
 def check_heavy_covers_joins(registry) -> list[str]:
-    """CLAUDE.md invariant, made mechanical (r7 verdict item 2): every
-    registered query whose physical plan contains a non-broadcast join
+    """CLAUDE.md invariant, made mechanical (r7 verdict item 2; widened
+    r10 per the r9 verdict's escape-hatch finding): every registered
+    query whose physical plan contains EITHER a non-broadcast join
     (SortMergeJoin / ShuffledHashJoin — the shapes whose pair volume can
-    go quadratic) must be in HEAVY or carry an EXEMPT reason.  Reads the
-    committed PLAN_AUDIT.json census; names the audit has not seen yet
-    are reported too, so a late-round registration can't dodge the check
-    by skipping the audit."""
+    go quadratic) OR a BroadcastHashJoin whose build side scans a
+    corpus-scaling table (AQE broadcasts it at audit SF, so the SMJ-only
+    rule never fires — yet at 1000x the build no longer fits and the
+    query has never been scale-measured; ``agg_resample_interp`` escaped
+    exactly this way for two rounds) must be in HEAVY or carry an EXEMPT
+    reason.  Reads the committed PLAN_AUDIT.json census; names the audit
+    has not seen yet — or entries predating the bhj_scaling_builds
+    field — are reported too, so a late-round registration or a stale
+    audit can't dodge the check."""
     audit_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLAN_AUDIT.json")
     with open(audit_path) as fh:
         audit = json.load(fh)["queries"]
     problems = []
     for name in registry:
         e = audit.get(name)
-        if e is None:
-            problems.append(f"{name}: not in PLAN_AUDIT.json — re-run tools/plan_audit.py")
+        if e is None or "bhj_scaling_builds" not in e:
+            problems.append(f"{name}: not in PLAN_AUDIT.json (or predates the bhj_scaling_builds census) — re-run tools/plan_audit.py")
+            continue
+        if name in HEAVY or name in EXEMPT:
             continue
         if e["sort_merge_joins"] + e["shuffled_hash_joins"] > 0:
-            if name not in HEAVY and name not in EXEMPT:
-                problems.append(f"{name}: join-bearing but absent from the 10x rehearsal set")
+            problems.append(f"{name}: join-bearing but absent from the 10x rehearsal set")
+        elif e["bhj_scaling_builds"]:
+            problems.append(
+                f"{name}: BroadcastHashJoin build side scans corpus-scaling "
+                f"{e['bhj_scaling_builds']} but absent from the 10x rehearsal set"
+            )
     return problems
 
 
