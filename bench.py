@@ -19,10 +19,11 @@ from gordo_components_spark.session import get_spark
 # Headline set: flagship + one representative per heavy category.
 HEADLINE_TAG = "bench"
 
-# Round-9 set change (ROUND9_NOTES #1): window_cusum_alerts + ml_drift_ks
-# promoted.  One-round comparability bridge: subtotal over the frozen
-# r7/r8 membership so BENCH_r09 totals compare cleanly to BENCH_r08's.
-_R9_ADDITIONS = {"window_cusum_alerts", "ml_drift_ks"}
+# Round-10 set change (ROUND10_NOTES #8): scan_bucketed_join +
+# agg_time_weighted_avg promoted; the r9 bridge is retired.  One-round
+# comparability bridge: subtotal over the frozen r9 membership so
+# BENCH_r10 totals compare cleanly to BENCH_r09's.
+_R10_ADDITIONS = {"scan_bucketed_join", "agg_time_weighted_avg"}
 
 
 def _prior_round_mins() -> dict[str, float]:
@@ -178,8 +179,8 @@ def main() -> None:
                 "value": round(sum(times.values()), 4),
                 "unit": "sec",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "subtotal_r8_set": round(
-                    sum(v for k, v in times.items() if k not in _R9_ADDITIONS), 4
+                "subtotal_r9_set": round(
+                    sum(v for k, v in times.items() if k not in _R10_ADDITIONS), 4
                 ),
                 # load1 = EXTERNAL load at capture start (post-gate,
                 # pre-Spark); load1_end includes the bench's own tail

@@ -2286,3 +2286,97 @@ def pipe_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(SUM(CAST({_JS_TERM} AS DECIMAL(20,9))) AS DOUBLE)"
         ).alias("js_bits"),
     )
+
+
+# Edit-distance fuzzy join (round 10) — the INDEL-tolerant sibling of
+# join_fuzzy_hamming: one character substituted, INSERTED, or DELETED.
+# Blocking is the k=1 two-half pigeonhole: a single edit lives in one
+# half of the record, so every true match shares either the exact
+# 6-char PREFIX (edit in the right half) or the exact 6-char SUFFIX
+# aligned from the END (edit in the left half — end-alignment is what
+# makes the filter complete under indels, where left-aligned positions
+# shift).  Verification is exact levenshtein(), which both engines
+# implement as the classic integer DP — bit-identical.
+_LEV_FP = "substr(md5(CAST(c_custkey AS {str_t})), 1, 12)"
+_LEV_DIRTY = """
+    CASE WHEN c_custkey % 30 = 0
+         THEN concat(substr({fp}, 1, 5), substr({fp}, 7))
+         WHEN c_custkey % 20 = 0
+         THEN concat(substr({fp}, 1, 6), 'z', substr({fp}, 7))
+         ELSE concat(substr({fp}, 1, 5), 'z', substr({fp}, 7))
+    END
+"""
+
+
+@register(
+    "join_fuzzy_levenshtein",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_custkey, {_LEV_FP.format(str_t="VARCHAR")} AS fp FROM customer
+    ), dirty AS (
+      SELECT c_custkey AS dirty_key,
+             {_LEV_DIRTY.format(fp=_LEV_FP.format(str_t="VARCHAR"))} AS dirty_fp
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT d.dirty_key, b.c_custkey AS match_key,
+           CAST(levenshtein(d.dirty_fp, b.fp) AS BIGINT) AS distance
+    FROM dirty d JOIN base b ON levenshtein(d.dirty_fp, b.fp) <= 1
+    """,
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join under EDIT distance ≤ 1 — the
+    typo/truncation matcher ``join_fuzzy_hamming`` (substitutions only,
+    fixed length) cannot express: a dropped or doubled character shifts
+    every later position, so Hamming blocking misses it.  Every 10th
+    entity re-enters dirty — one char deleted (key%30), inserted
+    (key%20), or substituted — and must match its clean master record.
+
+    Spark shape: both sides explode to TWO block keys — (0, 6-char
+    prefix) and (1, 6-char END-aligned suffix); the k=1 pigeonhole
+    (block comment) makes the candidate equi-join provably complete
+    under indels.  Candidates dedupe then pay one exact ``levenshtein``
+    verify.  The oracle is the naive cross join with the same verify,
+    so completeness is hash-checked.  100 TB shape: linear explode,
+    shuffle join on the block key, no broadcast of either entity side
+    (SHUFFLE_HASH pinned — the master table scales with the corpus)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    base = cust.select(
+        "c_custkey", F.expr(_LEV_FP.format(str_t="STRING")).alias("fp")
+    )
+    dirty = cust.where(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("dirty_key"),
+        F.expr(
+            _LEV_DIRTY.format(fp=_LEV_FP.format(str_t="STRING"))
+        ).alias("dirty_fp"),
+    )
+
+    def blocks(df: DataFrame, col: str) -> DataFrame:
+        return df.select(
+            "*",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("blk_id"),
+                        F.expr(f"substr({col}, 1, 6)").alias("blk"),
+                    ),
+                    F.struct(
+                        F.lit(1).alias("blk_id"),
+                        F.expr(
+                            f"substr({col}, length({col}) - 5, 6)"
+                        ).alias("blk"),
+                    ),
+                )
+            ).alias("s"),
+        ).select(*df.columns, "s.blk_id", "s.blk")
+
+    candidates = (
+        blocks(dirty, "dirty_fp")
+        .join(blocks(base, "fp").hint("SHUFFLE_HASH"), ["blk_id", "blk"])
+        .select("dirty_key", "dirty_fp", "c_custkey", "fp")
+        .distinct()
+    )
+    return candidates.select(
+        "dirty_key",
+        F.col("c_custkey").alias("match_key"),
+        F.expr("levenshtein(dirty_fp, fp)").cast("long").alias("distance"),
+    ).where(F.col("distance") <= 1)

@@ -778,3 +778,97 @@ def pipe_dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "best_jaccard",
         (F.coalesce("n_matches", F.lit(0)) == 0).alias("kept"),
     )
+
+
+@register(
+    "ext_dedup_paragraph",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), blocks AS (
+      SELECT doc_id, CAST(t.k AS INT) AS blk,
+             array_to_string(list_slice(tk, t.k * 8 + 1, t.k * 8 + 8), ' ')
+               AS btxt
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(0,
+                 CAST(floor((len(tk) - 1) / 8) AS BIGINT))) AS k
+      ) t
+      WHERE len(list_slice(tk, t.k * 8 + 1, t.k * 8 + 8)) = 8
+    ), shared AS (
+      SELECT btxt FROM blocks GROUP BY btxt
+      HAVING count(DISTINCT doc_id) > 1
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(CASE WHEN s.btxt IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shared_blocks,
+           CAST(sum(CASE WHEN s.btxt IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS dup_ratio
+    FROM blocks b LEFT JOIN shared s USING (btxt)
+    GROUP BY b.doc_id
+    """,
+)
+def ext_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 extension (round 10) — BLOCK-level duplication screen, the
+    CCNet/C4 move the whole-document faces can't express: a crawl dump's
+    boilerplate (nav bars, license headers, quote chains) repeats at
+    paragraph granularity inside otherwise-unique pages, and removing it
+    is worth more perplexity than whole-doc dedup.  Each document is cut
+    into non-overlapping 8-word blocks (the fixture ships no paragraph
+    separators — block ≡ paragraph stand-in; the operator is the
+    plumbing, the splitter is a parameter), a block is SHARED when its
+    exact text occurs in ≥2 distinct documents, and each doc reports its
+    shared-block ratio — the "mostly boilerplate" screen
+    ``pipe_quality_trim`` would consume.
+
+    Scale shape: one explode to the block frame (~n_words/8 rows per
+    doc), ONE digest-keyed combinable groupBy for the shared set (the
+    64-bit xxhash digest is the shuffle key, never the block text), and
+    the verdict rides a digest-keyed shuffle join back to blocks —
+    blocked exactly like exact dedup, no pair join anywhere.  The DuckDB
+    oracle groups by the block STRING, so parity re-verifies the
+    digest-collision-free claim the gram faces established.  Counts are
+    exact ints; the one ratio is a single exact-int division."""
+    docs = load_table(spark, sf_dir, "documents")
+    blocks = (
+        docs.select("doc_id", F.split("text", " ").alias("tk"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("sequence(0, CAST(floor((size(tk) - 1) / 8) AS INT))")
+            ).alias("k"),
+            F.col("tk"),
+        )
+        .select(
+            "doc_id",
+            F.expr("slice(tk, k * 8 + 1, 8)").alias("bt"),
+        )
+        .where(F.size("bt") == 8)
+        .select("doc_id", F.xxhash64(F.array_join("bt", " ")).alias("bh"))
+    )
+    blocks = persist_tracked(blocks)
+    shared = (
+        blocks.groupBy("bh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("bh")
+    )
+    flagged = blocks.join(shared, "bh", "left_semi").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared_blocks")
+    )
+    return (
+        blocks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_blocks"))
+        .join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_blocks",
+            F.coalesce("n_shared_blocks", F.lit(0))
+            .cast("bigint")
+            .alias("n_shared_blocks"),
+            (
+                F.coalesce("n_shared_blocks", F.lit(0)).cast("double")
+                / F.col("n_blocks")
+            ).alias("dup_ratio"),
+        )
+    )

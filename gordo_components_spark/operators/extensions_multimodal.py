@@ -196,3 +196,54 @@ def multimodal_transform_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return payloads.mapInPandas(_transform_batches, schema=_TRANSFORM_SCHEMA)
+
+
+@register(
+    "ext_media_dedup_bytes",
+    oracle="""
+    WITH crawl AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 5000000 AS doc_id, text
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT sha256(text) AS payload_sha256,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(octet_length(encode(text))) AS BIGINT) AS n_bytes
+    FROM crawl GROUP BY 1
+    """,
+)
+def ext_media_dedup_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 byte-identical media dedup — the FIRST pass every multimodal
+    pipeline runs before any decode: the same image/audio file re-crawled
+    under different URLs is identical at the BYTE level, and hashing the
+    opaque payload (no codec needed) removes it for the cost of one
+    digest + one digest-keyed shuffle.  The fixture's payload is the
+    utf-8 text bytes (no real media ships — same stand-in as the decode
+    stubs) with every 3rd document re-entering as a second crawl copy.
+
+    Scale shape = exact dedup on binary: sha-256 computed scan-side, the
+    32-byte digest (never the payload) is the shuffle key, min-id
+    survivor per group.  The Spark side hashes the BINARY column through
+    ``sha2(payload, 256)`` — the oracle hashes the utf-8 string — so
+    parity also proves the encode()/BINARY plumbing round-trips
+    byte-exactly.  At 100 TB this is the operator that makes petabyte
+    media corpora tractable: payload bytes stay in the scan stage,
+    everything after rides digests."""
+    docs = load_table(spark, sf_dir, "documents")
+    crawl = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    ).unionByName(
+        docs.where(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 5000000).alias("doc_id"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+    )
+    return crawl.groupBy(
+        F.sha2("payload", 256).alias("payload_sha256")
+    ).agg(
+        F.min("doc_id").cast("bigint").alias("keep_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.min(F.octet_length("payload")).cast("bigint").alias("n_bytes"),
+    )

@@ -2056,3 +2056,65 @@ def pipe_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("upweight"),
     )
+
+
+@register(
+    "pipe_split_stratified",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source, lang,
+             CAST(row_number() OVER (PARTITION BY source, lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                  AS BIGINT) AS rk,
+             CAST(count(*) OVER (PARTITION BY source, lang) AS BIGINT) AS n
+      FROM documents
+    )
+    SELECT doc_id, source, lang, rk, n,
+           CASE WHEN rk * 10 <= n * 8 THEN 'train'
+                WHEN rk * 10 <= n * 9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM r
+    """,
+)
+def pipe_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified train/val/test assignment (round 10) — the split every
+    released corpus ships next to ``pipe_split_leakage_safe``: within
+    each (source, lang) stratum, documents are ordered by a content-free
+    deterministic hash (md5 of the id — reshuffling text cannot move a
+    document across splits) and cut 80/10/10 by EXACT integer rank
+    thresholds (rk·10 ≤ n·8 — no float proportions, no per-row Bernoulli
+    whose realized fractions drift on small strata).  Leakage-safe
+    (cluster-aware) splitting and stratified (distribution-preserving)
+    splitting are different guarantees; real pipelines run both.
+
+    Scale shape: ONE exchange on the stratum key drives both the rank
+    window and the stratum-count frame (same partitioning, no second
+    shuffle); output is map-side from there.  Strata are (source × lang)
+    — thousands at worst, each window sort bounded by its stratum; a
+    single pathological stratum would shard via the histogram-offset
+    decomposition ``pipe_shuffle_global`` uses.  All outputs integer or
+    categorical — bit-exact, no rounding convention."""
+    docs = load_table(spark, sf_dir, "documents")
+    r = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.expr(
+            "CAST(row_number() OVER (PARTITION BY source, lang"
+            " ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS BIGINT)"
+        ).alias("rk"),
+        F.expr(
+            "CAST(count(*) OVER (PARTITION BY source, lang) AS BIGINT)"
+        ).alias("n"),
+    )
+    return r.select(
+        "doc_id",
+        "source",
+        "lang",
+        "rk",
+        "n",
+        F.when(F.col("rk") * 10 <= F.col("n") * 8, F.lit("train"))
+        .when(F.col("rk") * 10 <= F.col("n") * 9, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

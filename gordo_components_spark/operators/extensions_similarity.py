@@ -1071,3 +1071,91 @@ def ext_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("cosine").desc(), "vec_id").limit(10)
+
+
+@register(
+    "ext_embed_outlier_topk",
+    oracle="""
+    WITH c AS (
+      SELECT label, CAST(t.i AS INT) AS pos,
+             round(avg(CAST(embedding[t.i + 1] AS DOUBLE)), 6) AS cv
+      FROM embeddings, range(64) t(i)
+      GROUP BY 1, 2
+    ), x AS (
+      SELECT vec_id, label, CAST(t.i AS INT) AS pos,
+             CAST(embedding[t.i + 1] AS DOUBLE) AS xv
+      FROM embeddings, range(64) t(i)
+    ), d AS (
+      SELECT x.vec_id, x.label,
+             CAST(sum(CAST(floor((x.xv - c.cv) * (x.xv - c.cv) * 1e9 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS dist2_e9
+      FROM x JOIN c ON c.label = x.label AND c.pos = x.pos
+      GROUP BY 1, 2
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY label
+                                   ORDER BY dist2_e9 DESC, vec_id) AS rk
+      FROM d
+    )
+    SELECT label, vec_id, dist2_e9, CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= 5
+    """,
+)
+def ext_embed_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 extension (round 10) — per-label embedding OUTLIERS: the 5
+    vectors farthest (squared L2) from their label centroid — the
+    mislabeled/corrupt-example screen run on every embedded training
+    shard (a vector far from its own class centroid is a labeling error,
+    an encoder glitch, or genuinely hard — all worth surfacing before
+    training).  Complements ``ext_dedup_semantic`` (too close = dup);
+    this is the too-FAR face.
+
+    Exactness: the centroid is the round-6 elementwise mean (the
+    ``ext_embed_centroid`` convention); each squared-difference term is
+    per-row IEEE (bit-identical) and is floor-shifted to an exact
+    INTEGER at 9 dp, so the 64-term accumulation is integer addition —
+    no float summation order anywhere, and the emitted distance is the
+    exact e9-scaled integer (< 2⁵³ by range).  Top-5 carries the unique
+    (dist DESC, vec_id) tiebreak.
+
+    Scale shape: centroid frame is labels × 64 (fixed cardinality —
+    broadcast is CORRECT at any corpus size, the mirror-rule safe case);
+    the term join + regroup ride one (corpus × 64)-row explode with
+    combinable partial aggregation; the closing top-k window partitions
+    by label over corpus-row counts — at extreme scale that rank would
+    shard via per-label TakeOrdered, same answer."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "xv")
+    ).select(
+        "vec_id",
+        "label",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("xv").cast("double").alias("xv"),
+    )
+    c = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", F.col("pos").cast("int").alias("pos"))
+        .agg(F.round(F.avg("v"), 6).alias("cv"))
+    )
+    d = (
+        x.join(F.broadcast(c), ["label", "pos"])
+        .select(
+            "vec_id",
+            "label",
+            F.expr(
+                "CAST(floor((xv - cv) * (xv - cv) * 1e9 + 0.5) AS BIGINT)"
+            ).alias("t9"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum("t9").cast("bigint").alias("dist2_e9"))
+    )
+    r = d.select(
+        "*",
+        F.expr(
+            "row_number() OVER (PARTITION BY label"
+            " ORDER BY dist2_e9 DESC, vec_id)"
+        ).alias("rk"),
+    )
+    return r.where(F.col("rk") <= 5).select(
+        "label", "vec_id", "dist2_e9", F.col("rk").cast("int").alias("rk")
+    )

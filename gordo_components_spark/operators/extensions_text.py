@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from gordo_components_spark.caches import persist_tracked
 from gordo_components_spark.operators.relational import _fshift, _fshift_col
 from gordo_components_spark.registry import register
 from gordo_components_spark.sources.tables import load_table
@@ -352,4 +353,92 @@ def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             novel.cast("bigint").alias("n_novel"),
             _fshift_col(novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
         )
+    )
+
+
+@register(
+    "ext_keyword_topk",
+    oracle="""
+    WITH tf AS (
+      SELECT source, t.tok, CAST(count(*) AS BIGINT) AS tf
+      FROM documents, LATERAL (
+        SELECT unnest(string_split(text, ' ')) AS tok
+      ) t
+      GROUP BY 1, 2
+    ), df AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df_sources FROM tf GROUP BY 1
+    ), ns AS (
+      SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM tf
+    ), scored AS (
+      SELECT tf.source, tf.tok, tf.tf, df.df_sources,
+             tf.tf * (ns.n_sources + 1 - df.df_sources) AS score,
+             row_number() OVER (PARTITION BY tf.source
+                                ORDER BY tf.tf * (ns.n_sources + 1
+                                                  - df.df_sources) DESC,
+                                         tf.tok) AS rk
+      FROM tf JOIN df USING (tok) CROSS JOIN ns
+    )
+    SELECT source, tok, tf, df_sources, CAST(score AS BIGINT) AS score,
+           CAST(rk AS INT) AS rk
+    FROM scored WHERE rk <= 5
+    """,
+)
+def ext_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 extension (round 10) — per-source characteristic keywords: the
+    top-5 tokens by an integer TF×rarity score, the "what is this dump
+    about" summary a dataset card ships next to its mixture weights.
+    The score is tf · (n_sources + 1 − df_sources) — the classic TF-IDF
+    shape with the transcendental idf replaced by the exact integer
+    linear-rarity term (CLAUDE.md: no transcendentals in checked
+    outputs; ln(N/df) and N+1−df induce the same ranking direction and
+    the integer form is bit-identical across engines).  Ties break on
+    token text, so the top-5 is a unique total order.
+
+    Scale shape: token explode → combinable (source, token) groupBy is
+    the only corpus-scale pass; df rides the (token)-keyed regroup of
+    the tf frame (≤ vocab × sources rows); n_sources is a 1-row fold
+    broadcast through the sanctioned crossJoin; the closing rank window
+    partitions by source over ≤ vocab rows each.  At 100 TB the tf
+    frame IS the bounded index (vocab × sources), second-order next to
+    the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    tf = persist_tracked(tf)
+    df = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df_sources")
+    )
+    ns = tf.agg(
+        F.count_distinct("source").cast("bigint").alias("n_sources")
+    )
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "source",
+            "tok",
+            "tf",
+            "df_sources",
+            (
+                F.col("tf") * (F.col("n_sources") + 1 - F.col("df_sources"))
+            ).alias("score"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "row_number() OVER (PARTITION BY source"
+                " ORDER BY score DESC, tok)"
+            ).alias("rk"),
+        )
+    )
+    return scored.where(F.col("rk") <= 5).select(
+        "source",
+        "tok",
+        "tf",
+        "df_sources",
+        F.col("score").cast("bigint").alias("score"),
+        F.col("rk").cast("int").alias("rk"),
     )

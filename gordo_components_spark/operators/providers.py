@@ -430,6 +430,7 @@ def _bucketed_table(
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
     """,
+    tags=("bench",),
 )
 def scan_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1/P3 co-located join via bucketing — THE Spark-native answer to

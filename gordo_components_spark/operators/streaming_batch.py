@@ -306,3 +306,66 @@ def stream_benford_genuine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gordo_components_spark.streaming.micro_batch import run_streaming_benford
 
     return run_streaming_benford(spark, sf_dir)
+
+
+@register(
+    "stream_sample_bottomk",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, event_id, md5(CAST(event_id AS VARCHAR)) AS hid
+      FROM events
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY hid, event_id) AS rk
+      FROM h
+    )
+    SELECT event_type, CAST(rk AS INT) AS rk, event_id, hid
+    FROM r WHERE rk <= 10
+    """,
+)
+def stream_sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed uniform sampling as a BOTTOM-K hash sketch (the
+    KMV/min-hash sampling idea): the k events with the smallest
+    content-free hash per tag ARE a uniform k-sample, and — unlike
+    reservoir sampling — the sketch is MERGEABLE and order-free:
+    bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B)), so shards,
+    micro-batches, and replays all converge to the IDENTICAL sample.
+    This is the batch face; ``stream_sample_bottomk_genuine`` maintains
+    the same sketch across micro-batches in a state store and lands
+    bit-exactly on this result regardless of arrival order (parity
+    pytest).
+
+    Scale shape: one rank window per tag — at corpus scale the window
+    becomes per-key TakeOrdered(k) (same answer); nothing here depends
+    on seeing the data in any order, which is the whole point.
+    Exactness: md5 hex is engine-identical; (hid, event_id) is a unique
+    total order."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        "event_id",
+        F.md5(F.col("event_id").cast("string")).alias("hid"),
+    )
+    r = h.select(
+        "*",
+        F.expr(
+            "row_number() OVER (PARTITION BY event_type ORDER BY hid, event_id)"
+        ).alias("rk"),
+    )
+    return r.where(F.col("rk") <= 10).select(
+        "event_type", F.col("rk").cast("int").alias("rk"), "event_id", "hid"
+    )
+
+
+@register("stream_sample_bottomk_genuine", oracle=None)
+def stream_sample_bottomk_genuine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine Structured-Streaming face of ``stream_sample_bottomk``:
+    ``applyInPandasWithState`` keeps each tag's bottom-10 (hash, id)
+    sketch across micro-batches; mergeability makes the final state
+    independent of replay slicing — asserted bit-exact against the
+    batch face in tests/test_streaming.py."""
+    from gordo_components_spark.streaming.micro_batch import (
+        run_streaming_bottomk_sample,
+    )
+
+    return run_streaming_bottomk_sample(spark, sf_dir)

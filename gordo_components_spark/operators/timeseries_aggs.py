@@ -1649,6 +1649,7 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(num AS DOUBLE) / (200.0 * CAST(span_us AS DOUBLE)) AS twa
     FROM g
     """,
+    tags=("bench",),
 )
 def agg_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average per (machine, tag, day): trapezoid
@@ -1876,4 +1877,94 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(SUM(CAST(term AS DECIMAL(20,9))) AS DOUBLE)").alias(
             "entropy_bits"
         )
+    )
+
+
+# Mann–Kendall trend test (Mann 1945; Kendall 1975) on daily means per
+# (machine, tag, month): S = Σ_{i<j} sign(mean_j − mean_i) over the
+# month's day pairs.  Exactness: the daily-mean comparison is done by
+# INTEGER CROSS-MULTIPLICATION — sign(s_j·n_i − s_i·n_j) with s the
+# exact v100 day sum and n the day count — so no float mean is ever
+# formed and the sign is bit-exact in both engines; the products route
+# through DECIMAL (CLAUDE.md integer-moment rule: day sums × day counts
+# exceed 2⁶³ at fleet scale, and Spark wraps silently where DuckDB
+# raises).  Pair volume is series × C(days-in-month, 2) ≤ 465·series —
+# calendar-bounded per series, linear in the corpus (more machines =
+# more series, never more pairs per series).
+@register(
+    "agg_mann_kendall",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, event_type,
+             date_trunc('month', CAST(ts AS TIMESTAMP)) AS mo,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+      FROM events GROUP BY 1, 2, 3, 4
+    ), p AS (
+      SELECT a.user_id, a.event_type, a.mo,
+             sign(CAST(b.s AS HUGEINT) * a.n - CAST(a.s AS HUGEINT) * b.n)
+               AS sgn
+      FROM d a JOIN d b
+        ON a.user_id = b.user_id AND a.event_type = b.event_type
+       AND a.mo = b.mo AND a.day < b.day
+    )
+    SELECT user_id, event_type, mo,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(sgn) AS BIGINT) AS s_stat
+    FROM p GROUP BY 1, 2, 3
+    """,
+)
+def agg_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric trend screen per (machine, tag, month): the
+    Mann–Kendall S statistic over the month's daily means — the
+    distribution-free "is this sensor drifting" test run before fitting
+    anomaly baselines (monotone drift violates the stationary-training
+    assumption every AE face makes; this is the gate that says
+    re-train).  Complements ``agg_seasonal_profile`` (shape) and
+    ``window_cusum_alerts`` (online change): MK is the batch
+    monotone-trend verdict.
+
+    Spark-first shape: ONE corpus pass to the (series, day) count/sum
+    frame (combinable groupBy), then the day-pair self-join is
+    equi-keyed on (machine, tag, month) with a day< residual — pair
+    volume calendar-bounded at C(31,2) per series-month (block comment),
+    the exact day-blocked pattern ``join_interval_overlap`` rehearses.
+    Sign comparisons are decimal-routed integer cross-multiplications —
+    no float daily mean exists anywhere (block comment)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(
+            "user_id",
+            "event_type",
+            F.expr("date_trunc('month', ts)").alias("mo"),
+            F.expr("date_trunc('day', ts)").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr(
+                "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+            ).alias("s"),
+        )
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.mo") == F.col("b.mo"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.mo").alias("mo"),
+        F.expr(
+            "sign(CAST(b.s AS DECIMAL(19,0)) * a.n"
+            " - CAST(a.s AS DECIMAL(19,0)) * b.n)"
+        ).alias("sgn"),
+    )
+    return p.groupBy("user_id", "event_type", "mo").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("sgn").cast("bigint").alias("s_stat"),
     )

@@ -966,3 +966,79 @@ def run_streaming_benford(
     return _run_to_memory(
         out, name, output_mode="update", latest_by=(("event_type",), "n")
     )
+
+
+def run_streaming_bottomk_sample(
+    spark: SparkSession, sf_dir: str, k: int = 10, single_batch: bool = False
+) -> DataFrame:
+    """Streaming uniform sampling via a per-key BOTTOM-K hash sketch in
+    ``applyInPandasWithState`` — the mergeable alternative to reservoir
+    sampling: state is each tag's k smallest (md5(id), id) pairs, each
+    micro-batch folds its rows in and re-truncates to k, and because
+    bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B)) the final
+    state is INDEPENDENT of replay slicing and arrival order — the
+    batch face ``stream_sample_bottomk`` is reproduced bit-exactly
+    (tests/test_streaming.py asserts it).  State is k hex digests + k
+    ids per key — fixed-size, the state-store contract at any corpus
+    scale."""
+    import hashlib
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    prepare(spark)
+    src = _replay_dir(spark, sf_dir)
+    reader = spark.readStream.schema(_RAW_SCHEMA)
+    if not single_batch:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    stream = reader.parquet(src)
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            hs, ids, n_seen = state.get
+            sketch = list(zip(hs, ids))
+        else:
+            sketch, n_seen = [], 0
+        chunks = list(pdfs)
+        rows = pd.concat(chunks) if chunks else pd.DataFrame()
+        if len(rows):
+            n_seen += len(rows)
+            for eid in rows["event_id"]:
+                sketch.append(
+                    (hashlib.md5(str(int(eid)).encode()).hexdigest(), int(eid))
+                )
+            sketch = sorted(sketch)[:k]
+        state.update(
+            ([h for h, _ in sketch], [i for _, i in sketch], int(n_seen))
+        )
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": key[0],
+                    "rk": r + 1,
+                    "event_id": i,
+                    "hid": h,
+                    "n_seen": n_seen,
+                }
+                for r, (h, i) in enumerate(sketch)
+            ]
+        )
+
+    out = stream.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_type string, rk int, event_id bigint, hid string, "
+            "n_seen bigint"
+        ),
+        stateStructType="hs array<string>, ids array<bigint>, n_seen bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stream_bottomk_{uuid.uuid4().hex[:8]}"
+    return _run_to_memory(
+        out,
+        name,
+        output_mode="update",
+        latest_by=(("event_type", "rk"), "n_seen"),
+    ).select("event_type", "rk", "event_id", "hid")

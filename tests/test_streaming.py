@@ -504,3 +504,53 @@ def test_streaming_benford_matches_batch_exactly(spark, sf_dir):
         assert (got[col].to_numpy() == ref[col].to_numpy()).all()
     assert (got["chi2"].to_numpy() == ref["chi2"].to_numpy()).all()
     assert (got["conforms"].to_numpy() == ref["conforms"].to_numpy()).all()
+
+
+def test_streaming_bottomk_matches_batch_exactly(spark, sf_dir):
+    # the mergeability claim, asserted: the multi-batch stateful sketch
+    # (arrival order = replay-file order, NOT time order) must land
+    # bit-exactly on the batch face's per-tag bottom-10 — bottom-k is
+    # order-free, unlike reservoir sampling
+    from gordo_components_spark.registry import load_all
+    from gordo_components_spark.streaming.micro_batch import (
+        run_streaming_bottomk_sample,
+    )
+
+    reg = load_all()
+    batch = (
+        reg["stream_sample_bottomk"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["event_type", "rk"])
+        .reset_index(drop=True)
+    )
+    streamed = (
+        run_streaming_bottomk_sample(spark, sf_dir)
+        .toPandas()
+        .sort_values(["event_type", "rk"])
+        .reset_index(drop=True)
+    )
+    assert list(batch.columns) == list(streamed.columns)
+    assert batch.equals(streamed)
+
+
+def test_streaming_bottomk_state_carries_across_batches(spark, sf_dir):
+    # single-batch and multi-batch runs agree too (same sketch algebra,
+    # different slicings) — the cheap two-point mergeability check
+    from gordo_components_spark.streaming.micro_batch import (
+        run_streaming_bottomk_sample,
+    )
+
+    multi = (
+        run_streaming_bottomk_sample(spark, sf_dir)
+        .toPandas()
+        .sort_values(["event_type", "rk"])
+        .reset_index(drop=True)
+    )
+    single = (
+        run_streaming_bottomk_sample(spark, sf_dir, single_batch=True)
+        .toPandas()
+        .sort_values(["event_type", "rk"])
+        .reset_index(drop=True)
+    )
+    assert multi.equals(single)

@@ -176,6 +176,15 @@ HEAVY = (
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
+    # round 10 new operators with joins or scaling-build broadcasts:
+    # MK day-pair self-join, the k=1 pigeonhole edit-distance join, the
+    # shared-block semi join, the tf⋈df vocab join, and the centroid
+    # broadcast over an embeddings-derived build
+    "agg_mann_kendall",
+    "join_fuzzy_levenshtein",
+    "ext_dedup_paragraph",
+    "ext_keyword_topk",
+    "ext_embed_outlier_topk",
 )
 
 # Join-bearing queries that are deliberately NOT rehearsed, with the
