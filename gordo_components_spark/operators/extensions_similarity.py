@@ -1159,3 +1159,68 @@ def ext_embed_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.where(F.col("rk") <= 5).select(
         "label", "vec_id", "dist2_e9", F.col("rk").cast("int").alias("rk")
     )
+
+
+@register(
+    "ext_embed_normalize",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, CAST(t.i AS INT) AS pos,
+             CAST(embedding[t.i + 1] AS DOUBLE) AS xv
+      FROM embeddings, range(64) t(i)
+    ), n2 AS (
+      SELECT vec_id,
+             CAST(sum(CAST(floor(xv * xv * 1e9 + 0.5) AS BIGINT))
+                  AS BIGINT) AS n2_e9
+      FROM x GROUP BY 1
+    )
+    SELECT x.vec_id, x.pos,
+           floor(x.xv / sqrt(CAST(n2.n2_e9 AS DOUBLE) / 1e9)
+                 * 1000000 + 0.5) / 1000000 AS nval
+    FROM x JOIN n2 ON n2.vec_id = x.vec_id
+    WHERE n2.n2_e9 > 0
+    """,
+)
+def ext_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 L2 normalization — the preprocessing EVERY cosine-based face
+    assumes upstream (after unit norm, cosine = dot product, which is
+    what the IVF/int8/LSH scan paths exploit): each vector divided by
+    its L2 norm, long-format output like the centroid face.
+
+    Exactness discipline (the outlier-face convention): each x² term is
+    floor-shifted to an exact e9 INTEGER so the 64-term norm
+    accumulation is integer addition in both engines; the closing
+    /1e9 → sqrt → divide chain is per-row IEEE on identical operands
+    (sqrt is correctly-rounded by IEEE 754 — deterministic, unlike the
+    transcendentals the conventions ban), and outputs floor-shift at 6.
+    Zero vectors are dropped (no NULL-vs-NaN engine skew).
+
+    Scale shape: posexplode + combinable per-vector regroup + one
+    (vec_id)-keyed join back — all linear, partition-parallel; at
+    100 TB this runs as one pass per shard with the norm frame
+    co-partitioned by construction."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xv")
+    ).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("xv").cast("double").alias("xv"),
+    )
+    n2 = x.groupBy("vec_id").agg(
+        F.expr(
+            "CAST(sum(CAST(floor(xv * xv * 1e9 + 0.5) AS BIGINT)) AS BIGINT)"
+        ).alias("n2_e9")
+    )
+    return (
+        x.join(n2, "vec_id")
+        .where(F.col("n2_e9") > 0)
+        .select(
+            "vec_id",
+            "pos",
+            F.expr(
+                "floor(xv / sqrt(CAST(n2_e9 AS DOUBLE) / 1e9)"
+                " * 1000000 + 0.5) / 1000000"
+            ).alias("nval"),
+        )
+    )

@@ -302,7 +302,13 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BUCKET_ROWS = 750_000  # target rows per bucket for the co-located join
+# Target rows per bucket for the co-located join.  Round-10 lowered
+# 750k → 200k: each bucket is ONE read task on both join sides, so at
+# the 10× replica (6M lineitem rows) 750k-row buckets capped the join
+# at 8 tasks on a 32-core box — the ratio-4.3 rehearsal reading was a
+# parallelism ceiling, not a plan defect.  200k keeps buckets ~10–30 MB
+# (healthy file size at any SF) while task count tracks data volume.
+_BUCKET_ROWS = 200_000
 
 
 def _bucket_n_for(sf_dir: str) -> int:

@@ -1968,3 +1968,96 @@ def agg_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.sum("sgn").cast("bigint").alias("s_stat"),
     )
+
+
+# Theil–Sen robust trend (Theil 1950; Sen 1968): the MEDIAN of all
+# pairwise daily-mean slopes per (machine, tag, month) — the magnitude
+# companion to agg_mann_kendall's direction verdict (MK says "drifting",
+# Theil–Sen says "by 0.4 units/day", immune to 29% outlier days).
+# Exactness: each slope is ONE IEEE division of exact integers —
+# (s_j·n_i − s_i·n_j) / (n_i·n_j·Δdays), numerator/denominator
+# decimal-routed and < 2⁵³ at checked SFs (fixture day sums ≤ ~3e5;
+# at fleet scale the operator would emit the cross-multiplied rational
+# pair instead) — so both engines see bit-identical slope doubles; the
+# median is the exact percentile ↔ quantile_cont convention and the
+# output floor-shifts at 6.
+@register(
+    "agg_theil_sen",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, event_type,
+             date_trunc('month', CAST(ts AS TIMESTAMP)) AS mo,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+      FROM events GROUP BY 1, 2, 3, 4
+    ), p AS (
+      SELECT a.user_id, a.event_type, a.mo,
+             CAST(CAST(b.s AS HUGEINT) * a.n - CAST(a.s AS HUGEINT) * b.n
+                  AS DOUBLE)
+             / CAST(CAST(a.n AS HUGEINT) * b.n
+                    * date_diff('day', a.day, b.day) AS DOUBLE) AS slope
+      FROM d a JOIN d b
+        ON a.user_id = b.user_id AND a.event_type = b.event_type
+       AND a.mo = b.mo AND a.day < b.day
+    )
+    SELECT user_id, event_type, mo,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           floor(quantile_cont(slope, 0.5) * 1000000 + 0.5) / 1000000
+             AS slope_cents_per_day
+    FROM p GROUP BY 1, 2, 3
+    """,
+)
+def agg_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend MAGNITUDE per (machine, tag, month): the Theil–Sen
+    median-of-pairwise-slopes estimator over daily means — what a
+    maintenance planner reads after ``agg_mann_kendall`` flags drift
+    ("how fast is it drifting, ignoring glitch days").  The classic
+    robust alternative to least-squares trend (breakdown point 29%).
+
+    Spark-first shape: identical to the MK face — one corpus pass to
+    the (series, day) frame, the calendar-bounded day-pair equi-join
+    (≤ C(31,2) pairs per series-month), then one exact-percentile
+    aggregate per series.  Slope arithmetic is the decimal-routed
+    integer cross-multiplication (block comment) — no float daily mean
+    exists; units are cents/day (v100 per day)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(
+            "user_id",
+            "event_type",
+            F.expr("date_trunc('month', ts)").alias("mo"),
+            F.expr("date_trunc('day', ts)").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr(
+                "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+            ).alias("s"),
+        )
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.mo") == F.col("b.mo"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.mo").alias("mo"),
+        F.expr(
+            "CAST(CAST(b.s AS DECIMAL(19,0)) * a.n"
+            " - CAST(a.s AS DECIMAL(19,0)) * b.n AS DOUBLE)"
+            " / CAST(CAST(a.n AS DECIMAL(19,0)) * b.n"
+            " * datediff(b.day, a.day) AS DOUBLE)"
+        ).alias("slope"),
+    )
+    return p.groupBy("user_id", "event_type", "mo").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr(
+            "floor(percentile(slope, 0.5) * 1000000 + 0.5) / 1000000"
+        ).alias("slope_cents_per_day"),
+    )

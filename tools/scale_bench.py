@@ -185,6 +185,10 @@ HEAVY = (
     "ext_dedup_paragraph",
     "ext_keyword_topk",
     "ext_embed_outlier_topk",
+    # batch 2: Theil-Sen rides the same day-pair join as MK; the
+    # normalize face joins the corpus-scaling norm frame back
+    "agg_theil_sen",
+    "ext_embed_normalize",
 )
 
 # Join-bearing queries that are deliberately NOT rehearsed, with the
@@ -284,6 +288,37 @@ DECADE2 = (
     "pipe_curation_write",
     "pipe_zorder_layout",
     "scan_bucketed_join",
+    # round-10 refresh: the HEAVY widening (corpus-scaling broadcast
+    # builds ⇒ rehearsed) added ~50 first-decade members, and the
+    # rule pulled everything whose refreshed ratio crossed 2.5 into the
+    # second decade — most are sub-second faces whose 100× cost is
+    # trivial; the expensive new member is join_asof_ffill (ratio 7.7,
+    # output-bound: the dense spine grows with machines × span)
+    "agg_funnel_steps",
+    "agg_retention_cohorts",
+    "ext_bm25_search",
+    "ext_dedup_paragraph",
+    "ext_dedup_substring_cut",
+    "ext_embed_outlier_topk",
+    "join_asof_ffill",
+    "join_fuzzy_hamming",
+    "join_left_outer",
+    "join_semi",
+    "join_variants",
+    "pipe_delta_curation",
+    "pipe_pack_slices",
+    "pipe_shuffle_global",
+    "set_except",
+    "set_ops",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
 )
 
 
