@@ -105,6 +105,37 @@ def main():
     registry = load_all()
     spark = get_spark("oracle-check")
     con = duckdb.connect()
+    # Bound the ORACLE side and give it a spill path (round-10,
+    # root-caused with a /proc/PID/maps monitor): the full-registry
+    # sf0.1 session died in pipe_bpe_merges' 24-CTE oracle with
+    # "Failed to allocate block of 32768 bytes" while 120 GB of RAM sat
+    # free — the process had hit vm.max_map_count (65530) EXACTLY.
+    # DuckDB's buffer manager allocates 256 KB blocks through malloc,
+    # glibc mmaps every allocation past the 128 KB threshold, so a
+    # 16 GB buffer pool is 65536 mappings — the map quota, not memory,
+    # is the binding constraint.  8 GB caps the pool at 32768 mappings
+    # (plus ~3k for python/pyarrow/py4j — comfortable margin) and the
+    # temp_directory lets the heavy chain SPILL instead of raising (an
+    # in-memory duckdb connection has no spill path by default).  The
+    # r9 "tail-of-session memory transient" reproduced-clean-standalone
+    # for the same reason: standalone, the pool started empty.
+    # Second finding from the same monitor: the map pressure is mostly
+    # tens of thousands of SMALL retained anonymous mappings (DuckDB's
+    # bundled jemalloc retains virtual maps by design), so the block
+    # cap alone is not sufficient for a 252-query session — raise the
+    # kernel quota too when we can (root in this container; best-effort
+    # no-op elsewhere; value persists until container restart).
+    try:
+        with open("/proc/sys/vm/max_map_count") as fh:
+            if int(fh.read()) < 262144:
+                with open("/proc/sys/vm/max_map_count", "w") as wfh:
+                    wfh.write("1048576")
+    except OSError:
+        pass
+    os.makedirs("/tmp/gordo_duck_spill", exist_ok=True)
+    con.execute("SET memory_limit='8GB'")
+    con.execute("SET temp_directory='/tmp/gordo_duck_spill'")
+    con.execute("SET threads TO 16")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')")
 
