@@ -872,3 +872,68 @@ def ext_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+@register(
+    "ext_dedup_cluster_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), blocks AS (
+      SELECT doc_id,
+             array_to_string(list_slice(tk, t.k * 8 + 1, t.k * 8 + 8), ' ')
+               AS btxt
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(0,
+                 CAST(floor((len(tk) - 1) / 8) AS BIGINT))) AS k
+      ) t
+      WHERE len(list_slice(tk, t.k * 8 + 1, t.k * 8 + 8)) = 8
+    ), clusters AS (
+      SELECT btxt, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+      FROM blocks GROUP BY 1
+    )
+    SELECT nd AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(nd * count(*) AS BIGINT) AS doc_block_mass
+    FROM clusters GROUP BY nd
+    """,
+)
+def ext_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-profile one-pager: the distribution of duplicate-
+    cluster SIZES at block granularity (how many 8-word blocks are
+    shared by exactly 2 docs, by 3, …) — the first chart a curation
+    report shows, because the REMEDY depends on the shape: a fat tail
+    of size-2 clusters is quote/citation noise, a few size-100 clusters
+    are boilerplate templates worth a targeted cut
+    (``ext_dedup_substring_cut``), and the mass column says how much of
+    the corpus each treatment would touch.
+
+    Scale shape: block explode → digest-keyed distinct-doc count (the
+    exact-dedup shuffle) → a regroup over the CLUSTER frame (≤ distinct
+    blocks, collapsing to ≤ max-cluster-size output rows).  All counts
+    exact integers — no rounding convention.  The Spark side groups on
+    the 64-bit block digest; the oracle groups the block STRING (the
+    paragraph face's collision re-verification, repeated here)."""
+    docs = load_table(spark, sf_dir, "documents")
+    blocks = (
+        docs.select("doc_id", F.split("text", " ").alias("tk"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("sequence(0, CAST(floor((size(tk) - 1) / 8) AS INT))")
+            ).alias("k"),
+            "tk",
+        )
+        .select("doc_id", F.expr("slice(tk, k * 8 + 1, 8)").alias("bt"))
+        .where(F.size("bt") == 8)
+        .select("doc_id", F.xxhash64(F.array_join("bt", " ")).alias("bh"))
+    )
+    clusters = blocks.groupBy("bh").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("nd")
+    )
+    return clusters.groupBy(F.col("nd").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("doc_block_mass"),
+    )

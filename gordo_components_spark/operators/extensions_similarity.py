@@ -1224,3 +1224,99 @@ def ext_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nval"),
         )
     )
+
+
+@register(
+    "ext_embed_label_confusion",
+    oracle="""
+    WITH c AS (
+      SELECT label, CAST(t.i AS INT) AS pos,
+             round(avg(CAST(embedding[t.i + 1] AS DOUBLE)), 6) AS cv
+      FROM embeddings, range(64) t(i)
+      GROUP BY 1, 2
+    ), n2 AS (
+      SELECT label,
+             CAST(sum(CAST(floor(cv * cv * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+               AS n2_e9
+      FROM c GROUP BY 1
+    ), d AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(sum(CAST(floor(a.cv * b.cv * 1e9 + 0.5) AS BIGINT))
+                  AS BIGINT) AS dot_e9
+      FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY 1, 2
+    )
+    SELECT d.label_a, d.label_b, d.dot_e9,
+           floor(CAST(d.dot_e9 AS DOUBLE)
+                 / (sqrt(CAST(na.n2_e9 AS DOUBLE))
+                    * sqrt(CAST(nb.n2_e9 AS DOUBLE)))
+                 * 1000000 + 0.5) / 1000000 AS cosine
+    FROM d
+    JOIN n2 na ON na.label = d.label_a
+    JOIN n2 nb ON nb.label = d.label_b
+    """,
+)
+def ext_embed_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-confusability matrix: pairwise cosine between LABEL
+    CENTROIDS — the embedding-space class-separation report read before
+    trusting labels for stratified sampling or eval-split design (two
+    labels whose centroids sit at cosine 0.98 are one concept, and any
+    per-label metric between them is noise).  The between-class
+    companion of ``ext_embed_outlier_topk`` (within-class).
+
+    Exactness: centroids are the round-6 elementwise means; every dot
+    and norm TERM is floor-shifted to an exact e9 integer so the
+    64-term accumulations are integer addition; the closing cosine is
+    one fixed IEEE chain (int→double casts, two correctly-rounded
+    sqrts, one multiply, one divide) on identical operands, then the
+    6-dp floor-shift.  The e9 scale cancels in the ratio (dot_e9/1e9 ÷
+    √(n2a_e9/1e9)·√(n2b_e9/1e9) ≡ dot_e9 ÷ √n2a_e9·√n2b_e9).
+
+    Scale shape: one corpus pass to centroids (labels × 64 — FIXED
+    cardinality); the pair join runs on the centroid frame itself,
+    C(labels, 2) × 64 terms — driver-trivial at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", F.col("pos").cast("int").alias("pos"))
+        .agg(F.round(F.avg("v"), 6).alias("cv"))
+    )
+    n2 = c.groupBy("label").agg(
+        F.expr(
+            "CAST(sum(CAST(floor(cv * cv * 1e9 + 0.5) AS BIGINT)) AS BIGINT)"
+        ).alias("n2_e9")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    d = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(floor(a.cv * b.cv * 1e9 + 0.5) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("dot_e9")
+        )
+    )
+    na = n2.select(F.col("label").alias("label_a"), F.col("n2_e9").alias("na_e9"))
+    nb = n2.select(F.col("label").alias("label_b"), F.col("n2_e9").alias("nb_e9"))
+    return (
+        d.join(na, "label_a")
+        .join(nb, "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "dot_e9",
+            F.expr(
+                "floor(CAST(dot_e9 AS DOUBLE)"
+                " / (sqrt(CAST(na_e9 AS DOUBLE)) * sqrt(CAST(nb_e9 AS DOUBLE)))"
+                " * 1000000 + 0.5) / 1000000"
+            ).alias("cosine"),
+        )
+    )

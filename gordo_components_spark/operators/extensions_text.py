@@ -442,3 +442,96 @@ def ext_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").cast("bigint").alias("score"),
         F.col("rk").cast("int").alias("rk"),
     )
+
+
+@register(
+    "ext_ngram_coverage_curve",
+    oracle="""
+    WITH tf AS (
+      SELECT t.tok, CAST(count(*) AS BIGINT) AS c
+      FROM documents, LATERAL (
+        SELECT unnest(string_split(text, ' ')) AS tok
+      ) t
+      GROUP BY 1
+    ), r AS (
+      SELECT tok, c,
+             CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS k,
+             CAST(sum(c) OVER (ORDER BY c DESC, tok
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum
+      FROM tf
+    ), tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS vocab
+      FROM tf
+    ), thr(thr) AS (VALUES (50), (90), (99))
+    SELECT thr.thr,
+           CAST(min(r.k) AS BIGINT) AS k_tokens,
+           CAST(min(r.cum) AS BIGINT) AS cum_count,
+           tot.total, tot.vocab,
+           CAST(min(r.cum) AS DOUBLE) / tot.total AS share
+    FROM r CROSS JOIN tot JOIN thr ON r.cum * 100 >= tot.total * thr.thr
+    GROUP BY thr.thr, tot.total, tot.vocab
+    """,
+)
+def ext_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the "how big a tokenizer vocab do we
+    actually need" read taken before BPE training: the smallest top-k
+    token prefix (by frequency) covering 50/90/99% of corpus token
+    mass, with the exact covered count.  The heavy-tail shape of this
+    curve is what decides vocab size and OOV policy; pairs with
+    ``pipe_vocab_build`` (which materializes the chosen prefix) and
+    ``ext_lm_oov_rate`` (which measures the consequence).
+
+    Scale shape: the only corpus pass is the combinable token count;
+    the rank/cumulative window runs over the VOCAB frame (fixture ~30
+    rows; real corpora ~10⁶ — still one executor's work, and past that
+    the histogram-offset decomposition the curriculum face uses applies
+    verbatim).  Exactness: the threshold test is integer
+    cross-multiplication (cum·100 ≥ total·thr — no float percent), the
+    smallest-k pick is min over an increasing sequence, and the one
+    emitted share is a single exact-int division."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    r = tf.select(
+        "tok",
+        "c",
+        F.expr(
+            "CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT)"
+        ).alias("k"),
+        F.expr(
+            "CAST(sum(c) OVER (ORDER BY c DESC, tok"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+        ).alias("cum"),
+    )
+    tot = tf.agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+    )
+    thr = spark.createDataFrame([(50,), (90,), (99,)], "thr int")
+    hit = (
+        # crossJoin + WHERE, not a theta-join: the non-equi predicate
+        # would compile to BNLJ *Inner* (the audit's anti-pattern
+        # class); as a filter over the sanctioned Cross fold it's the
+        # same 3×vocab row stream with the approved plan shape
+        r.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(thr))
+        .where(F.col("cum") * 100 >= F.col("total") * F.col("thr"))
+        .groupBy("thr", "total", "vocab")
+        .agg(
+            F.min("k").cast("bigint").alias("k_tokens"),
+            F.min("cum").cast("bigint").alias("cum_count"),
+        )
+    )
+    return hit.select(
+        "thr",
+        "k_tokens",
+        "cum_count",
+        "total",
+        "vocab",
+        F.expr("CAST(cum_count AS DOUBLE) / total").alias("share"),
+    )

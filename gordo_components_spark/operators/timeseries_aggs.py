@@ -2061,3 +2061,62 @@ def agg_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "floor(percentile(slope, 0.5) * 1000000 + 0.5) / 1000000"
         ).alias("slope_cents_per_day"),
     )
+
+
+@register(
+    "agg_uptime_sla",
+    oracle="""
+    WITH h AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS hr
+      FROM events
+    ), s AS (
+      SELECT user_id, event_type,
+             CAST(count(DISTINCT hr) AS BIGINT) AS hours_present,
+             CAST(max(hr) - min(hr) + 1 AS BIGINT) AS span_hours
+      FROM h GROUP BY 1, 2
+    )
+    SELECT user_id, event_type, hours_present, span_hours,
+           CAST(floor(hours_present * 1000 / span_hours) AS BIGINT)
+             AS coverage_permille,
+           (hours_present * 100 >= span_hours * 95) AS meets_sla95
+    FROM s
+    """,
+)
+def agg_uptime_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reporting-coverage SLA per (machine, tag): the fraction of hours
+    inside the series' own span with at least one reading — the
+    data-completeness gate run before trusting any trained model
+    (``gate_min_samples`` checks VOLUME; this checks CONTINUITY — a
+    series with plenty of rows but 40% silent hours fails differently).
+    Pairs with ``agg_sensor_gaps`` (which lists the holes; this scores
+    them) and the O19 stats face.
+
+    Scale shape: one combinable distinct-hour aggregation per series —
+    the hour id (epoch//3600 as a plain BIGINT) is computed scan-side,
+    so the exchange carries (machine, tag, hour) ints; output is one
+    row per series.  All-integer outputs: permille is floor-divided,
+    the SLA flag is an integer cross-multiplication — no float, no
+    rounding convention."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT)").alias("hr"),
+    )
+    s = h.groupBy("user_id", "event_type").agg(
+        F.count_distinct("hr").cast("bigint").alias("hours_present"),
+        (F.max("hr") - F.min("hr") + 1).cast("bigint").alias("span_hours"),
+    )
+    return s.select(
+        "user_id",
+        "event_type",
+        "hours_present",
+        "span_hours",
+        F.expr(
+            "CAST(floor(hours_present * 1000 / span_hours) AS BIGINT)"
+        ).alias("coverage_permille"),
+        (F.col("hours_present") * 100 >= F.col("span_hours") * 95).alias(
+            "meets_sla95"
+        ),
+    )

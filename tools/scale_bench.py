@@ -189,6 +189,9 @@ HEAVY = (
     # normalize face joins the corpus-scaling norm frame back
     "agg_theil_sen",
     "ext_embed_normalize",
+    # batch 3: the confusion matrix's centroid joins carry an
+    # embeddings-derived (bounded-aggregate) build side
+    "ext_embed_label_confusion",
 )
 
 # Join-bearing queries that are deliberately NOT rehearsed, with the
