@@ -345,12 +345,18 @@ class KerasAutoEncoder(_Base):
         self.scale_ = np.where(scale > 0, scale, 1.0)
         Xs = (X - self.mean_) / self.scale_
         k = self._keras
+        # honor the shared `seed` param (r10 advisory: it was silently a
+        # no-op on this backend) — best-effort, older keras may lack it
+        try:
+            k.utils.set_random_seed(int(self.seed))
+        except (AttributeError, TypeError):
+            pass
         dims = self._dims(d)
         self.k_ = min(dims)
         layers = [
-            k.layers.Dense(w, activation=self.func) for w in dims[1:]
+            k.layers.Dense(w, activation=self.func) for w in dims[1:-1]
         ]
-        layers[-1] = k.layers.Dense(dims[-1], activation="linear")
+        layers.append(k.layers.Dense(dims[-1], activation="linear"))
         model = k.Sequential(layers)
         model.compile(
             optimizer=k.optimizers.Adam(learning_rate=float(self.learning_rate)),

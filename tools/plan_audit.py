@@ -12,6 +12,14 @@ design review cares about:
   explicit ``crossJoin(broadcast(tiny))`` compiles to BNLJ *Cross*
   BuildRight and is the sanctioned scalar-frame pattern (1-row aggs,
   query vectors): counted separately, never flagged.
+- empty-partition Window nodes over unbounded frames (hard FAIL, r10
+  verdict item 2 — the gap that let ``ext_ngram_coverage_curve``'s
+  single-task vocab sort survive the r10 census): a ``Window`` whose
+  windowspecdefinition has no partition columns funnels its whole input
+  through ONE task; flagged unless the input subtree is bounded (a
+  limit-family node below — including the rank-limit pushdown's
+  ``WindowGroupLimit`` — or no corpus-scale leaf) or the query carries a
+  documented ``_WINDOW_EXEMPT`` histogram-frame allowance.
 - posture counts (recorded for round-over-round comparison): shuffle /
   broadcast / reused exchanges, parquet scans, scans with PushedFilters
   or PartitionFilters, cache (InMemoryRelation) hits, Arrow islands
@@ -56,6 +64,51 @@ _NODE_TYPES = {
     "sort_merge_joins": r"SortMergeJoin",
     "broadcast_hash_joins": r"BroadcastHashJoin$",
     "shuffled_hash_joins": r"ShuffledHashJoin",
+}
+
+
+# Queries whose returned frame's plan is deliberately NOT the work:
+# they train/iterate EAGERLY inside the operator fn (per-iteration
+# collect) and return a driver-local frame, so the mechanical audit
+# would record all zeros and be structurally blind to the corpus-scale
+# joins and shuffles each iteration runs (r10 advisory).  Each maps to
+# a zero-arg getter returning the formatted per-iteration plans the
+# LAST run captured; the audit runs over the UNION of the returned
+# frame's plan and every captured iteration plan.
+def _bpe_iter_plans() -> list[str]:
+    from gordo_components_spark.operators.extensions_pipeline import BPE_ITER_PLANS
+
+    return list(BPE_ITER_PLANS)
+
+
+_EAGER_PLANS = {"pipe_bpe_merges": _bpe_iter_plans}
+
+
+# Empty-partition Window nodes (WindowExec "Moving all data to a single
+# partition") are a 100 TB scale-killer UNLESS the window's input frame
+# is bounded.  The audit flags every such node whose subtree is not
+# provably bounded; these per-query exemptions document the judged
+# cases — all are HISTOGRAM frames (one row per distinct value of an
+# aggregated quantity, sub-linear in the corpus by construction), the
+# prefix-offset decomposition's sanctioned shape.  The allowance is a
+# COUNT: a new unbounded window in an exempted query still fails.
+_WINDOW_EXEMPT: dict[str, dict] = {
+    "ext_ngram_coverage_curve": {
+        "count": 1,
+        "reason": "prefix over the DISTINCT-FREQUENCY histogram (one row "
+        "per distinct token count; m distinct counts summing to N tokens "
+        "=> m <= sqrt(2N))",
+    },
+    "pipe_curriculum_rank": {
+        "count": 1,
+        "reason": "prefix over the per-score histogram (score domain is "
+        "the integer lexical-diversity ratio, <= 10**6 + 1 rows)",
+    },
+    "pipe_shuffle_global": {
+        "count": 1,
+        "reason": "prefix over the per-bucket count histogram (the 16-bit "
+        "md5 bucket domain is FIXED at <= 65536 rows at any corpus size)",
+    },
 }
 
 
@@ -145,6 +198,75 @@ def _bhj_scaling_builds(plan: str) -> list[str]:
     return sorted(hits)
 
 
+def _winspec_partitionless(block: str) -> bool:
+    """True when a Window detail block's windowspecdefinition has an
+    EMPTY partition spec.  Format (verified on Spark 4.1): partition
+    columns print BARE, order columns print with a sort direction, so
+    the spec is partition-less iff every argument before the
+    specifiedwindowframe carries ' ASC NULLS'/' DESC NULLS' (the
+    zero-argument constant frame counts too)."""
+    i = block.find("windowspecdefinition(")
+    if i < 0:
+        return False
+    j = i + len("windowspecdefinition(")
+    depth, start, args = 1, j, []
+    while j < len(block) and depth:
+        ch = block[j]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                args.append(block[start:j].strip())
+        elif ch == "," and depth == 1:
+            args.append(block[start:j].strip())
+            start = j + 1
+        j += 1
+    cols = [a for a in args if a and not a.startswith("specifiedwindowframe")]
+    return all(" ASC NULLS" in a or " DESC NULLS" in a for a in cols)
+
+
+# Nodes that bound a subtree's cardinality: any limit-family node, or
+# the rank-limit pushdown (WindowGroupLimit prunes to <= k per group per
+# partition BEFORE the exchange).
+_BOUNDING = ("GlobalLimit", "LocalLimit", "TakeOrderedAndProject", "CollectLimit", "WindowGroupLimit")
+# Corpus-scale leaf shapes: a parquet scan of an SF-scaling table, a
+# cached corpus frame, or an Arrow island's output.
+_CORPUS_LEAVES = ("InMemoryTableScan", "MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython")
+
+
+def _unbounded_empty_windows(plan: str) -> int:
+    """Count Window nodes with an empty partition spec whose input
+    subtree is not provably bounded (no limit-family node below, and at
+    least one corpus-scale leaf: an SF-scaling parquet scan, a cached
+    frame, or an Arrow island)."""
+    nodes = _tree_nodes(plan)
+    scans = _scan_tables(plan)
+    blocks = {
+        int(m.group(1)): b
+        for b in re.split(r"\n\n", plan)
+        if (m := re.match(r"\((\d+)\) Window$", b.split("\n", 1)[0].strip()))
+    }
+    n_bad = 0
+    for i, (_, name, nid) in enumerate(nodes):
+        if name != "Window" or nid not in blocks:
+            continue
+        if not _winspec_partitionless(blocks[nid]):
+            continue
+        sub = _subtree(nodes, i)[1:]
+        if any(sn.startswith(_BOUNDING) for _, sn, _ in sub):
+            continue
+        corpus = False
+        for _, sn, sid in sub:
+            if sn.startswith("Scan parquet") and scans.get(sid) not in _FIXED_CARD_TABLES and sid in scans:
+                corpus = True
+            elif sn.startswith(_CORPUS_LEAVES):
+                corpus = True
+        if corpus:
+            n_bad += 1
+    return n_bad
+
+
 def _audit_plan(plan: str) -> dict:
     entry = {
         k: len(re.findall(rf"^\(\d+\) {pat}", plan, re.M))
@@ -164,7 +286,21 @@ def _audit_plan(plan: str) -> dict:
         hits.append(f"BroadcastNestedLoopJoin[{','.join(bad_bnlj)}]")
     entry["anti_patterns"] = hits
     entry["bhj_scaling_builds"] = _bhj_scaling_builds(plan)
+    entry["unbounded_empty_windows"] = _unbounded_empty_windows(plan)
     return entry
+
+
+def _merge_entries(entries: list[dict]) -> dict:
+    """Union an eager query's per-iteration plan audits with its
+    returned frame's: counts sum, list fields union."""
+    out = dict(entries[0])
+    for e in entries[1:]:
+        for k, v in e.items():
+            if isinstance(v, int):
+                out[k] = out.get(k, 0) + v
+            elif isinstance(v, list):
+                out[k] = sorted(set(out.get(k, [])) | set(v))
+    return out
 
 
 def main() -> None:
@@ -181,6 +317,10 @@ def main() -> None:
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")
             entry = _audit_plan(buf.getvalue())
+            if name in _EAGER_PLANS:
+                iters = _EAGER_PLANS[name]()
+                entry = _merge_entries([entry] + [_audit_plan(p) for p in iters])
+                entry["eager_iteration_plans"] = len(iters)
         except Exception as exc:  # noqa: BLE001 - record, keep sweeping
             report[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
             violations.append(f"{name}: plan build failed")
@@ -188,6 +328,14 @@ def main() -> None:
         report[name] = entry
         if entry["anti_patterns"]:
             violations.append(f"{name}: {', '.join(entry['anti_patterns'])}")
+        allowed = _WINDOW_EXEMPT.get(name, {}).get("count", 0)
+        if entry["unbounded_empty_windows"] > allowed:
+            violations.append(
+                f"{name}: {entry['unbounded_empty_windows']} empty-partition "
+                f"Window node(s) over an unbounded frame ({allowed} exempted) "
+                "— single-task sort+scan at scale; decompose via the "
+                "histogram-offset pattern (pipe_curriculum_rank)"
+            )
         print(
             f"{name:32s} "
             f"{'FAIL ' + ','.join(entry['anti_patterns']) if entry['anti_patterns'] else 'ok'}",
@@ -200,7 +348,7 @@ def main() -> None:
         "violations": violations,
         "totals": {
             k: sum(e.get(k, 0) for e in report.values() if "error" not in e)
-            for k in (*_NODE_TYPES, "pushdown_scans", "partition_pruned", "scalar_cross_bnlj")
+            for k in (*_NODE_TYPES, "pushdown_scans", "partition_pruned", "scalar_cross_bnlj", "unbounded_empty_windows")
         },
         "note": (
             "plan census at "

@@ -192,6 +192,10 @@ HEAVY = (
     # batch 3: the confusion matrix's centroid joins carry an
     # embeddings-derived (bounded-aggregate) build side
     "ext_embed_label_confusion",
+    # round 11: the pHash banded Hamming self-join (near-dup family —
+    # fixed band DOMAIN means bucket occupancy grows with the corpus,
+    # exactly the shape the rehearsal exists to measure)
+    "ext_media_phash_neardup",
 )
 
 # Join-bearing queries that are deliberately NOT rehearsed, with the
@@ -222,6 +226,7 @@ DECADE2_FAMILY = (
     "pipe_dedup_incremental_fuzzy",
     "ext_ann_ivf",
     "ext_tfidf_similar_capped",
+    "ext_media_phash_neardup",
 )
 DECADE2_EXEMPT: dict[str, str] = {
     "pipe_bpe_merges": (
@@ -322,6 +327,8 @@ DECADE2 = (
     "tpch_q12",
     "tpch_q13",
     "tpch_q15",
+    # round 11: near-dup family membership (DECADE2_FAMILY)
+    "ext_media_phash_neardup",
 )
 
 
@@ -529,12 +536,25 @@ def main() -> None:
         fn = registry[name].fn
         t1 = _best_of(spark, fn, SF01)
         t10 = _best_of(spark, fn, SF10X)
+        # output rows at both scales (r10 verdict items 3/4: the
+        # first-decade artifact carried no output-size evidence, so an
+        # output-bound op's ratio > 3 stood unexplained) — per-row cost
+        # <= ~1 is the linearity claim when the ANSWER itself grows
+        r1 = fn(spark, SF01).count()
+        r10 = fn(spark, SF10X).count()
         ratios[name] = {
             "sf0.1": round(t1, 2),
             "sf10x": round(t10, 2),
             "ratio": round(t10 / t1, 1),
+            "rows_sf0.1": r1,
+            "rows_10x": r10,
+            "ratio_per_row": round((t10 / max(r10, 1)) / (t1 / max(r1, 1)), 2),
         }
-        print(f"{name:28s} sf0.1={t1:6.2f}s  10x={t10:6.2f}s  ratio={t10 / t1:4.1f}")
+        print(
+            f"{name:28s} sf0.1={t1:6.2f}s  10x={t10:6.2f}s  "
+            f"ratio={t10 / t1:4.1f}  rows {r1}->{r10}  "
+            f"per-row {ratios[name]['ratio_per_row']}"
+        )
 
     worst = max(r["ratio"] for r in ratios.values())
     # A 10x data replica on a fixed-core box should cost <= ~10x if the
@@ -562,7 +582,12 @@ def main() -> None:
             "(distinct block keys per replica: new sources/labels/machines). "
             "Ratios are 10x-data time / sf0.1 time on the same local[32] box; "
             "linear scaling = ~10 if compute-bound, <10 when fixed overheads "
-            "dominate. Reproduce: python tools/scale_bench.py"
+            "dominate. rows_sf0.1/rows_10x record each op's OUTPUT size at "
+            "both scales and ratio_per_row = (t10/rows10)/(t1/rows1): an "
+            "output-bound op (as-of ffill's dense spine, the overlap "
+            "matrix's pair list) is floor-bounded by its answer size, and "
+            "per-row <= ~1 is the linearity claim. Reproduce: "
+            "python tools/scale_bench.py"
         ),
         "heavy_set_ratios": ratios,
         "verdict": verdict,
