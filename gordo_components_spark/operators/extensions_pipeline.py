@@ -87,18 +87,20 @@ _MANIFEST_DEL_MOD = 97  # GDPR-style erasure fixture: event_id % 97 == 0
 
 
 def _manifest_table_root(spark: SparkSession, sf_dir: str) -> str:
-    """Three-version manifest table over the events fixture: v1 = the
+    """Four-version manifest table over the events fixture: v1 = the
     base snapshot, v2 = the latest-wins upsert compaction, v3 = v2 with
-    the erasure set deleted — each committed through the atomic
-    hard-link CAS protocol (plans/manifest_table.py).  Built once per
-    fixture fingerprint via ``materialized_cache``."""
+    the erasure set deleted, v4 = v3 re-clustered into an event_type-
+    partitioned layout (OPTIMIZE as a commit: same rows, new layout) —
+    each committed through the atomic hard-link CAS protocol
+    (plans/manifest_table.py).  Built once per fixture fingerprint via
+    ``materialized_cache``."""
     from gordo_components_spark.caches import materialized_cache
     from gordo_components_spark.plans.manifest_table import ManifestTable
 
     def build(tmp: str) -> None:
         t = ManifestTable(tmp)
         ev = load_table(spark, sf_dir, "events").select(
-            "event_id", "user_id", "ts", "value"
+            "event_id", "user_id", "event_type", "ts", "value"
         )
         t.commit(ev.repartition(8))  # v1: the base table
         updates = (
@@ -127,13 +129,42 @@ def _manifest_table_root(spark: SparkSession, sf_dir: str) -> str:
             F.col("event_id") % _MANIFEST_DEL_MOD != 0
         )
         t.commit(survivors.repartition(8))
+        # v4: OPTIMIZE/cluster-by — identical rows, re-laid-out into an
+        # event_type-partitioned snapshot so tag-filtered reads prune at
+        # the directory level; layout changes are COMMITS here, which is
+        # what makes them safe under concurrent readers
+        t.commit(
+            t.read(spark, version=3).repartition(8, "event_type"),
+            partition_by=("event_type",),
+        )
 
     return materialized_cache(
-        sf_dir, "/tmp/gordo_spark_manifest", "events_tbl_3v", "events", build
+        sf_dir, "/tmp/gordo_spark_manifest", "events_tbl_4v", "events", build
     )
 
 
-@register("pipe_manifest_upsert", oracle=_UPSERT_ORACLE)
+# the manifest-table fixture carries event_type through every snapshot
+# (v4's cluster-by layout partitions on it), so the faces' oracles are
+# the upsert oracle widened by that column
+_MANIFEST_UPSERT_ORACLE = """
+    WITH updates AS (
+      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events
+      UNION ALL
+      SELECT event_id, user_id, event_type,
+             CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS ts,
+             value + 1000.0 AS value
+      FROM events WHERE event_id % 10 = 0
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                                   ORDER BY ts DESC, value DESC) AS rn
+      FROM updates
+    )
+    SELECT event_id, user_id, event_type, ts, value FROM ranked WHERE rn = 1
+    """
+
+
+@register("pipe_manifest_upsert", oracle=_MANIFEST_UPSERT_ORACLE)
 def pipe_manifest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``pipe_upsert_latest`` re-run through a TRANSACTIONAL write path
     (r10 verdict What's-missing #2): the compacted table is committed as
@@ -158,21 +189,9 @@ def pipe_manifest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipe_manifest_delete",
-    oracle=f"""
-    WITH updates AS (
-      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
-      UNION ALL
-      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS ts,
-             value + 1000.0 AS value
-      FROM events WHERE event_id % 10 = 0
-    ), ranked AS (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
-                                   ORDER BY ts DESC, value DESC) AS rn
-      FROM updates
-    )
-    SELECT event_id, user_id, ts, value FROM ranked
-    WHERE rn = 1 AND event_id % {_MANIFEST_DEL_MOD} <> 0
-    """,
+    oracle=_MANIFEST_UPSERT_ORACLE.replace(
+        "WHERE rn = 1", f"WHERE rn = 1 AND event_id % {_MANIFEST_DEL_MOD} <> 0"
+    ),
 )
 def pipe_manifest_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transactional DELETE (the GDPR-erasure / right-to-be-forgotten
@@ -185,13 +204,40 @@ def pipe_manifest_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _manifest_table_root(spark, sf_dir)
     from gordo_components_spark.plans.manifest_table import ManifestTable
 
-    return ManifestTable(root).read(spark)  # current == v3
+    return ManifestTable(root).read(spark, version=3)
+
+
+@register(
+    "pipe_manifest_pruned_read",
+    oracle=_MANIFEST_UPSERT_ORACLE.replace(
+        "WHERE rn = 1",
+        f"WHERE rn = 1 AND event_id % {_MANIFEST_DEL_MOD} <> 0"
+        " AND event_type = 'click'",
+    ),
+)
+def pipe_manifest_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned read through the table format: v4 is the
+    OPTIMIZE commit (v3's rows re-laid-out hive-partitioned on
+    event_type), so a tag-filtered read prunes whole directories at
+    planning time — ``PartitionFilters: [isnotnull(event_type),
+    (event_type = click)]`` in the scan, asserted by the plan ring.
+    This is the read path that makes the mutation family 100 TB-real:
+    manifest pointer -> clustered snapshot -> directory pruning, no file
+    listing, no data read outside the asked-for tag."""
+    root = _manifest_table_root(spark, sf_dir)
+    from gordo_components_spark.plans.manifest_table import ManifestTable
+
+    cur = ManifestTable(root).read(spark)  # current == v4, clustered
+    return cur.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
 
 
 @register(
     "pipe_manifest_time_travel",
     oracle="""
-    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+    FROM events
     """,
 )
 def pipe_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -376,3 +376,17 @@ def stream_sample_bottomk_genuine(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     return run_streaming_bottomk_sample(spark, sf_dir)
+
+
+@register("stream_manifest_sink", oracle=None)
+def stream_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine Structured-Streaming ingestion into the transactional
+    manifest table (rows-only): one atomic append commit per micro-batch
+    with batch-id idempotence — the Delta streaming-sink contract; final
+    contents are batching-invariant and bit-equal to the batch read
+    (parity pytest in tests/test_manifest_table.py)."""
+    from gordo_components_spark.streaming.micro_batch import (
+        run_streaming_manifest_sink,
+    )
+
+    return run_streaming_manifest_sink(spark, sf_dir)

@@ -97,23 +97,42 @@ class ManifestTable:
             raise FileNotFoundError(f"{self.root}: no committed version")
         # snapshot paths are RELATIVE to the table root: the whole table
         # directory must stay relocatable (materialized_cache installs
-        # it via os.replace from a pid-tmp path)
-        return spark.read.parquet(os.path.join(self.root, self.manifest(v)["snapshot"]))
+        # it via os.replace from a pid-tmp path).  Append commits carry a
+        # LIST of data dirs ("snapshots"); full-snapshot commits a single
+        # "snapshot" — the reader unions whatever the manifest names.
+        man = self.manifest(v)
+        rels = man.get("snapshots") or [man["snapshot"]]
+        return spark.read.parquet(*[os.path.join(self.root, r) for r in rels])
+
+    def _snapshot_rels(self, version: int | None) -> list[str]:
+        if version is None:
+            return []
+        man = self.manifest(version)
+        return list(man.get("snapshots") or [man["snapshot"]])
 
     # -- writer ---------------------------------------------------------
-    def prepare_snapshot(self, df: DataFrame, version: int) -> dict:
+    def prepare_snapshot(
+        self, df: DataFrame, version: int, partition_by: tuple = ()
+    ) -> dict:
         """Step 1+2: write the snapshot and the fsynced manifest temp
         file; returns the handle ``publish`` consumes.  Split from
         ``publish`` so the crash-consistency test can stop between them
-        — exactly the kill window the protocol must survive."""
+        — exactly the kill window the protocol must survive.
+        ``partition_by`` lays the snapshot out hive-partitioned (the
+        OPTIMIZE/cluster-by commit: directory-level pruning for reads
+        filtered on those columns)."""
         seq = next(_SEQ)
         snap = os.path.join(
             self._snap_root, f"snap-{version:08d}-{os.getpid()}-{seq}"
         )
-        df.write.mode("errorifexists").parquet(snap)
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(snap)
         payload = {
             "version": version,
             "snapshot": os.path.relpath(snap, self.root),
+            "partition_by": list(partition_by),
             "n_files": sum(1 for f in os.listdir(snap) if f.endswith(".parquet")),
         }
         tmp = os.path.join(self._man_root, f".tmp-v{version:08d}-{os.getpid()}-{seq}")
@@ -147,7 +166,40 @@ class ManifestTable:
             os.close(dfd)
         return version
 
-    def commit(self, df: DataFrame, retries: int = 3) -> int:
+    def vacuum(self, keep_last: int = 2) -> list[str]:
+        """Retention: delete snapshot directories not referenced by the
+        newest ``keep_last`` manifests, plus orphans (crash leftovers
+        that never got a pointer) and stale manifest temp files.  The
+        manifest HISTORY is kept — reading an expired version raises a
+        clear FileNotFoundError, exactly Delta's VACUUM contract (data
+        retention is shorter than log retention).  Safe under concurrent
+        readers of RETAINED versions: a snapshot is only removed when no
+        retained manifest references it."""
+        import shutil
+
+        keep_versions = self.versions()[-keep_last:] if keep_last else []
+        keep_dirs = {
+            os.path.normpath(os.path.join(self.root, rel))
+            for v in keep_versions
+            for rel in self._snapshot_rels(v)
+        }
+        removed = []
+        for d in os.listdir(self._snap_root):
+            full = os.path.normpath(os.path.join(self._snap_root, d))
+            if full not in keep_dirs:
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(full)
+        for f in os.listdir(self._man_root):
+            if f.startswith(".tmp-"):
+                try:
+                    os.unlink(os.path.join(self._man_root, f))
+                except OSError:
+                    pass
+        return removed
+
+    def commit(
+        self, df: DataFrame, retries: int = 3, partition_by: tuple = ()
+    ) -> int:
         """Optimistic-concurrency commit: snapshot, then CAS the next
         version; on conflict re-read the head and retry (the caller's
         ``df`` must be a pure function of table state it re-reads, or it
@@ -155,9 +207,61 @@ class ManifestTable:
         same frame, which is correct for full-snapshot writes)."""
         for _ in range(retries + 1):
             target = (self.current_version() or 0) + 1
-            prepared = self.prepare_snapshot(df, target)
+            prepared = self.prepare_snapshot(df, target, partition_by)
             try:
                 return self.publish(prepared)
             except CommitConflict:
                 continue
         raise CommitConflict(f"lost {retries + 1} commit races on {self.root}")
+
+    def commit_append(
+        self, df: DataFrame, txn_id: str | None = None, retries: int = 3
+    ) -> int:
+        """APPEND commit — the streaming-sink shape: write ONLY the new
+        rows as a private data dir, then CAS a manifest whose data-dir
+        list = parent's list + the new dir (a Delta log entry's AddFile
+        set, reduced to directories).  The data dir is written ONCE; a
+        lost CAS race only rebuilds the pointer file against the new
+        head, never the data.
+
+        ``txn_id`` makes the commit IDEMPOTENT (exactly-once under
+        micro-batch replay): if any retained manifest already records
+        this txn, the append is a no-op returning that version — the
+        foreachBatch restart contract, same mechanism as Delta's
+        ``txnAppId``/``txnVersion``."""
+        if txn_id is not None:
+            for v in self.versions():
+                if self.manifest(v).get("txn_id") == txn_id:
+                    return v
+        seq = next(_SEQ)
+        data = os.path.join(
+            self._snap_root, f"append-{os.getpid()}-{seq}"
+        )
+        df.write.mode("errorifexists").parquet(data)
+        rel = os.path.relpath(data, self.root)
+        for _ in range(retries + 1):
+            head = self.current_version()
+            target = (head or 0) + 1
+            payload = {
+                "version": target,
+                "snapshots": self._snapshot_rels(head) + [rel],
+                "txn_id": txn_id,
+            }
+            tmp = os.path.join(
+                self._man_root, f".tmp-v{target:08d}-{os.getpid()}-{next(_SEQ)}"
+            )
+            fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                os.write(fd, json.dumps(payload).encode())
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+            try:
+                return self.publish({"version": target, "tmp": tmp, "payload": payload})
+            except CommitConflict:
+                if txn_id is not None:
+                    for v in self.versions():
+                        if self.manifest(v).get("txn_id") == txn_id:
+                            return v
+                continue
+        raise CommitConflict(f"lost {retries + 1} append races on {self.root}")

@@ -1042,3 +1042,52 @@ def run_streaming_bottomk_sample(
         output_mode="update",
         latest_by=(("event_type", "rk"), "n_seen"),
     ).select("event_type", "rk", "event_id", "hid")
+
+
+def run_streaming_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion into the transactional manifest table — the
+    Delta-sink shape: ``readStream → foreachBatch(commit_append)`` with
+    ``txn_id = batchId`` so a replayed micro-batch (checkpoint restart)
+    re-commits as a NO-OP (exactly-once table contents, Delta's
+    txnAppId/txnVersion mechanism; plans/manifest_table.py).  One
+    manifest version per micro-batch; the final read unions the batch
+    data dirs through the version pointer.
+
+    Parity (tests/test_manifest_table.py): final table contents equal
+    the batch read of the same fixture BIT-EXACTLY and the version count
+    equals the micro-batch count — content is batching-invariant, which
+    is the transactional-sink claim."""
+    import shutil
+
+    from gordo_components_spark.plans.manifest_table import ManifestTable
+
+    prepare(spark)
+    replay = _replay_dir(spark, sf_dir)
+    run_id = uuid.uuid4().hex
+    root = f"/tmp/gordo_spark_stream/manifest-sink-{run_id}"
+    chk = f"/tmp/gordo_spark_stream/chk/manifest-sink-{run_id}"
+    t = ManifestTable(root)
+    stream = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    try:
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, bid: t.commit_append(bdf, txn_id=f"replay-{bid}")
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            t.read(spark)
+            .withColumn("table_version", F.lit(t.current_version()).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(chk, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+    return out

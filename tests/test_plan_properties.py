@@ -923,3 +923,19 @@ def test_plan_audit_census_has_no_unbounded_empty_windows(spark, sf_dir):
     assert not offenders, (
         f"empty-partition Window over an unbounded frame in: {offenders}"
     )
+
+
+def test_manifest_pruned_read_partition_filters(spark, sf_dir):
+    # the OPTIMIZE commit's point: a tag-filtered read of the clustered
+    # v4 snapshot must prune at the directory level (PartitionFilters on
+    # event_type), and the manifest faces' plans are bare parquet scans —
+    # no join, no window, the commit paid all the work at build time.
+    plan = plan_of(spark, "pipe_manifest_pruned_read", sf_dir)
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "event_type" in pf.group(1), plan
+    for name in ("pipe_manifest_upsert", "pipe_manifest_delete"):
+        p = plan_of(spark, name, sf_dir)
+        assert "Join" not in p and "Window" not in p, name
