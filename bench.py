@@ -19,11 +19,10 @@ from gordo_components_spark.session import get_spark
 # Headline set: flagship + one representative per heavy category.
 HEADLINE_TAG = "bench"
 
-# Round-10 set change (ROUND10_NOTES #8): scan_bucketed_join +
-# agg_time_weighted_avg promoted; the r9 bridge is retired.  One-round
-# comparability bridge: subtotal over the frozen r9 membership so
-# BENCH_r10 totals compare cleanly to BENCH_r09's.
-_R10_ADDITIONS = {"scan_bucketed_join", "agg_time_weighted_avg"}
+# Round-11: the headline membership is unchanged from r10, so totals
+# are directly comparable and the one-round subtotal_r9_set bridge is
+# retired (ROUND11_NOTES #5).  If a future round promotes queries,
+# re-introduce a frozen-prior-set subtotal for exactly one round.
 
 
 def _prior_round_mins() -> dict[str, float]:
@@ -216,9 +215,6 @@ def main() -> None:
                 "value": round(sum(times.values()), 4),
                 "unit": "sec",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "subtotal_r9_set": round(
-                    sum(v for k, v in times.items() if k not in _R10_ADDITIONS), 4
-                ),
                 # load1 = EXTERNAL load at capture start (post-gate,
                 # pre-Spark); load1_end includes the bench's own tail
                 "load1": round(load1_start, 2),

@@ -50,6 +50,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from gordo_components_spark.caches import release_caches
 from gordo_components_spark.registry import load_all
 from gordo_components_spark.session import get_spark
 
@@ -140,9 +141,15 @@ def _tree_nodes(plan: str) -> list[tuple[int, str, int]]:
 
 
 def _scan_tables(plan: str) -> dict[int, str]:
-    """node id -> scanned table basename, from the details section."""
+    """node id -> scanned table basename, from the details section.
+    NB: the tree/details separator is a DOUBLE blank line, so the first
+    detail block arrives with a leading newline — strip before the
+    anchored match (r11 fix: the first scan block was silently skipped,
+    which let a single-scan plan evade the window guard's corpus
+    check)."""
     out = {}
     for block in re.split(r"\n\n", plan):
+        block = block.lstrip("\n")
         m = re.match(r"\((\d+)\) Scan parquet", block)
         if not m:
             continue
@@ -245,7 +252,7 @@ def _unbounded_empty_windows(plan: str) -> int:
     blocks = {
         int(m.group(1)): b
         for b in re.split(r"\n\n", plan)
-        if (m := re.match(r"\((\d+)\) Window$", b.split("\n", 1)[0].strip()))
+        if (m := re.match(r"\((\d+)\) Window$", b.strip().split("\n", 1)[0]))
     }
     n_bad = 0
     for i, (_, name, nid) in enumerate(nodes):
@@ -325,6 +332,14 @@ def main() -> None:
             report[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
             violations.append(f"{name}: plan build failed")
             continue
+        # release operator persists after each plan build: every
+        # .persist() a plan-building fn issues registers with the
+        # CacheManager even if never executed, and each registered entry
+        # taxes every LATER plan build's cache lookup (canonicalize +
+        # compare per subtree) — the suspected reason the eager BPE face
+        # ran minutes in-session vs ~27 s standalone.  Plans are
+        # captured already; releasing loses nothing.
+        release_caches()
         report[name] = entry
         if entry["anti_patterns"]:
             violations.append(f"{name}: {', '.join(entry['anti_patterns'])}")

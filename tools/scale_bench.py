@@ -196,6 +196,12 @@ HEAVY = (
     # fixed band DOMAIN means bucket occupancy grows with the corpus,
     # exactly the shape the rehearsal exists to measure)
     "ext_media_phash_neardup",
+    # round 11: the coverage-curve histogram-offset rework joins the
+    # vocab frame to the (c, shard) offset frame — the offset side is
+    # sub-linear (distinct-frequency histogram x prefix shards) and AQE
+    # broadcasts it at audit SF, so the widened guard pulls the query
+    # into the rehearsal like pipe_curriculum_rank before it
+    "ext_ngram_coverage_curve",
 )
 
 # Join-bearing queries that are deliberately NOT rehearsed, with the
