@@ -2380,3 +2380,167 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("match_key"),
         F.expr("levenshtein(dirty_fp, fp)").cast("long").alias("distance"),
     ).where(F.col("distance") <= 1)
+
+
+# ---------------------------------------------------------------------------
+# round 11: duplication-graph triangle census (global clustering structure)
+# ---------------------------------------------------------------------------
+
+_TRI_MAX_BLOCK = 8  # ignore blocks shared by > 8 docs (boilerplate, not dup signal)
+
+
+@register(
+    "ext_graph_triangles",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), blocks AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(tk, t.k * 8 + 1, t.k * 8 + 8), ' ') AS btxt
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(0,
+                 CAST(floor((len(tk) - 1) / 8) AS BIGINT))) AS k
+      ) t
+      WHERE len(list_slice(tk, t.k * 8 + 1, t.k * 8 + 8)) = 8
+    ), keep AS (
+      SELECT btxt FROM blocks GROUP BY btxt
+      HAVING count(*) BETWEEN 2 AND {_TRI_MAX_BLOCK}
+    ), e AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM blocks a JOIN keep USING (btxt) JOIN blocks b USING (btxt)
+      WHERE a.doc_id < b.doc_id
+    ), deg AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+      GROUP BY n
+    ), o AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS su,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS sv
+      FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+    ), w AS (
+      SELECT least(o1.sv, o2.sv) AS a, greatest(o1.sv, o2.sv) AS b
+      FROM o o1 JOIN o o2 ON o1.su = o2.su AND o1.sv < o2.sv
+    ), tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM w JOIN e ON w.a = e.u AND w.b = e.v
+    ), g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+      FROM deg
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e
+    )
+    SELECT g.n_nodes, m.n_edges, g.n_wedges, tri.n_triangles,
+           CASE WHEN g.n_wedges = 0 THEN 0.0
+                ELSE floor(3.0 * tri.n_triangles / g.n_wedges * 1e6 + 0.5) / 1e6
+           END AS global_clustering
+    FROM g, m, tri
+    """,
+)
+def ext_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 extension (round 11) — triangle census of the block-duplication
+    graph: nodes are documents, an edge joins two docs sharing at least
+    one exact 8-word block (the ``ext_dedup_paragraph`` blocking, capped
+    at {_TRI_MAX_BLOCK} docs/block so mega-shared boilerplate neither
+    creates quadratic pairs nor counts as dup signal).  Triangle density
+    tells a curator whether near-dup clusters are tight cliques (crawl
+    mirrors — safe to keep one canonical doc) or loose chains (template
+    families — transitive dedup would over-delete); the global clustering
+    coefficient 3·triangles/wedges is that ratio in one number.
+
+    Algorithm (the public degree-orientation bound, Schank/Wagner): each
+    undirected edge is oriented from its (degree, id)-smaller endpoint,
+    every triangle then has exactly one apex with two out-edges, so the
+    wedge self-join on the apex plus one closure semi-join counts each
+    triangle once — join fanout is bounded by the max OUT-degree
+    (≤ √m after orientation), never the raw degree.  Wedge count comes
+    from the degree table (Σ d(d−1)/2), no join.
+
+    Scale shape: edges derive from a digest-keyed (xxhash64) block
+    shuffle exactly like exact dedup (the oracle groups by block STRING —
+    parity re-verifies collision-freedom); the per-block ≤ {_TRI_MAX_BLOCK}
+    cap bounds pair fanout per key, and every join key is an id/digest —
+    no text shuffles.  Counts are exact ints; the one ratio is a single
+    floor-shifted division on identical operands."""
+    docs = load_table(spark, sf_dir, "documents")
+    blocks = (
+        docs.select("doc_id", F.split("text", " ").alias("tk"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("sequence(0, CAST(floor((size(tk) - 1) / 8) AS INT))")
+            ).alias("k"),
+            "tk",
+        )
+        .select("doc_id", F.expr("slice(tk, k * 8 + 1, 8)").alias("bt"))
+        .where(F.size("bt") == 8)
+        .select("doc_id", F.xxhash64(F.array_join("bt", " ")).alias("bh"))
+        .distinct()
+    )
+    keep = (
+        blocks.groupBy("bh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd").between(2, _TRI_MAX_BLOCK))
+        .select("bh")
+    )
+    kb = blocks.join(keep, "bh", "left_semi")
+    e = (
+        kb.alias("a")
+        .join(kb.alias("b"), "bh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+        .distinct()
+    )
+    from gordo_components_spark.caches import persist_tracked
+
+    e = persist_tracked(e)
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    deg = persist_tracked(deg)
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    lt = (F.col("du") < F.col("dv")) | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    o = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lt, F.col("u")).otherwise(F.col("v")).alias("su"),
+            F.when(lt, F.col("v")).otherwise(F.col("u")).alias("sv"),
+        )
+    )
+    w = (
+        o.alias("o1")
+        .join(o.alias("o2"), "su")
+        .where(F.col("o1.sv") < F.col("o2.sv"))
+        .select(
+            F.least("o1.sv", "o2.sv").alias("u"),
+            F.greatest("o1.sv", "o2.sv").alias("v"),
+        )
+    )
+    tri = w.join(e, ["u", "v"], "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    g = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) / 2")).cast("bigint").alias("n_wedges"),
+    )
+    m = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        g.crossJoin(m)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(F.col("n_wedges") == 0, F.lit(0.0))
+            .otherwise(
+                F.expr("floor(3.0 * n_triangles / n_wedges * 1e6 + 0.5) / 1e6")
+            )
+            .alias("global_clustering"),
+        )
+    )

@@ -1320,3 +1320,161 @@ def ext_embed_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 11: covariance / PCA (embedding-whitening pre-pass for SemDeDup-style
+# clustering — public recipe: Abbas et al. 2023 "SemDeDup" whitens before
+# cosine; the covariance aggregate is the distributed half, the eigensolve is
+# a driver-side 64x64 fold)
+# ---------------------------------------------------------------------------
+
+_DIM = 64  # fixture embedding dimensionality (embeddings.parquet FLOAT[64])
+
+
+@register(
+    "ext_embed_covariance",
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), terms AS (
+      SELECT CAST(p.i AS INT) AS i, CAST(q.j AS INT) AS j,
+             CAST(floor(v[p.i + 1] * v[q.j + 1] * 1e9 + 0.5) AS BIGINT) AS xy9,
+             CAST(floor(v[p.i + 1] * 1e9 + 0.5) AS BIGINT) AS x9,
+             CAST(floor(v[q.j + 1] * 1e9 + 0.5) AS BIGINT) AS y9
+      FROM e, range({_DIM}) p(i), range({_DIM}) q(j)
+      WHERE q.j >= p.i
+    )
+    SELECT i, j,
+           CAST(sum(xy9) AS BIGINT) AS sxy_e9,
+           round((CAST(sum(xy9) AS DOUBLE) / 1e9
+                  - (CAST(sum(x9) AS DOUBLE) / 1e9)
+                    * (CAST(sum(y9) AS DOUBLE) / 1e9) / count(*))
+                 / count(*), 9) AS cov
+    FROM terms
+    GROUP BY i, j
+    """,
+)
+def ext_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 extension (round 11) — upper-triangle covariance matrix of the
+    embedding corpus, the distributed first half of PCA / whitening
+    (``ext_embed_pca_project`` consumes it).  Each row contributes its
+    2080 upper-triangle product terms via a nested ``transform`` +
+    ``flatten`` (pure JVM lambda algebra, no Python, no join); the
+    groupBy keys are the FIXED 2080 (i, j) cells, so partial (map-side)
+    aggregation collapses every partition to <= 2080 rows before the one
+    tiny shuffle — the canonical "sufficient statistics" shape that
+    survives 100 TB (the shuffle is O(partitions x d^2), independent of
+    row count).
+
+    Exactness: every term is floor-shifted to an exact e9 integer
+    (|x| < 1 so |x*y*1e9| < 1e9 per term; 2^53/1e9 ~ 9e6 rows headroom
+    at the checked SFs), so sums are exact integer addition on both
+    engines; the closing cov chain is per-row IEEE on identical
+    operands, then ROUND(.., 9) per the registry convention."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    # Second moments: one slim (i, j, xy9) struct per upper-triangle cell.
+    sxy = (
+        emb.select(
+            F.explode(
+                F.expr(
+                    f"""flatten(transform(sequence(0, {_DIM - 1}), i ->
+                          transform(sequence(i, {_DIM - 1}), j -> struct(
+                            i AS i, j AS j,
+                            CAST(floor(v[i] * v[j] * 1e9 + 0.5) AS BIGINT) AS xy9))))"""
+                )
+            ).alias("t")
+        )
+        .groupBy(F.col("t.i").cast("int").alias("i"), F.col("t.j").cast("int").alias("j"))
+        .agg(F.sum("t.xy9").cast("bigint").alias("sxy_e9"))
+    )
+    # First moments: 64-key aggregate (every row contributes to every cell,
+    # so the per-(i, j) x9/y9 sums equal the per-dimension sums over ALL
+    # rows — same integers the oracle accumulates per group).
+    m1 = (
+        emb.select(F.posexplode(F.expr("transform(v, x -> CAST(floor(x * 1e9 + 0.5) AS BIGINT))")).alias("d", "x9"))
+        .groupBy(F.col("d").cast("int").alias("d"))
+        .agg(F.sum("x9").cast("bigint").alias("sx_e9"), F.count(F.lit(1)).alias("n"))
+    )
+    mi = m1.select(F.col("d").alias("i"), F.col("sx_e9").alias("_sx"), F.col("n").alias("_n"))
+    mj = m1.select(F.col("d").alias("j"), F.col("sx_e9").alias("_sy"))
+    return (
+        sxy.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            "sxy_e9",
+            F.round(
+                (
+                    F.col("sxy_e9").cast("double") / F.lit(1e9)
+                    - (F.col("_sx").cast("double") / F.lit(1e9))
+                    * (F.col("_sy").cast("double") / F.lit(1e9))
+                    / F.col("_n")
+                )
+                / F.col("_n"),
+                9,
+            ).alias("cov"),
+        )
+    )
+
+
+@register("ext_embed_pca_project", oracle=None)
+def ext_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 extension (round 11) — first-principal-component projection, the
+    eigensolve half of the whitening recipe: collect the 64x64 covariance
+    sufficient statistics (a BOUNDED 2080-row driver fold — d^2 scalars,
+    independent of corpus size), power-iterate deterministically on the
+    driver (fixed start 1/sqrt(d), fixed 64 iterations, float64 — no RNG,
+    same result every run), then broadcast the unit eigenvector back as a
+    literal and project every embedding JVM-side (one zip_with dot per
+    row, map-only).  Top-20 |score| with vec_id tiebreak.
+
+    Sign convention: the eigenvector is flipped so its largest-|w|
+    component is positive — power iteration is sign-ambiguous and the
+    output must be deterministic.  Rows-only check (the eigensolve is not
+    SQL-expressible); tests/test_round11_properties.py pins numpy parity
+    (projection equals numpy eigh on the pandas-loaded fixture)."""
+    import numpy as np
+
+    cov_rows = (
+        ext_embed_covariance(spark, sf_dir).select("i", "j", "cov").collect()
+    )  # bounded: d*(d+1)/2 = 2080 scalars
+    c = np.zeros((_DIM, _DIM))
+    for r in cov_rows:
+        c[r["i"], r["j"]] = r["cov"]
+        c[r["j"], r["i"]] = r["cov"]
+    w = np.full(_DIM, 1.0 / np.sqrt(_DIM))
+    for _ in range(64):
+        w = c @ w
+        w = w / np.linalg.norm(w)
+    if w[int(np.argmax(np.abs(w)))] < 0:
+        w = -w
+    emb = load_table(spark, sf_dir, "embeddings")
+    m1 = (
+        emb.select(F.posexplode("embedding").alias("d", "x"))
+        .groupBy("d")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 9).alias("mu"))
+        .collect()
+    )  # bounded: 64 scalars
+    mu = np.zeros(_DIM)
+    for r in m1:
+        mu[r["d"]] = r["mu"]
+    w_lit = "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in w) + ")"
+    mu_lit = "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in mu) + ")"
+    scored = emb.select(
+        "vec_id",
+        "label",
+        F.round(
+            F.expr(
+                f"""aggregate(zip_with(transform(embedding, x -> CAST(x AS DOUBLE)),
+                     zip_with({mu_lit}, {w_lit}, (m, wt) -> struct(m AS m, wt AS wt)),
+                     (x, p) -> (x - p.m) * p.wt),
+                   CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"""
+            ),
+            6,
+        ).alias("score_pc1"),
+    )
+    return scored.orderBy(F.abs(F.col("score_pc1")).desc(), "vec_id").limit(20)

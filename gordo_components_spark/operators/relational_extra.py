@@ -574,3 +574,104 @@ def agg_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(CAST(k AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0)) AS DOUBLE)"
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 11: Count-Min frequency sketch (mergeable heavy-hitter counting)
+# ---------------------------------------------------------------------------
+
+_CM_D = 4  # sketch depth (independent hash rows)
+_CM_W = 256  # sketch width (counters per row) — one md5 hex-digit pair
+
+
+def _cm_cell(h: str, f: str, r: str) -> str:
+    """Row-r cell index in [0, 256): md5 hex digits 2r+1..2r+2 decoded
+    POSITIONALLY ({f} = instr on Spark / strpos on DuckDB — the
+    registry's cross-engine md5 convention; ascii() is not uniform)."""
+    digit = "({f}('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+    return (
+        "("
+        + digit.format(f=f, h=h, i=f"({r}) * 2 + 1")
+        + " * 16 + "
+        + digit.format(f=f, h=h, i=f"({r}) * 2 + 2")
+        + ")"
+    )
+
+
+@register(
+    "agg_countmin_estimate",
+    oracle=f"""
+    WITH k AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n,
+             md5(event_type || ':' || CAST(user_id AS VARCHAR)) AS h
+      FROM events GROUP BY event_type, user_id
+    ), cells AS (
+      SELECT event_type, user_id, n, CAST(t.r AS INT) AS r,
+             {_cm_cell('h', 'strpos', 't.r')} AS cell
+      FROM k, range({_CM_D}) t(r)
+    ), sketch AS (
+      SELECT r, cell, CAST(sum(n) AS BIGINT) AS cnt
+      FROM cells GROUP BY r, cell
+    )
+    SELECT c.event_type, c.user_id, c.n AS n_exact,
+           CAST(min(s.cnt) AS BIGINT) AS cm_est,
+           CAST(min(s.cnt) - c.n AS BIGINT) AS overcount
+    FROM cells c JOIN sketch s ON c.r = s.r AND c.cell = s.cell
+    GROUP BY c.event_type, c.user_id, c.n
+    """,
+)
+def agg_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch ({_CM_D} x {_CM_W}) over (event_type, user_id)
+    frequencies, probed back against the exact counts so the output
+    carries the sketch's per-key estimate AND its overcount — the
+    mergeable frequency-sketch companion to ``agg_hll_sketch_merge``
+    (distinct counts) and ``agg_heavy_hitters`` (Misra-Gries): CM is
+    LINEAR (sketch(A ∪ B) = sketch(A) + sketch(B) cell-wise), so
+    per-partition / per-day sketches merge by addition into any rollup
+    without rescanning raw keys, and a fixed {_CM_D}·{_CM_W}-cell array
+    answers point frequency queries with one-sided error (est >= exact,
+    overflow probability bounded by the classic Cormode-Muthukrishnan
+    analysis).  ``stream_countmin_genuine`` maintains the identical
+    sketch across micro-batches (linearity = batch parity, pytest).
+
+    Scale shape: exact per-key counts are one map-side-combinable
+    groupBy (needed for the comparison anyway); the sketch aggregates
+    the KEY frame (not raw rows — linearity lets the per-key counts
+    feed the cells) down to <= {_CM_D}·{_CM_W} = 1024 rows, which then
+    BROADCASTS back to the key frame for the min-probe: the only
+    corpus-scale shuffle is the key groupBy.  md5 positional-hex cells
+    keep every integer exact on both engines — oracle-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    k = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn(
+            "h", F.expr("md5(event_type || ':' || CAST(user_id AS STRING))")
+        )
+    )
+    cell = _cm_cell("h", "instr", "r")
+    cells = k.select(
+        "event_type",
+        "user_id",
+        "n",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, %d), r -> struct(CAST(r AS INT) AS r, %s AS cell))"
+                % (_CM_D - 1, cell)
+            )
+        ).alias("t"),
+    ).select("event_type", "user_id", "n", "t.r", "t.cell")
+    cells = persist_tracked(cells)
+    sketch = cells.groupBy("r", "cell").agg(F.sum("n").cast("bigint").alias("cnt"))
+    return (
+        cells.join(F.broadcast(sketch), ["r", "cell"])
+        .groupBy("event_type", "user_id", F.col("n").alias("n_exact"))
+        .agg(F.min("cnt").cast("bigint").alias("cm_est"))
+        .select(
+            "event_type",
+            "user_id",
+            "n_exact",
+            "cm_est",
+            (F.col("cm_est") - F.col("n_exact")).cast("bigint").alias("overcount"),
+        )
+    )

@@ -390,3 +390,15 @@ def stream_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_streaming_manifest_sink(spark, sf_dir)
+
+
+@register("stream_countmin_genuine", oracle=None)
+def stream_countmin_genuine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine Structured-Streaming face of ``agg_countmin_estimate``'s
+    sketch: a COMPLETE-mode streaming groupBy over the fixed 4x256
+    (row, cell) domain — Count-Min is linear, so micro-batch slicing
+    cannot change the converged counters (cell-wise parity with the
+    batch sketch asserted in tests/test_streaming.py)."""
+    from gordo_components_spark.streaming.micro_batch import run_streaming_countmin
+
+    return run_streaming_countmin(spark, sf_dir)

@@ -1091,3 +1091,41 @@ def run_streaming_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(chk, ignore_errors=True)
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+def run_streaming_countmin(
+    spark: SparkSession, sf_dir: str, single_batch: bool = False
+) -> DataFrame:
+    """Genuine-streaming Count-Min sketch: every arriving event adds 1 to
+    its key's cell in each of the 4 hash rows, maintained as a streaming
+    groupBy((r, cell)).count() in COMPLETE mode — the sketch is LINEAR
+    (cell-wise addition), so the final state is independent of
+    micro-batch slicing and arrival order, and bit-equal to the batch
+    sketch ``agg_countmin_estimate`` builds from per-key exact counts
+    (tests/test_streaming.py asserts cell-wise parity).  State is the
+    fixed 4x256 counter array — the state-store contract never grows
+    with the corpus."""
+    from gordo_components_spark.operators.relational_extra import _cm_cell, _CM_D
+
+    prepare(spark)
+    src = _replay_dir(spark, sf_dir)
+    reader = spark.readStream.schema(_RAW_SCHEMA)
+    if not single_batch:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    stream = reader.parquet(src)
+    cell = _cm_cell("h", "instr", "r")
+    cells = stream.withColumn(
+        "h", F.expr("md5(event_type || ':' || CAST(user_id AS STRING))")
+    ).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, %d), r -> struct(CAST(r AS INT) AS r, %s AS cell))"
+                % (_CM_D - 1, cell)
+            )
+        ).alias("t")
+    ).select("t.r", "t.cell")
+    sketch = cells.groupBy("r", "cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    name = f"stream_cm_{uuid.uuid4().hex[:8]}"
+    return _run_to_memory(sketch, name, output_mode="complete")

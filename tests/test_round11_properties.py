@@ -108,3 +108,128 @@ def test_span_masks_corruption_rate_near_nominal(span_rows):
     # masked-window selection additionally requires span_start <= n_tok
     # (rarely cut on the trailing partial window), so allow a low skew
     assert 0.24 < rate < 0.36, rate
+
+
+# -------------------------------------------------- round-11 batch 2 ops
+
+
+def test_countmin_matches_pure_python_sketch(spark, sf_dir):
+    # independent replication: build the 4x256 sketch in plain python
+    # (hashlib md5, ints) and check every estimate and overcount.
+    import hashlib
+
+    reg = load_all()
+    out = {
+        (r["event_type"], r["user_id"]): (r["n_exact"], r["cm_est"], r["overcount"])
+        for r in reg["agg_countmin_estimate"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id").collect()
+    exact: dict = {}
+    for r in ev:
+        exact[(r["event_type"], r["user_id"])] = exact.get((r["event_type"], r["user_id"]), 0) + 1
+    sketch = [[0] * 256 for _ in range(4)]
+    cells = {}
+    for (et, uid), n in exact.items():
+        h = hashlib.md5(f"{et}:{uid}".encode()).hexdigest()
+        cs = [int(h[2 * r : 2 * r + 2], 16) for r in range(4)]
+        cells[(et, uid)] = cs
+        for r, c in enumerate(cs):
+            sketch[r][c] += n
+    assert set(out) == set(exact)
+    for key, n in exact.items():
+        est = min(sketch[r][c] for r, c in enumerate(cells[key]))
+        assert out[key] == (n, est, est - n)
+        assert est >= n  # CM error is one-sided
+
+
+def test_triangle_census_matches_pure_python_recount(spark, sf_dir):
+    reg = load_all()
+    row = reg["ext_graph_triangles"].fn(spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    from collections import defaultdict
+
+    by_block = defaultdict(set)
+    for r in docs:
+        tk = r["text"].split(" ")
+        for k in range(0, len(tk) // 8 * 8, 8):
+            by_block[" ".join(tk[k : k + 8])].add(r["doc_id"])
+    adj = defaultdict(set)
+    for ds in by_block.values():
+        if 2 <= len(ds) <= 8:
+            ds = sorted(ds)
+            for i in range(len(ds)):
+                for j in range(i + 1, len(ds)):
+                    adj[ds[i]].add(ds[j])
+                    adj[ds[j]].add(ds[i])
+    n_nodes = len(adj)
+    n_edges = sum(len(v) for v in adj.values()) // 2
+    n_wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    tri = 0
+    for u, nbrs in adj.items():
+        for v in nbrs:
+            if v > u:
+                tri += len(nbrs & adj[v] & {x for x in adj[v] if x > v})
+    assert (row["n_nodes"], row["n_edges"], row["n_wedges"], row["n_triangles"]) == (
+        n_nodes,
+        n_edges,
+        n_wedges,
+        tri,
+    )
+    assert 3 * row["n_triangles"] <= max(row["n_wedges"], 1)
+
+
+def test_covariance_matches_numpy_e9(spark, sf_dir):
+    import numpy as np
+
+    reg = load_all()
+    got = {
+        (r["i"], r["j"]): (r["sxy_e9"], r["cov"])
+        for r in reg["ext_embed_covariance"].fn(spark, sf_dir).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding").collect()
+    x = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    n, d = x.shape
+    assert len(got) == d * (d + 1) // 2
+    p9 = np.floor(x[:, :, None] * x[:, None, :] * 1e9 + 0.5).sum(axis=0)
+    s9 = np.floor(x * 1e9 + 0.5).sum(axis=0)
+    for i in range(d):
+        for j in range(i, d):
+            sxy, cov = got[(i, j)]
+            assert sxy == int(p9[i, j])
+            want = (p9[i, j] / 1e9 - (s9[i] / 1e9) * (s9[j] / 1e9) / n) / n
+            assert abs(cov - round(want, 9)) <= 1e-9
+
+
+def test_pca_projection_matches_numpy_power_iteration(spark, sf_dir):
+    import numpy as np
+
+    reg = load_all()
+    out = reg["ext_embed_pca_project"].fn(spark, sf_dir).collect()
+    assert len(out) == 20
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    x = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    n, d = x.shape
+    # replicate the operator's exact covariance + deterministic power iteration
+    p9 = np.floor(x[:, :, None] * x[:, None, :] * 1e9 + 0.5).sum(axis=0)
+    s9 = np.floor(x * 1e9 + 0.5).sum(axis=0)
+    cov = np.round((p9 / 1e9 - np.outer(s9, s9) / 1e18 / n) / n, 9)
+    cov = np.triu(cov) + np.triu(cov, 1).T  # operator mirrors the upper triangle
+    w = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(64):
+        w = cov @ w
+        w /= np.linalg.norm(w)
+    if w[int(np.argmax(np.abs(w)))] < 0:
+        w = -w
+    # the converged direction is the true top eigenvector
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, -1]
+    assert abs(float(np.dot(w, top))) >= 0.999
+    mu = np.round(x.mean(axis=0), 9)
+    scores = np.round((x - mu) @ w, 6)
+    want = {int(i): s for i, s in zip(ids, scores)}
+    for r in out:
+        assert abs(r["score_pc1"] - want[r["vec_id"]]) <= 2e-6
+    # and the 20 rows really are the global top |score|
+    kth = sorted((abs(s) for s in want.values()), reverse=True)[19]
+    assert all(abs(r["score_pc1"]) >= kth - 2e-6 for r in out)

@@ -554,3 +554,38 @@ def test_streaming_bottomk_state_carries_across_batches(spark, sf_dir):
         .reset_index(drop=True)
     )
     assert multi.equals(single)
+
+
+def test_countmin_stream_batch_parity(spark, sf_dir):
+    # Count-Min is linear: the streaming sketch (one +1 per raw event per
+    # hash row, accumulated across micro-batches) must equal the batch
+    # sketch built from per-key exact counts — cell for cell.
+    from gordo_components_spark.operators.relational_extra import _cm_cell, _CM_D
+    from gordo_components_spark.streaming.micro_batch import run_streaming_countmin
+
+    streamed = {
+        (r["r"], r["cell"]): r["cnt"]
+        for r in run_streaming_countmin(spark, sf_dir).collect()
+    }
+    cell = _cm_cell("h", "instr", "r")
+    batch = {
+        (r["r"], r["cell"]): r["cnt"]
+        for r in (
+            load_table(spark, sf_dir, "events")
+            .withColumn("h", F.expr("md5(event_type || ':' || CAST(user_id AS STRING))"))
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, %d), r -> struct(CAST(r AS INT) AS r, %s AS cell))"
+                        % (_CM_D - 1, cell)
+                    )
+                ).alias("t")
+            )
+            .groupBy("t.r", "t.cell")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .select(F.col("r"), F.col("cell"), F.col("cnt"))
+            .collect()
+        )
+    }
+    assert streamed == batch
+    assert sum(streamed.values()) % _CM_D == 0

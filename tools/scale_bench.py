@@ -202,6 +202,18 @@ HEAVY = (
     # broadcasts it at audit SF, so the widened guard pulls the query
     # into the rehearsal like pipe_curriculum_rank before it
     "ext_ngram_coverage_curve",
+    # round 11 batch 2: the dup-graph triangle census (block-bucket pair
+    # self-join + degree-oriented wedge join — fanout bounded by the
+    # per-block cap and the orientation's sqrt(m) out-degree bound)
+    "ext_graph_triangles",
+    # round 11 batch 2: the covariance closing joins broadcast an
+    # embeddings-derived (bounded 64-row aggregate) build side — the
+    # widened guard treats any corpus-scaling-sourced build as
+    # rehearsable, same as ext_embed_label_confusion
+    "ext_embed_covariance",
+    # round 11 batch 2: the Count-Min probe broadcasts the 1024-cell
+    # sketch (an events-derived bounded aggregate) back to the key frame
+    "agg_countmin_estimate",
 )
 
 # Join-bearing queries that are deliberately NOT rehearsed, with the
