@@ -14,6 +14,8 @@ scan to nprobe partitions when the corpus is bucketed by centroid id
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gordo_components_spark.caches import persist_tracked
@@ -1478,3 +1480,186 @@ def ext_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score_pc1"),
     )
     return scored.orderBy(F.abs(F.col("score_pc1")).desc(), "vec_id").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# round 11: retrieval-quality evaluation (MRR / NDCG@10 over cosine ranks)
+# ---------------------------------------------------------------------------
+
+_EVAL_K = 10
+_EVAL_NQ = 8  # query set: vec_id 0..7
+# log2 discounts precomputed ONCE in python and embedded as identical
+# integer literals in both engines' SQL — no transcendental is ever
+# evaluated inside either engine (registry convention).
+_NDCG_W = [round(1e9 / math.log2(i + 1)) for i in range(1, _EVAL_K + 1)]
+_NDCG_P = [sum(_NDCG_W[: k + 1]) for k in range(_EVAL_K)]  # ideal prefix sums
+_W_ARR = "array(" + ", ".join(f"CAST({w} AS BIGINT)" for w in _NDCG_W) + ")"
+_P_ARR = "array(" + ", ".join(f"CAST({p} AS BIGINT)" for p in _NDCG_P) + ")"
+_W_SQL = "[" + ", ".join(f"CAST({w} AS BIGINT)" for w in _NDCG_W) + "]"
+_P_SQL = "[" + ", ".join(f"CAST({p} AS BIGINT)" for p in _NDCG_P) + "]"
+
+
+@register(
+    "ext_eval_retrieval",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n2 AS (
+      SELECT vec_id,
+             CAST(sum(CAST(floor(v[t.i + 1] * v[t.i + 1] * 1e9 + 0.5) AS BIGINT))
+                  AS BIGINT) AS n2_e9
+      FROM e, range(64) t(i) GROUP BY vec_id
+    ), q AS (
+      SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e
+      WHERE vec_id < {_EVAL_NQ}
+    ), dots AS (
+      SELECT q.qid, q.qlabel, e.vec_id, e.label,
+             CAST(sum(CAST(floor(e.v[t.i + 1] * q.qv[t.i + 1] * 1e9 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS dot_e9
+      FROM e JOIN q ON e.vec_id <> q.qid, range(64) t(i)
+      GROUP BY q.qid, q.qlabel, e.vec_id, e.label
+    ), scored AS (
+      SELECT d.qid, d.qlabel, d.vec_id, d.label,
+             CAST(d.dot_e9 AS DOUBLE)
+               / (sqrt(CAST(nq.n2_e9 AS DOUBLE)) * sqrt(CAST(nx.n2_e9 AS DOUBLE)))
+               AS cos
+      FROM dots d
+      JOIN n2 nq ON nq.vec_id = d.qid
+      JOIN n2 nx ON nx.vec_id = d.vec_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)
+               AS rk
+      FROM scored
+    ), topk AS (
+      SELECT * FROM ranked WHERE rk <= {_EVAL_K}
+    ), rel_total AS (
+      SELECT q.qid, CAST(count(*) AS BIGINT) AS n_rel
+      FROM q JOIN e ON e.label = q.qlabel AND e.vec_id <> q.qid
+      GROUP BY q.qid
+    ), m AS (
+      SELECT qid,
+             min(CASE WHEN label = qlabel THEN rk END) AS first_rel_rank,
+             CAST(coalesce(sum(CASE WHEN label = qlabel
+                                    THEN {_W_SQL}[rk] ELSE 0 END), 0)
+                  AS BIGINT) AS dcg_e9
+      FROM topk GROUP BY qid
+    )
+    SELECT m.qid, r.n_rel,
+           CAST(coalesce(m.first_rel_rank, 0) AS INT) AS first_rel_rank,
+           m.dcg_e9,
+           floor(CAST(m.dcg_e9 AS DOUBLE)
+                 / {_P_SQL}[CAST(least(r.n_rel, {_EVAL_K}) AS INT)]
+                 * 1e6 + 0.5) / 1e6 AS ndcg,
+           CASE WHEN m.first_rel_rank IS NULL THEN 0.0
+                ELSE floor(1e6 / m.first_rel_rank + 0.5) / 1e6 END AS rr
+    FROM m JOIN rel_total r ON r.qid = m.qid
+    """,
+)
+def ext_eval_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation over the embedding corpus: each of
+    the {_EVAL_NQ} query vectors ranks the rest of the corpus by exact
+    cosine, relevance = same class label, and the output carries the
+    per-query MRR (reciprocal rank of the first relevant hit) and
+    NDCG@{_EVAL_K} — the two numbers every embedding-model / ANN-index
+    change is gated on before it touches a production retrieval or
+    dedup pipeline (and the exact baseline an IVF/LSH recall test
+    compares against).
+
+    No transcendental is evaluated in either engine: the 1/log2(i+1)
+    discount weights are precomputed in python and embedded as the SAME
+    e9-integer literals in both SQL texts, so DCG is an exact integer
+    sum (per-rank weight = prefix[rk] − prefix[rk−1]) and NDCG is one
+    floor-shifted division by the ideal prefix at min(n_rel, k).
+
+    Scale shape: the query side is FIXED ({_EVAL_NQ} vectors → a
+    broadcast), dots/norms are e9-integer term aggregations
+    (order-independent addition), and the per-query top-{_EVAL_K} rank
+    compiles under Spark 4.1's rank-limit pushdown to a two-level
+    WindowGroupLimit prune — no query ever funnels the corpus through
+    one task (same plan family as ``stream_sample_bottomk``)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    n2 = emb.select(
+        "vec_id",
+        F.expr(
+            "aggregate(transform(v, x -> CAST(floor(x * x * 1e9 + 0.5) AS BIGINT)),"
+            " CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+        ).alias("n2_e9"),
+    )
+    q = emb.where(F.col("vec_id") < _EVAL_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"), F.col("v").alias("qv")
+    )
+    qn = q.join(n2.withColumnRenamed("vec_id", "qid"), "qid").withColumnRenamed(
+        "n2_e9", "qn2_e9"
+    )
+    dots = (
+        emb.crossJoin(F.broadcast(qn))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            F.expr(
+                "aggregate(zip_with(v, qv, (x, y) -> CAST(floor(x * y * 1e9 + 0.5) AS BIGINT)),"
+                " CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+            ).alias("dot_e9"),
+            "qn2_e9",
+        )
+    )
+    scored = dots.join(n2, "vec_id").select(
+        "qid",
+        "qlabel",
+        "vec_id",
+        "label",
+        (
+            F.col("dot_e9").cast("double")
+            / (F.sqrt(F.col("qn2_e9").cast("double")) * F.sqrt(F.col("n2_e9").cast("double")))
+        ).alias("cos"),
+    )
+    topk = (
+        scored.withColumn(
+            "rk", F.expr("row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)")
+        )
+        .where(F.col("rk") <= _EVAL_K)
+    )
+    rel_total = (
+        emb.select("vec_id", "label")
+        .crossJoin(F.broadcast(q.select("qid", "qlabel")))
+        .where((F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("qid")))
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rel"))
+    )
+    m = topk.groupBy("qid").agg(
+        F.min(F.when(F.col("label") == F.col("qlabel"), F.col("rk"))).alias("first_rel"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("label") == F.col("qlabel"),
+                    F.expr(f"element_at({_W_ARR}, rk)"),
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("dcg_e9"),
+    )
+    return (
+        m.join(rel_total, "qid")
+        .select(
+            "qid",
+            "n_rel",
+            F.coalesce("first_rel", F.lit(0)).cast("int").alias("first_rel_rank"),
+            "dcg_e9",
+            F.expr(
+                f"floor(CAST(dcg_e9 AS DOUBLE)"
+                f" / element_at({_P_ARR}, CAST(least(n_rel, {_EVAL_K}) AS INT))"
+                f" * 1e6 + 0.5) / 1e6"
+            ).alias("ndcg"),
+            F.expr(
+                "CASE WHEN first_rel IS NULL THEN 0.0"
+                " ELSE floor(1e6 / first_rel + 0.5) / 1e6 END"
+            ).alias("rr"),
+        )
+    )

@@ -676,3 +676,66 @@ def ext_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_tok")
         ).alias("pii_per_1k_tokens"),
     )
+
+
+@register(
+    "ext_tokenizer_fertility",
+    oracle=f"""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+           CAST(sum(len(regexp_extract_all(text, '{_BPE_SPLIT_RE}')))
+                AS BIGINT) AS n_subtokens,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+           floor(CAST(sum(len(regexp_extract_all(text, '{_BPE_SPLIT_RE}')))
+                      AS DOUBLE)
+                 / sum(len(string_split(text, ' '))) * 1e6 + 0.5) / 1e6
+             AS fertility,
+           floor(CAST(sum(octet_length(encode(text))) AS DOUBLE)
+                 / sum(len(regexp_extract_all(text, '{_BPE_SPLIT_RE}')))
+                 * 1e6 + 0.5) / 1e6 AS bytes_per_token
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def ext_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility diagnostics per (lang, source): subword tokens
+    per whitespace word ("fertility") and bytes per subword token — the
+    per-language tokenizer-efficiency numbers every multilingual training
+    run budgets with (a high-fertility language pays more sequence
+    positions per word, so mixture weights and context budgets must be
+    corrected by exactly these ratios).  Uses the registry's BPE-ish
+    pre-tokenization regex as the subword stand-in (``ext_token_count``
+    carries the per-doc faces).
+
+    Scale shape: one map-side-combinable groupBy over (lang, source) —
+    ~langs x sources cells, map-only otherwise.  All sums are exact
+    ints; the two ratios are single floor-shifted divisions on identical
+    operands — oracle-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(F.split("text", " ")).cast("bigint")
+    sub = F.size(F.expr(f"regexp_extract_all(text, '{_BPE_SPLIT_RE}', 0)")).cast("bigint")
+    nbytes = F.expr("octet_length(encode(text, 'UTF-8'))").cast("bigint")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(words).cast("bigint").alias("n_words"),
+            F.sum(sub).cast("bigint").alias("n_subtokens"),
+            F.sum(nbytes).cast("bigint").alias("n_bytes"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_words",
+            "n_subtokens",
+            "n_bytes",
+            F.expr(
+                "floor(CAST(n_subtokens AS DOUBLE) / n_words * 1e6 + 0.5) / 1e6"
+            ).alias("fertility"),
+            F.expr(
+                "floor(CAST(n_bytes AS DOUBLE) / n_subtokens * 1e6 + 0.5) / 1e6"
+            ).alias("bytes_per_token"),
+        )
+    )

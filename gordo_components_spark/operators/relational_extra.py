@@ -675,3 +675,58 @@ def agg_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cm_est") - F.col("n_exact")).cast("bigint").alias("overcount"),
         )
     )
+
+
+_SALT_N = 16  # salt fan-out for the hot-key replication join
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(SUM(CAST(e.value AS DECIMAL(30,8))), 2) * 100 AS BIGINT)
+             AS value_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation JOIN pattern (the join-side sibling of
+    ``agg_salted_skew``): the build side is replicated across
+    {_SALT_N} salt replicas and the probe side tags each row with a
+    row-derived salt, so a hot join key's rows spread over {_SALT_N}
+    reducers instead of funneling one — the manual form of AQE's
+    skew-join splitting, needed when a 100 TB fact table's key
+    histogram is too skewed for even AQE's in-flight splitting (or when
+    AQE is off, e.g. inside stateful streaming).  The oracle is the
+    PLAIN unsalted join — identical results is the point: salting is a
+    physical rewrite, not a semantic one.
+
+    The salt is derived from event_id (uniform, key-independent), NOT
+    from the join key — salting by the key would put all of a hot key's
+    rows back in one bucket.  Replication multiplies the dim side by
+    {_SALT_N}; at scale you salt ONLY the keys the histogram flags hot
+    and union the unsalted remainder, which keeps the replication
+    O(hot keys x salts)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        "value",
+        (F.col("event_id") % _SALT_N).cast("int").alias("salt"),
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn(
+            "salt",
+            F.explode(F.expr(f"transform(sequence(0, {_SALT_N - 1}), s -> CAST(s AS INT))")),
+        )
+    )
+    joined = ev.join(cust, (ev.user_id == cust.c_custkey) & (ev.salt == cust.salt))
+    return joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.expr(
+            "CAST(round(SUM(CAST(value AS DECIMAL(30,8))), 2) * 100 AS BIGINT)"
+        ).alias("value_cents"),
+    )

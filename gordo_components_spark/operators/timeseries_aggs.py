@@ -2120,3 +2120,96 @@ def agg_uptime_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
             "meets_sla95"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 11: SAX symbolization (PAA + Gaussian-breakpoint alphabet)
+# ---------------------------------------------------------------------------
+
+# alphabet size 4: standard N(0,1) quartile breakpoints (Lin/Keogh SAX)
+_SAX_BREAKS = (-0.6745, 0.0, 0.6745)
+
+_SAX_Z = (
+    "((p.paa3 - CAST(st.s1 AS DOUBLE) / st.n)"
+    " / sqrt(greatest(CAST(st.s2 AS DOUBLE) / st.n"
+    "   - (CAST(st.s1 AS DOUBLE) / st.n) * (CAST(st.s1 AS DOUBLE) / st.n),"
+    " 1e-12)))"
+)
+
+_SAX_SYM = (
+    f"CASE WHEN {_SAX_Z} < {_SAX_BREAKS[0]} THEN 'a'"
+    f" WHEN {_SAX_Z} < {_SAX_BREAKS[1]} THEN 'b'"
+    f" WHEN {_SAX_Z} < {_SAX_BREAKS[2]} THEN 'c'"
+    f" ELSE 'd' END"
+)
+
+
+@register(
+    "agg_sax_symbols",
+    oracle=f"""
+    WITH paa AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket,
+             CAST(floor(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE)
+                        / COUNT(value) * 1000 + 0.5) AS BIGINT) AS paa3
+      FROM events GROUP BY event_type, bucket
+    ), st AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(paa3) AS BIGINT) AS s1,
+             CAST(SUM(paa3 * paa3) AS BIGINT) AS s2
+      FROM paa GROUP BY event_type
+    )
+    SELECT p.event_type, p.bucket,
+           CAST(p.paa3 AS DOUBLE) / 1000 AS paa,
+           floor({_SAX_Z} * 1e6 + 0.5) / 1e6 AS z,
+           {_SAX_SYM} AS symbol
+    FROM paa p JOIN st USING (event_type)
+    """,
+)
+def agg_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Lin/Keogh Symbolic Aggregate approXimation) of
+    each tag's series: Piecewise Aggregate Approximation to hourly means,
+    z-normalization against the tag's own PAA distribution, then a
+    4-letter Gaussian-quartile alphabet — the standard symbolic
+    pre-processing for motif discovery / anomaly grammar over sensor
+    fleets, and the downsample-then-discretize shape a 100 TB series
+    store runs before any sequence mining.
+
+    Scale shape: PAA is one map-side-combinable groupBy (decimal sums);
+    the per-tag moment frame is a FIXED-cardinality aggregate (one row
+    per tag) broadcast back — the only corpus-scale shuffle is the
+    bucket groupBy.  Exactness: PAA means route through DECIMAL then
+    floor-shift to exact milli-integers, tag moments are exact int sums
+    (paa3^2 <= 3.2e11 so hour-count sums stay far under 2^53), and the
+    z / symbol chain runs per-row IEEE on identical operands — symbol
+    boundaries are bit-deterministic, not knife-edge."""
+    ev = load_table(spark, sf_dir, "events")
+    paa = (
+        ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE)").alias("vsum"),
+            F.count("value").alias("cnt"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("bucket"),
+            F.expr("CAST(floor(vsum / cnt * 1000 + 0.5) AS BIGINT)").alias("paa3"),
+        )
+    )
+    paa = persist_tracked(paa)
+    st = paa.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("paa3").cast("bigint").alias("s1"),
+        F.sum(F.expr("paa3 * paa3")).cast("bigint").alias("s2"),
+    )
+    return (
+        paa.alias("p")
+        .join(F.broadcast(st.alias("st")), "event_type")
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("p.paa3").cast("double") / 1000).alias("paa"),
+            F.expr(f"floor({_SAX_Z} * 1e6 + 0.5) / 1e6").alias("z"),
+            F.expr(_SAX_SYM).alias("symbol"),
+        )
+    )

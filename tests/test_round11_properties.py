@@ -233,3 +233,131 @@ def test_pca_projection_matches_numpy_power_iteration(spark, sf_dir):
     # and the 20 rows really are the global top |score|
     kth = sorted((abs(s) for s in want.values()), reverse=True)[19]
     assert all(abs(r["score_pc1"]) >= kth - 2e-6 for r in out)
+
+
+# -------------------------------------------------- round-11 batch 3 ops
+
+
+def test_sax_symbols_invariants(spark, sf_dir):
+    import math
+
+    reg = load_all()
+    rows = reg["agg_sax_symbols"].fn(spark, sf_dir).collect()
+    assert rows
+    breaks = (-0.6745, 0.0, 0.6745)
+    by_type: dict = {}
+    for r in rows:
+        # paa is the exact milli-quantized mean
+        assert abs(r["paa"] * 1000 - round(r["paa"] * 1000)) < 1e-9
+        sym = "a" if r["z"] < breaks[0] else "b" if r["z"] < breaks[1] else "c" if r["z"] < breaks[2] else "d"
+        # z is floor-shifted to 6dp AFTER the CASE uses full precision, so
+        # only exact-boundary rounding could disagree — allow the knife-edge
+        if not any(abs(r["z"] - b) < 1e-6 for b in breaks):
+            assert r["symbol"] == sym
+        by_type.setdefault(r["event_type"], []).append((r["paa"], r["z"]))
+    # z must be a strictly increasing function of paa within each tag
+    for vals in by_type.values():
+        vals.sort()
+        zs = [z for _, z in vals]
+        assert all(z2 >= z1 for z1, z2 in zip(zs, zs[1:]))
+        # and roughly centered: mean of z near 0 (exact up to milli-quantization)
+        assert abs(sum(zs) / len(zs)) < 0.01
+    # pandas cross-check: paa within milli-rounding of the float mean
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value").toPandas()
+    ev["bucket"] = ev["ts"].dt.floor("h")
+    want = ev.groupby(["event_type", "bucket"])["value"].mean()
+    for r in rows:
+        m = want.loc[(r["event_type"], pd.Timestamp(r["bucket"]))]
+        assert abs(r["paa"] - m) <= 5.01e-4 + 1e-8
+
+
+def test_tokenizer_fertility_matches_pure_python(spark, sf_dir):
+    import math
+    import re
+
+    reg = load_all()
+    out = {
+        (r["lang"], r["source"]): r
+        for r in reg["ext_tokenizer_fertility"].fn(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source", "text").collect()
+    pat = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")
+    agg: dict = {}
+    for r in docs:
+        k = (r["lang"], r["source"])
+        d = agg.setdefault(k, [0, 0, 0, 0])
+        d[0] += 1
+        d[1] += len(r["text"].split(" "))
+        d[2] += len(pat.findall(r["text"]))
+        d[3] += len(r["text"].encode("utf-8"))
+    assert set(out) == set(agg)
+    for k, (nd, nw, nt, nb) in agg.items():
+        r = out[k]
+        assert (r["n_docs"], r["n_words"], r["n_subtokens"], r["n_bytes"]) == (nd, nw, nt, nb)
+        assert r["fertility"] == math.floor(nt / nw * 1e6 + 0.5) / 1e6
+        assert r["bytes_per_token"] == math.floor(nb / nt * 1e6 + 0.5) / 1e6
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    reg = load_all()
+    salted = {
+        (r["c_mktsegment"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in reg["join_skew_salted"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = {
+        (r["c_mktsegment"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in (
+            ev.join(cust, ev.user_id == cust.c_custkey)
+            .groupBy("c_mktsegment", "event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.expr(
+                    "CAST(round(SUM(CAST(value AS DECIMAL(30,8))), 2) * 100 AS BIGINT)"
+                ).alias("value_cents"),
+            )
+            .collect()
+        )
+    }
+    assert salted == plain
+
+
+def test_retrieval_eval_matches_pure_python(spark, sf_dir):
+    import math
+
+    import numpy as np
+
+    reg = load_all()
+    out = {r["qid"]: r for r in reg["ext_eval_retrieval"].fn(spark, sf_dir).collect()}
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding").collect()
+    ids = [r["vec_id"] for r in emb]
+    labels = {r["vec_id"]: r["label"] for r in emb}
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb}
+    n2 = {i: int(np.floor(vecs[i] * vecs[i] * 1e9 + 0.5).sum()) for i in ids}
+    k = 10
+    w = [round(1e9 / math.log2(i + 1)) for i in range(1, k + 1)]
+    p = [sum(w[: j + 1]) for j in range(k)]
+    assert set(out) == set(range(8))
+    for qid in range(8):
+        cand = []
+        for i in ids:
+            if i == qid:
+                continue
+            dot = int(np.floor(vecs[i] * vecs[qid] * 1e9 + 0.5).sum())
+            cos = dot / (math.sqrt(n2[qid]) * math.sqrt(n2[i]))
+            cand.append((-cos, i))
+        cand.sort()
+        top = [(i, labels[i] == labels[qid]) for _, i in cand[:k]]
+        n_rel = sum(1 for i in ids if i != qid and labels[i] == labels[qid])
+        first = next((rk for rk, (_, rel) in enumerate(top, 1) if rel), 0)
+        dcg = sum(w[rk - 1] for rk, (_, rel) in enumerate(top, 1) if rel)
+        ndcg = math.floor(dcg / p[min(n_rel, k) - 1] * 1e6 + 0.5) / 1e6
+        rr = 0.0 if first == 0 else math.floor(1e6 / first + 0.5) / 1e6
+        r = out[qid]
+        assert (r["n_rel"], r["first_rel_rank"], r["dcg_e9"]) == (n_rel, first, dcg)
+        assert r["ndcg"] == ndcg and r["rr"] == rr

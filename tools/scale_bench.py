@@ -214,6 +214,13 @@ HEAVY = (
     # round 11 batch 2: the Count-Min probe broadcasts the 1024-cell
     # sketch (an events-derived bounded aggregate) back to the key frame
     "agg_countmin_estimate",
+    # round 11 batch 3: SAX's per-tag moment broadcast (events-derived
+    # bounded aggregate), the salt-replicated dim join (customer build
+    # grows with SF — AQE broadcasts at audit SF, shuffles at scale),
+    # and the retrieval eval's corpus-side norm SMJ
+    "agg_sax_symbols",
+    "join_skew_salted",
+    "ext_eval_retrieval",
 )
 
 # Join-bearing queries that are deliberately NOT rehearsed, with the
