@@ -1663,3 +1663,138 @@ def ext_eval_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rr"),
         )
     )
+
+
+@register(
+    "ext_eval_cluster_assign",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c AS (
+      SELECT label AS clabel, CAST(t.i AS INT) AS pos,
+             round(avg(v[t.i + 1]), 6) AS cv
+      FROM e, range(64) t(i)
+      GROUP BY label, t.i
+    ), d AS (
+      SELECT e.vec_id, e.label, c.clabel,
+             CAST(sum(CAST(floor((e.v[c.pos + 1] - c.cv) * (e.v[c.pos + 1] - c.cv)
+                                 * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS dist2_e9
+      FROM e, c
+      GROUP BY e.vec_id, e.label, c.clabel
+    ), a AS (
+      SELECT vec_id, label, clabel AS assigned
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist2_e9, clabel) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ), cm AS (
+      SELECT label AS true_label, assigned,
+             CAST(count(*) AS BIGINT) AS n
+      FROM a GROUP BY label, assigned
+    ), rt AS (
+      SELECT label AS l, CAST(count(*) AS BIGINT) AS r FROM a GROUP BY label
+    ), ct AS (
+      SELECT assigned AS l, CAST(count(*) AS BIGINT) AS c FROM a GROUP BY assigned
+    ), g AS (
+      SELECT (SELECT CAST(sum(n) AS BIGINT) FROM cm) AS n_total,
+             (SELECT CAST(coalesce(sum(CASE WHEN true_label = assigned THEN n END), 0)
+                          AS BIGINT) FROM cm) AS n_correct,
+             (SELECT CAST(coalesce(sum(rt.r * ct.c), 0) AS BIGINT)
+              FROM rt JOIN ct ON rt.l = ct.l) AS chance_mass
+    )
+    SELECT cm.true_label, cm.assigned, cm.n, g.n_total, g.n_correct,
+           floor(CAST(g.n_correct AS DOUBLE) / g.n_total * 1e6 + 0.5) / 1e6
+             AS accuracy,
+           floor(CAST(g.n_total * g.n_correct - g.chance_mass AS DOUBLE)
+                 / (g.n_total * g.n_total - g.chance_mass) * 1e6 + 0.5) / 1e6
+             AS kappa
+    FROM cm, g
+    """,
+)
+def ext_eval_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification evaluation: assign every embedding
+    to its closest label centroid (exact e9-integer squared distance,
+    round-6 centroids — the ``ext_embed_outlier_topk`` conventions),
+    emit the confusion matrix with global accuracy and COHEN'S KAPPA —
+    the label-vs-cluster agreement gate run before trusting labels (or
+    clusters) enough to stratify a training mixture on them.  Kappa is
+    chance-corrected: with R/C the true/assigned marginals,
+    κ = (N·correct − Σ_l R_l·C_l) / (N² − Σ_l R_l·C_l) — an EXACT
+    integer expression here, closed by one floor-shifted division.
+
+    Scale shape: the centroid frame is a fixed-cardinality aggregate
+    (labels × 64) broadcast against the corpus; the per-vec argmin is a
+    10-row window partitioned by vec_id; confusion cells (≤ labels²)
+    and marginals are driver-trivial.  One corpus-scale shuffle (the
+    per-vec distance groupBy)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "xv")
+    )
+    cent = (
+        emb.groupBy(F.col("label").alias("clabel"), F.col("pos").cast("int").alias("pos"))
+        .agg(F.round(F.avg(F.col("xv").cast("double")), 6).alias("cv"))
+    )
+    d = (
+        emb.join(F.broadcast(cent), "pos")
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            F.expr(
+                "CAST(floor((CAST(xv AS DOUBLE) - cv) * (CAST(xv AS DOUBLE) - cv)"
+                " * 1e9 + 0.5) AS BIGINT)"
+            ).alias("t9"),
+        )
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum("t9").cast("bigint").alias("dist2_e9"))
+    )
+    a = (
+        d.withColumn(
+            "rn",
+            F.expr("row_number() OVER (PARTITION BY vec_id ORDER BY dist2_e9, clabel)"),
+        )
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("clabel").alias("assigned"))
+    )
+    a = persist_tracked(a)
+    cm = a.groupBy(F.col("label").alias("true_label"), "assigned").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    rt = a.groupBy(F.col("label").alias("l")).agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    ct = a.groupBy(F.col("assigned").alias("l")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    g = (
+        cm.agg(
+            F.sum("n").cast("bigint").alias("n_total"),
+            F.coalesce(
+                F.sum(F.when(F.col("true_label") == F.col("assigned"), F.col("n"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .crossJoin(
+            rt.join(ct, "l")
+            .agg(
+                F.coalesce(F.sum(F.expr("r * c")), F.lit(0))
+                .cast("bigint")
+                .alias("chance_mass")
+            )
+        )
+    )
+    return cm.crossJoin(F.broadcast(g)).select(
+        "true_label",
+        "assigned",
+        "n",
+        "n_total",
+        "n_correct",
+        F.expr(
+            "floor(CAST(n_correct AS DOUBLE) / n_total * 1e6 + 0.5) / 1e6"
+        ).alias("accuracy"),
+        F.expr(
+            "floor(CAST(n_total * n_correct - chance_mass AS DOUBLE)"
+            " / (n_total * n_total - chance_mass) * 1e6 + 0.5) / 1e6"
+        ).alias("kappa"),
+    )

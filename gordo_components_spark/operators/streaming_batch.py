@@ -402,3 +402,18 @@ def stream_countmin_genuine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gordo_components_spark.streaming.micro_batch import run_streaming_countmin
 
     return run_streaming_countmin(spark, sf_dir)
+
+
+@register("stream_heavyhitters_genuine", oracle=None)
+def stream_heavyhitters_genuine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine Structured-Streaming Misra–Gries heavy-hitter summary per
+    event_type (rows-only): fixed k-counter state in
+    ``applyInPandasWithState``; the MG guarantee (every key with true
+    frequency > N/k survives; counts understate by ≤ total decrements)
+    is pinned against exact batch counts in tests/test_streaming.py —
+    the streaming companion of ``agg_heavy_hitters``'s sketch pass."""
+    from gordo_components_spark.streaming.micro_batch import (
+        run_streaming_heavy_hitters,
+    )
+
+    return run_streaming_heavy_hitters(spark, sf_dir)

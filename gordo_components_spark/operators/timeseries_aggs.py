@@ -2213,3 +2213,111 @@ def agg_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_SAX_SYM).alias("symbol"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 11: per-tag OLS trend via sufficient statistics
+# ---------------------------------------------------------------------------
+
+_OLS_BASE_HR = 473352  # epoch-hour of 2024-01-01 00:00 UTC (fixture era)
+
+_OLS_STATS = (
+    "CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(x) AS BIGINT) AS sx, "
+    "CAST(sum(y3) AS BIGINT) AS sy, "
+    "CAST(sum(x * x) AS BIGINT) AS sxx, "
+    "CAST(CAST(sum(CAST(x AS DECIMAL(19,0)) * y3) AS DECIMAL(38,0)) AS DOUBLE) AS sxy, "
+    "CAST(CAST(sum(CAST(y3 AS DECIMAL(19,0)) * y3) AS DECIMAL(38,0)) AS DOUBLE) AS syy"
+)
+
+@register(
+    "agg_ols_trend",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT)
+               - {_OLS_BASE_HR} AS x,
+             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS y3
+      FROM events
+    ), st AS (
+      SELECT event_type, {_OLS_STATS}
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           floor((sxy / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                 / (CAST(sxx AS DOUBLE) / n
+                    - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                 / 1000 * 1e6 + 0.5) / 1e6 AS slope_per_hr,
+           floor((CAST(sy AS DOUBLE) / n
+                  - (sxy / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                    / (CAST(sxx AS DOUBLE) / n
+                       - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                    * (CAST(sx AS DOUBLE) / n))
+                 / 1000 * 1e6 + 0.5) / 1e6 AS intercept,
+           floor((sxy / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                 * (sxy / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                 / greatest((CAST(sxx AS DOUBLE) / n
+                             - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                            * (syy / n
+                               - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)),
+                            1e-12)
+                 * 1e6 + 0.5) / 1e6 AS r2
+    FROM st
+    """,
+)
+def agg_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tag ordinary-least-squares trend (slope / intercept / R²) via
+    SUFFICIENT STATISTICS — the parametric companion to the robust
+    ``agg_theil_sen``: one map-side-combinable pass accumulates
+    (n, Σx, Σy, Σx², Σxy, Σy²) per tag and the closing algebra is pure
+    per-row arithmetic, the canonical single-pass regression shape that
+    survives 100 TB (no pair join, no second scan; contrast Theil–Sen's
+    day-pair join).
+
+    Exactness: x is the fixture-era hour index (epoch-hour − fixed
+    literal base → x ≤ ~720), y floor-shifts to milli-integers; Σx²
+    stays ≤ 1e10·n and Σy² routes through DECIMAL(38,0) per the
+    integer-moment rule (Spark wraps int64 SILENTLY, DuckDB raises —
+    CLAUDE.md), with checked-SF magnitudes < 2⁵³ so the DECIMAL→DOUBLE
+    conversion is bit-identical.  The centered-moment chain
+    (Σxy/n − x̄·ȳ etc.) runs per-row IEEE on identical operands; the
+    three outputs are floor-shifted divisions."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.expr(
+            f"CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT) - {_OLS_BASE_HR}"
+        ).alias("x"),
+        F.expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").alias("y3"),
+    )
+    st = pts.groupBy("event_type").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(sum(x) AS BIGINT)").alias("sx"),
+        F.expr("CAST(sum(y3) AS BIGINT)").alias("sy"),
+        F.expr("CAST(sum(x * x) AS BIGINT)").alias("sxx"),
+        F.expr(
+            "CAST(CAST(sum(CAST(x AS DECIMAL(19,0)) * y3) AS DECIMAL(38,0)) AS DOUBLE)"
+        ).alias("sxy"),
+        F.expr(
+            "CAST(CAST(sum(CAST(y3 AS DECIMAL(19,0)) * y3) AS DECIMAL(38,0)) AS DOUBLE)"
+        ).alias("syy"),
+    )
+    mx = "(CAST(sx AS DOUBLE) / n)"
+    my = "(CAST(sy AS DOUBLE) / n)"
+    covxy = f"(sxy / n - {mx} * {my})"
+    covxx = f"(CAST(sxx AS DOUBLE) / n - {mx} * {mx})"
+    covyy = f"(syy / n - {my} * {my})"
+    return st.select(
+        "event_type",
+        "n",
+        F.expr(f"floor({covxy} / {covxx} / 1000 * 1e6 + 0.5) / 1e6").alias(
+            "slope_per_hr"
+        ),
+        F.expr(
+            f"floor(({my} - {covxy} / {covxx} * {mx}) / 1000 * 1e6 + 0.5) / 1e6"
+        ).alias("intercept"),
+        F.expr(
+            f"floor({covxy} * {covxy} / greatest({covxx} * {covyy}, 1e-12)"
+            f" * 1e6 + 0.5) / 1e6"
+        ).alias("r2"),
+    )

@@ -1129,3 +1129,91 @@ def run_streaming_countmin(
     )
     name = f"stream_cm_{uuid.uuid4().hex[:8]}"
     return _run_to_memory(sketch, name, output_mode="complete")
+
+
+def run_streaming_heavy_hitters(
+    spark: SparkSession, sf_dir: str, k: int = 8, single_batch: bool = False
+) -> DataFrame:
+    """Genuine-streaming Misra–Gries heavy hitters: per event_type, a
+    fixed-size k-counter summary of user activity maintained in
+    ``applyInPandasWithState`` across micro-batches — the streaming face
+    of the two-pass batch miner (``agg_heavy_hitters``'s sketch pass).
+    The MG invariant survives merging/slicing: any user whose true count
+    exceeds N/k is guaranteed present in the final candidate set, and
+    each kept counter understates the true count by at most the total
+    decrement mass D (tests/test_streaming.py pins both bounds against
+    exact batch counts).  State is ≤ k (user, count) pairs per tag —
+    fixed-size at any corpus scale."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    prepare(spark)
+    src = _replay_dir(spark, sf_dir)
+    reader = spark.readStream.schema(_RAW_SCHEMA)
+    if not single_batch:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    stream = reader.parquet(src)
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            users, counts, n_seen, decr = state.get
+            mg = dict(zip(users, counts))
+        else:
+            mg, n_seen, decr = {}, 0, 0
+        chunks = list(pdfs)
+        rows = pd.concat(chunks) if chunks else pd.DataFrame()
+        if len(rows):
+            n_seen += len(rows)
+            for uid in rows["user_id"]:
+                uid = int(uid)
+                if uid in mg:
+                    mg[uid] += 1
+                elif len(mg) < k:
+                    mg[uid] = 1
+                else:
+                    # decrement-all step: every counter drops by 1
+                    decr += 1
+                    mg = {u: c - 1 for u, c in mg.items() if c > 1}
+        state.update(
+            (list(mg.keys()), list(mg.values()), int(n_seen), int(decr))
+        )
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": key[0],
+                    "user_id": u,
+                    "mg_count": c,
+                    "n_seen": n_seen,
+                    "n_decrements": decr,
+                }
+                for u, c in sorted(mg.items())
+            ]
+        )
+
+    out = stream.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_type string, user_id bigint, mg_count bigint, "
+            "n_seen bigint, n_decrements bigint"
+        ),
+        stateStructType=(
+            "users array<bigint>, counts array<bigint>, "
+            "n_seen bigint, decr bigint"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stream_mg_{uuid.uuid4().hex[:8]}"
+    res = _run_to_memory(out, name, output_mode="update")
+    # the FINAL sketch is exactly the last emission per tag (every yield
+    # carries the full current sketch stamped with that batch's n_seen);
+    # a per-(tag, user) latest filter would resurrect users evicted in
+    # later batches, so filter to the max-n_seen emission per tag instead
+    return (
+        res.withColumn(
+            "_mx", F.expr("max(n_seen) OVER (PARTITION BY event_type)")
+        )
+        .where(F.col("n_seen") == F.col("_mx"))
+        .select("event_type", "user_id", "mg_count", "n_seen", "n_decrements")
+    )

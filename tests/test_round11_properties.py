@@ -361,3 +361,76 @@ def test_retrieval_eval_matches_pure_python(spark, sf_dir):
         r = out[qid]
         assert (r["n_rel"], r["first_rel_rank"], r["dcg_e9"]) == (n_rel, first, dcg)
         assert r["ndcg"] == ndcg and r["rr"] == rr
+
+
+# -------------------------------------------------- round-11 batch 4 ops
+
+
+def test_ols_trend_matches_numpy(spark, sf_dir):
+    import math
+
+    import numpy as np
+
+    reg = load_all()
+    out = {r["event_type"]: r for r in reg["agg_ols_trend"].fn(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value").toPandas()
+    base = 473352
+    for tag, grp in ev.groupby("event_type"):
+        x = (grp["ts"].astype("int64") // 10**9 // 3600 - base).to_numpy(dtype=np.float64)
+        y = np.floor(grp["value"].to_numpy(dtype=np.float64) * 1000 + 0.5)
+        n = len(x)
+        mx, my = x.sum() / n, y.sum() / n
+        covxy = (x * y).sum() / n - mx * my
+        covxx = (x * x).sum() / n - mx * mx
+        covyy = (y * y).sum() / n - my * my
+        slope = covxy / covxx / 1000
+        intercept = (my - covxy / covxx * mx) / 1000
+        r2 = covxy * covxy / max(covxx * covyy, 1e-12)
+        r = out[tag]
+        assert r["n"] == n
+        assert abs(r["slope_per_hr"] - math.floor(slope * 1e6 + 0.5) / 1e6) <= 2e-6
+        assert abs(r["intercept"] - math.floor(intercept * 1e6 + 0.5) / 1e6) <= 2e-6
+        assert abs(r["r2"] - math.floor(r2 * 1e6 + 0.5) / 1e6) <= 2e-6
+        assert 0.0 <= r["r2"] <= 1.0
+
+
+def test_cluster_assign_kappa_matches_sklearn_free_python(spark, sf_dir):
+    import numpy as np
+
+    reg = load_all()
+    rows = reg["ext_eval_cluster_assign"].fn(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding").collect()
+    labels = sorted({r["label"] for r in emb})
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb}
+    true = {r["vec_id"]: r["label"] for r in emb}
+    cents = {
+        l: np.round(
+            np.mean([vecs[i] for i in vecs if true[i] == l], axis=0), 6
+        )
+        for l in labels
+    }
+    assigned = {}
+    for i, v in vecs.items():
+        best = min(
+            labels,
+            key=lambda l: (int(np.floor((v - cents[l]) ** 2 * 1e9 + 0.5).sum()), l),
+        )
+        assigned[i] = best
+    from collections import Counter
+
+    cm = Counter((true[i], assigned[i]) for i in vecs)
+    n = len(vecs)
+    correct = sum(c for (t, a), c in cm.items() if t == a)
+    rt = Counter(true.values())
+    ct = Counter(assigned.values())
+    chance = sum(rt[l] * ct.get(l, 0) for l in labels)
+    import math
+
+    acc = math.floor(correct / n * 1e6 + 0.5) / 1e6
+    kappa = math.floor((n * correct - chance) / (n * n - chance) * 1e6 + 0.5) / 1e6
+    got = {(r["true_label"], r["assigned"]): r["n"] for r in rows}
+    assert got == dict(cm)
+    for r in rows:
+        assert (r["n_total"], r["n_correct"]) == (n, correct)
+        assert r["accuracy"] == acc and r["kappa"] == kappa
+        assert -1.0 <= r["kappa"] <= 1.0

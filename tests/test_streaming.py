@@ -589,3 +589,45 @@ def test_countmin_stream_batch_parity(spark, sf_dir):
     }
     assert streamed == batch
     assert sum(streamed.values()) % _CM_D == 0
+
+
+def test_heavy_hitters_stream_mg_bounds(spark, sf_dir):
+    # Misra-Gries guarantees vs exact batch counts: (a) n_seen is the
+    # exact per-tag total, (b) every kept counter UNDERSTATES its true
+    # count by at most the decrement mass, (c) any user with true count
+    # > N/k must be in the candidate set, (d) at most k counters per tag.
+    from gordo_components_spark.streaming.micro_batch import (
+        run_streaming_heavy_hitters,
+    )
+
+    k = 8
+    rows = run_streaming_heavy_hitters(spark, sf_dir, k=k).collect()
+    exact: dict = {}
+    totals: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .count()
+        .collect()
+    ):
+        exact[(r["event_type"], r["user_id"])] = r["count"]
+        totals[r["event_type"]] = totals.get(r["event_type"], 0) + r["count"]
+    by_tag: dict = {}
+    for r in rows:
+        by_tag.setdefault(r["event_type"], []).append(r)
+    assert set(by_tag) == set(totals)
+    for tag, rs in by_tag.items():
+        assert len(rs) <= k
+        n_seen = rs[0]["n_seen"]
+        decr = rs[0]["n_decrements"]
+        assert n_seen == totals[tag]
+        cand = set()
+        for r in rs:
+            assert r["n_seen"] == n_seen and r["n_decrements"] == decr
+            true = exact[(tag, r["user_id"])]
+            assert r["mg_count"] <= true
+            assert true <= r["mg_count"] + decr
+            cand.add(r["user_id"])
+        for (t, uid), c in exact.items():
+            if t == tag and c * k > n_seen:
+                assert uid in cand

@@ -221,6 +221,9 @@ HEAVY = (
     "agg_sax_symbols",
     "join_skew_salted",
     "ext_eval_retrieval",
+    # round 11 batch 4: the nearest-centroid eval's marginal SMJ +
+    # embeddings-derived centroid broadcast
+    "ext_eval_cluster_assign",
 )
 
 # Join-bearing queries that are deliberately NOT rehearsed, with the
