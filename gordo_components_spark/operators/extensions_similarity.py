@@ -1544,15 +1544,15 @@ _P_SQL = "[" + ", ".join(f"CAST({p} AS BIGINT)" for p in _NDCG_P) + "]"
                   AS BIGINT) AS dcg_e9
       FROM topk GROUP BY qid
     )
-    SELECT m.qid, r.n_rel,
+    SELECT m.qid, CAST(coalesce(r.n_rel, 0) AS BIGINT) AS n_rel,
            CAST(coalesce(m.first_rel_rank, 0) AS INT) AS first_rel_rank,
            m.dcg_e9,
            floor(CAST(m.dcg_e9 AS DOUBLE)
-                 / {_P_SQL}[CAST(least(r.n_rel, {_EVAL_K}) AS INT)]
+                 / {_P_SQL}[CAST(greatest(least(coalesce(r.n_rel, 0), {_EVAL_K}), 1) AS INT)]
                  * 1e6 + 0.5) / 1e6 AS ndcg,
            CASE WHEN m.first_rel_rank IS NULL THEN 0.0
                 ELSE floor(1e6 / m.first_rel_rank + 0.5) / 1e6 END AS rr
-    FROM m JOIN rel_total r ON r.qid = m.qid
+    FROM m LEFT JOIN rel_total r ON r.qid = m.qid
     """,
 )
 def ext_eval_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1646,15 +1646,19 @@ def ext_eval_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dcg_e9"),
     )
     return (
-        m.join(rel_total, "qid")
+        m.join(rel_total, "qid", "left")
+        .withColumn("n_rel", F.coalesce("n_rel", F.lit(0)).cast("bigint"))
         .select(
             "qid",
             "n_rel",
             F.coalesce("first_rel", F.lit(0)).cast("int").alias("first_rel_rank"),
             "dcg_e9",
+            # greatest(..., 1): a query whose label has no other member
+            # (n_rel = 0) must yield ndcg 0, not a 0-index array error
+            # (dcg is 0 by construction in that case)
             F.expr(
                 f"floor(CAST(dcg_e9 AS DOUBLE)"
-                f" / element_at({_P_ARR}, CAST(least(n_rel, {_EVAL_K}) AS INT))"
+                f" / element_at({_P_ARR}, CAST(greatest(least(n_rel, {_EVAL_K}), 1) AS INT))"
                 f" * 1e6 + 0.5) / 1e6"
             ).alias("ndcg"),
             F.expr(

@@ -110,6 +110,26 @@ _WINDOW_EXEMPT: dict[str, dict] = {
         "reason": "prefix over the per-bucket count histogram (the 16-bit "
         "md5 bucket domain is FIXED at <= 65536 rows at any corpus size)",
     },
+    # The two entries below were latently exempt-worthy all along: the
+    # committed r11 PLAN_AUDIT.json predates the first-detail-block
+    # parser fix (the windows' input scan was the skipped FIRST block,
+    # so their frames looked corpus-free and the guard never fired).
+    # Both windows run over the per-SOURCE aggregate frame — the
+    # apportionment/mixture DOMAIN, one row per distinct source, the
+    # same histogram-frame class as the three entries above.
+    "pipe_budget_apportion": {
+        "count": 3,
+        "reason": "total/leftover/remainder-rank windows over the "
+        "per-source token aggregate (one row per distinct source; the "
+        "apportionment frame IS the source domain, ~sqrt-of-corpus "
+        "cardinality at worst — 20 rows at the checked SFs)",
+    },
+    "pipe_mixture_temperature": {
+        "count": 2,
+        "reason": "running-sum + total windows over the per-source "
+        "mixture frame (one row per distinct source; the temperature "
+        "reweighting domain, same class as budget apportionment)",
+    },
 }
 
 
