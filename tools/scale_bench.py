@@ -224,6 +224,11 @@ HEAVY = (
     # round 11 batch 4: the nearest-centroid eval's marginal SMJ +
     # embeddings-derived centroid broadcast
     "ext_eval_cluster_assign",
+    # round 11: the first-detail-block parser fix exposed this
+    # pre-existing orders-derived broadcast build (the old census
+    # skipped the plan's first scan block, so the widened guard never
+    # saw it) — rehearsed wholesale per the r10 policy
+    "join_range_theta",
 )
 
 # Join-bearing queries that are deliberately NOT rehearsed, with the
@@ -357,6 +362,14 @@ DECADE2 = (
     "tpch_q15",
     # round 11: near-dup family membership (DECADE2_FAMILY)
     "ext_media_phash_neardup",
+    # round 11 session 2: fresh first-decade ratios >= 2.5 (regenerated
+    # BENCH_sf1.json) — two new ops, one parser-fix exposee, and two
+    # older faces whose ratios drifted over the floor on the new run
+    "agg_rolling_distinct",
+    "join_fuzzy_levenshtein",
+    "join_range_theta",
+    "join_skew_salted",
+    "pipe_curriculum_rank",
 )
 
 
