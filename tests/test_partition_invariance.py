@@ -58,6 +58,23 @@ QUERIES = [
     "ext_hybrid_rrf",
     "agg_time_weighted_avg",
     "pipe_curriculum_rank",
+    # round 11 session 2: the decimal-PAA symbol cut (z chain must see
+    # the same exact ints at any layout), the sufficient-statistics OLS
+    # (decimal-routed moments), the e9 covariance cells, the two eval
+    # faces (rank/argmin tie rules are part of the contract), the
+    # integer-census triangle count, the CM sketch (pure ints — pins
+    # the hash/cell algebra), the salted join (decimal cents through a
+    # replicated build), and the driver-fold PCA projection (collect
+    # order of the 2080 covariance rows must not matter)
+    "agg_sax_symbols",
+    "agg_ols_trend",
+    "ext_embed_covariance",
+    "ext_eval_retrieval",
+    "ext_eval_cluster_assign",
+    "ext_graph_triangles",
+    "agg_countmin_estimate",
+    "join_skew_salted",
+    "ext_embed_pca_project",
 ]
 
 
