@@ -1394,6 +1394,7 @@ def pipe_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     el = "element_at(t, CAST({0} AS INT))"
     stat_rows = []
+    n_tokens_before = toks.agg(F.sum(F.size("t"))).collect()[0][0]
     for i in range(1, _BPE_ITERS + 1):
         pos = toks.where(F.expr("size(t) >= 2")).select(
             "doc_id", "t", F.explode(F.expr("sequence(1, size(t) - 1)")).alias("p")
@@ -1407,73 +1408,57 @@ def pipe_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("c"))
         )
         # best (explode + groupBy + TakeOrdered over the corpus) feeds
-        # match, qrows AND stat_i; m (two windows over match) feeds the
-        # mq join, the mp join and the merges count — unpersisted, each
-        # consumer re-ran the whole upstream pass (~5 redundant corpus
-        # aggregations per iteration, measured 17.5 s → ~8 s at sf0.1)
+        # the rebuild AND stat_i — persisted so neither consumer re-runs
+        # the pair-count pass
         best = persist_tracked(cnt.orderBy(F.desc("c"), "lhs", "rhs").limit(1))
-        match = (
-            pos.crossJoin(F.broadcast(best))
-            .where(
-                (F.expr(el.format("p")) == F.col("lhs"))
-                & (F.expr(el.format("p + 1")) == F.col("rhs"))
-            )
-            .select("doc_id", "p")
-        )
-        m = (
-            match.select(
-                "doc_id",
-                "p",
-                F.expr("p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p)").alias("grp"),
-            )
-            .select(
-                "doc_id",
-                "p",
-                F.expr("ROW_NUMBER() OVER (PARTITION BY doc_id, grp ORDER BY p)").alias("rn"),
-            )
-            .where(F.col("rn") % 2 == 1)
-            .select("doc_id", "p")
-        )
-        m = persist_tracked(m)
-        mq = m.select(F.col("doc_id").alias("mq_doc"), F.col("p").alias("mq_p"))
-        mp = m.select(F.col("doc_id").alias("mp_doc"), F.col("p").alias("mp_p"))
-        qrows = (
-            toks.select("doc_id", "t", F.explode(F.expr("sequence(1, size(t))")).alias("q"))
-            .crossJoin(F.broadcast(best))
-            .join(mq, (F.col("doc_id") == F.col("mq_doc")) & (F.col("mq_p") == F.col("q")), "left")
-            .join(mp, (F.col("doc_id") == F.col("mp_doc")) & (F.col("mp_p") == F.col("q") - 1), "left")
-            .where(F.col("mp_p").isNull())
-            .select(
-                "doc_id",
-                "q",
-                F.when(
-                    F.col("mq_p").isNotNull(),
-                    F.concat(F.col("lhs"), F.lit(_BPE_SEP), F.col("rhs")),
-                )
-                .otherwise(F.expr(el.format("q")))
-                .alias("tok"),
-            )
+        # Greedy left-to-right single-rank application as a MAP-ONLY
+        # carry-fold per document (r11 session-2 rewrite of the
+        # match-join + double-window + explode-regroup rebuild: same
+        # greedy semantics — the carry holds the one pending token, a
+        # (carry=lhs, x=rhs) hit emits the merged token and clears the
+        # carry, so runs of the same pair merge at odd positions exactly
+        # like the old gaps-and-islands selection; verified by the
+        # unchanged CTE-chain oracle and the independent pure-python BPE
+        # parity test).  Zero joins, zero windows, zero shuffles in the
+        # rebuild — one projection over the cached token frame.  The
+        # fold appends one token at a time (O(len²) array copying per
+        # doc worst-case) — fine for document token counts ≤ ~10⁴; a
+        # longer-form corpus would chunk first (pipe_chunk_windows).
+        fold = (
+            "aggregate(t, "
+            "named_struct('acc', CAST(array() AS array<string>), "
+            "'carry', CAST(array() AS array<string>)), "
+            "(s, x) -> CASE "
+            "WHEN size(s.carry) = 0 "
+            "THEN named_struct('acc', s.acc, 'carry', array(x)) "
+            "WHEN element_at(s.carry, 1) = lhs AND x = rhs "
+            "THEN named_struct('acc', array_append(s.acc, "
+            f"concat(lhs, '{_BPE_SEP}', rhs)), "
+            "'carry', CAST(array() AS array<string>)) "
+            "ELSE named_struct('acc', array_append(s.acc, element_at(s.carry, 1)), "
+            "'carry', array(x)) END, "
+            "s -> CASE WHEN size(s.carry) = 0 THEN s.acc "
+            "ELSE array_append(s.acc, element_at(s.carry, 1)) END)"
         )
         new_toks = persist_tracked(
-            qrows.groupBy("doc_id").agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(q, tok))), x -> x.tok)"
-                ).alias("t")
-            )
+            toks.crossJoin(F.broadcast(best))
+            .select("doc_id", F.expr(fold).alias("t"))
         )
-        merges = m.agg(F.count(F.lit(1)).cast("bigint").alias("merges_applied"))
         after = new_toks.agg(
             F.sum(F.size("t")).cast("bigint").alias("n_tokens_after")
         )
+        # merges_applied = token-count delta (each applied merge removes
+        # exactly one token); n_tokens_before is tracked on the driver
         stat_i = (
-            best.crossJoin(F.broadcast(merges))
-            .crossJoin(F.broadcast(after))
+            best.crossJoin(F.broadcast(after))
             .select(
                 F.lit(i).alias("it"),
                 "lhs",
                 "rhs",
                 F.col("c").cast("bigint").alias("pair_count"),
-                "merges_applied",
+                (F.lit(n_tokens_before) - F.col("n_tokens_after"))
+                .cast("bigint")
+                .alias("merges_applied"),
                 "n_tokens_after",
             )
         )
@@ -1493,12 +1478,13 @@ def pipe_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exactly as the old lazy union produced fewer rows (r10
         # advisory, low).
         rows = stat_i.collect()
-        for dead in (toks, best, m):
+        for dead in (toks, best):
             dead.unpersist()
         if not rows:
             new_toks.unpersist()
             break
         stat_rows.append(rows[0])
+        n_tokens_before = rows[0]["n_tokens_after"]
         toks = new_toks
     toks.unpersist()
     return spark.createDataFrame(
