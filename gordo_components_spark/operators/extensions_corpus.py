@@ -2461,7 +2461,16 @@ def ext_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity re-verifies collision-freedom); the per-block ≤ {_TRI_MAX_BLOCK}
     cap bounds pair fanout per key, and every join key is an id/digest —
     no text shuffles.  Counts are exact ints; the one ratio is a single
-    floor-shifted division on identical operands."""
+    floor-shifted division on identical operands.
+
+    Collision budget (the dedup-family convention): a 64-bit block hash
+    over B distinct blocks expects ~B²/2⁶⁵ spurious block collisions —
+    at sf10 (~10⁷ docs · ~60 blocks ≈ 6e8 distinct blocks) that is
+    ~0.01 expected collisions corpus-wide, and one collision perturbs at
+    most {_TRI_MAX_BLOCK}·({_TRI_MAX_BLOCK}−1)/2 edges out of millions.
+    Parity at the checked SFs verifies zero collisions there; beyond
+    ~2³² blocks (birthday bound) switch the key to sha2-truncated-128
+    like ``ext_dedup_exact``'s digest index."""
     docs = load_table(spark, sf_dir, "documents")
     blocks = (
         docs.select("doc_id", F.split("text", " ").alias("tk"))

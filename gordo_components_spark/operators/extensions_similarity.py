@@ -1349,10 +1349,10 @@ _DIM = 64  # fixture embedding dimensionality (embeddings.parquet FLOAT[64])
     )
     SELECT i, j,
            CAST(sum(xy9) AS BIGINT) AS sxy_e9,
-           round((CAST(sum(xy9) AS DOUBLE) / 1e9
+           floor((CAST(sum(xy9) AS DOUBLE) / 1e9
                   - (CAST(sum(x9) AS DOUBLE) / 1e9)
                     * (CAST(sum(y9) AS DOUBLE) / 1e9) / count(*))
-                 / count(*), 9) AS cov
+                 / count(*) * 1e9 + 0.5) / 1e9 AS cov
     FROM terms
     GROUP BY i, j
     """,
@@ -1373,7 +1373,8 @@ def ext_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|x| < 1 so |x*y*1e9| < 1e9 per term; 2^53/1e9 ~ 9e6 rows headroom
     at the checked SFs), so sums are exact integer addition on both
     engines; the closing cov chain is per-row IEEE on identical
-    operands, then ROUND(.., 9) per the registry convention."""
+    operands, closed with floor(x*1e9+0.5)/1e9 (the registry's half-tie
+    convention — round() half-tie algorithms differ across engines)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
     )
@@ -1409,15 +1410,22 @@ def ext_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i",
             "j",
             "sxy_e9",
-            F.round(
-                (
-                    F.col("sxy_e9").cast("double") / F.lit(1e9)
-                    - (F.col("_sx").cast("double") / F.lit(1e9))
-                    * (F.col("_sy").cast("double") / F.lit(1e9))
+            # floor-shift close (round-12, per the registry half-tie rule —
+            # Spark and DuckDB round() disagree on half ties; floor(x*1e9+0.5)
+            # is the identical-IEEE-chain convention every other ratio uses)
+            (
+                F.floor(
+                    (
+                        F.col("sxy_e9").cast("double") / F.lit(1e9)
+                        - (F.col("_sx").cast("double") / F.lit(1e9))
+                        * (F.col("_sy").cast("double") / F.lit(1e9))
+                        / F.col("_n")
+                    )
                     / F.col("_n")
+                    * F.lit(1e9)
+                    + F.lit(0.5)
                 )
-                / F.col("_n"),
-                9,
+                / F.lit(1e9)
             ).alias("cov"),
         )
     )
@@ -1464,8 +1472,11 @@ def ext_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu = np.zeros(_DIM)
     for r in m1:
         mu[r["d"]] = r["mu"]
-    w_lit = "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in w) + ")"
-    mu_lit = "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in mu) + ")"
+    # repr(float(x)), not repr(x): under numpy >= 2.0 repr(np.float64)
+    # yields 'np.float64(0.5)' which is invalid SQL; plain-float repr is
+    # shortest-roundtrip and version-stable.
+    w_lit = "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in w) + ")"
+    mu_lit = "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in mu) + ")"
     scored = emb.select(
         "vec_id",
         "label",

@@ -2245,19 +2245,20 @@ _OLS_STATS = (
     )
     SELECT event_type, n,
            floor((sxy / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
-                 / (CAST(sxx AS DOUBLE) / n
-                    - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                 / greatest(CAST(sxx AS DOUBLE) / n
+                    - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n), 1e-12)
                  / 1000 * 1e6 + 0.5) / 1e6 AS slope_per_hr,
            floor((CAST(sy AS DOUBLE) / n
                   - (sxy / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
-                    / (CAST(sxx AS DOUBLE) / n
-                       - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                    / greatest(CAST(sxx AS DOUBLE) / n
+                       - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n), 1e-12)
                     * (CAST(sx AS DOUBLE) / n))
                  / 1000 * 1e6 + 0.5) / 1e6 AS intercept,
            floor((sxy / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
                  * (sxy / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
-                 / greatest((CAST(sxx AS DOUBLE) / n
-                             - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                 / greatest(greatest(CAST(sxx AS DOUBLE) / n
+                             - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n),
+                             1e-12)
                             * (syy / n
                                - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)),
                             1e-12)
@@ -2281,7 +2282,16 @@ def agg_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     CLAUDE.md), with checked-SF magnitudes < 2⁵³ so the DECIMAL→DOUBLE
     conversion is bit-identical.  The centered-moment chain
     (Σxy/n − x̄·ȳ etc.) runs per-row IEEE on identical operands; the
-    three outputs are floor-shifted divisions."""
+    three outputs are floor-shifted divisions.
+
+    Headroom guard (round 12): the DECIMAL→DOUBLE conversions are only
+    bit-identical across engines while |Σ| < 2⁵³ — the tightest margin in
+    the repo (Σy² ≈ 6.3e15 at sf0.1 vs the 9.0e15 bound).  A fixture
+    regeneration with a wider value range or a different era (growing x)
+    would erode it SILENTLY, so the closing select fails loud via
+    ``raise_error`` whenever any moment crosses 9.0e15 — parity-neutral
+    (the oracle needs no twin: when the guard passes, outputs are
+    untouched; when it trips, the run aborts instead of drifting)."""
     ev = load_table(spark, sf_dir, "events")
     pts = ev.select(
         "event_type",
@@ -2290,6 +2300,13 @@ def agg_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("x"),
         F.expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").alias("y3"),
     )
+    return _ols_from_points(pts)
+
+
+def _ols_from_points(pts: DataFrame) -> DataFrame:
+    """Sufficient-stats OLS over a (group, x, y3) frame — split out so the
+    headroom guard can be pinned by a pytest that feeds an out-of-bound
+    synthetic frame (tests/test_round12_properties.py)."""
     st = pts.groupBy("event_type").agg(
         F.expr("CAST(count(*) AS BIGINT)").alias("n"),
         F.expr("CAST(sum(x) AS BIGINT)").alias("sx"),
@@ -2305,11 +2322,24 @@ def agg_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = "(CAST(sx AS DOUBLE) / n)"
     my = "(CAST(sy AS DOUBLE) / n)"
     covxy = f"(sxy / n - {mx} * {my})"
-    covxx = f"(CAST(sxx AS DOUBLE) / n - {mx} * {mx})"
+    covxx = f"greatest(CAST(sxx AS DOUBLE) / n - {mx} * {mx}, 1e-12)"
     covyy = f"(syy / n - {my} * {my})"
+    # Fail-loud headroom guard on every >2⁵³-sensitive moment (see
+    # docstring).  abs(sxy) — covariance can be negative; sxx is BIGINT
+    # (int64→double is a single IEEE instruction, identical everywhere)
+    # but its magnitude growing past 9e15 signals era drift, so it is
+    # guarded too.
+    n_guarded = (
+        "CASE WHEN syy < 9.0e15 AND abs(sxy) < 9.0e15"
+        " AND CAST(sxx AS DOUBLE) < 9.0e15 THEN n"
+        " ELSE CAST(raise_error(concat("
+        "'agg_ols_trend: integer-moment headroom exceeded (fixture drift?)"
+        " syy=', CAST(syy AS STRING), ' sxy=', CAST(sxy AS STRING),"
+        " ' sxx=', CAST(sxx AS STRING))) AS BIGINT) END"
+    )
     return st.select(
         "event_type",
-        "n",
+        F.expr(n_guarded).alias("n"),
         F.expr(f"floor({covxy} / {covxx} / 1000 * 1e6 + 0.5) / 1e6").alias(
             "slope_per_hr"
         ),
