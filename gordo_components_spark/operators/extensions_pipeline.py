@@ -1350,6 +1350,101 @@ _BPE_ORACLE = (
 )
 
 
+_BPE_FOLD_CHUNK = 512  # segment size of the long-document rebuild fold
+
+
+def _bpe_simple_fold(arr: str, lhs: str = "lhs", rhs: str = "rhs") -> str:
+    """The r11 carry-fold: greedy left-to-right single-rank merge
+    application over one token array.  The carry holds the one pending
+    token; a (carry=lhs, x=rhs) hit emits the merged token and clears
+    the carry, so runs of the same pair merge at odd positions exactly
+    like the old gaps-and-islands selection."""
+    empty = "CAST(array() AS array<string>)"
+    return (
+        f"aggregate({arr}, "
+        f"named_struct('acc', {empty}, 'carry', {empty}), "
+        "(s, x) -> CASE "
+        "WHEN size(s.carry) = 0 "
+        "THEN named_struct('acc', s.acc, 'carry', array(x)) "
+        f"WHEN element_at(s.carry, 1) = {lhs} AND x = {rhs} "
+        "THEN named_struct('acc', array_append(s.acc, "
+        f"concat({lhs}, '{_BPE_SEP}', {rhs})), "
+        f"'carry', {empty}) "
+        "ELSE named_struct('acc', array_append(s.acc, element_at(s.carry, 1)), "
+        "'carry', array(x)) END, "
+        "s -> CASE WHEN size(s.carry) = 0 THEN s.acc "
+        "ELSE array_append(s.acc, element_at(s.carry, 1)) END)"
+    )
+
+
+def _bpe_fold_sql(t: str = "t", lhs: str = "lhs", rhs: str = "rhs") -> str:
+    """Greedy single-rank BPE merge application, sub-quadratic in
+    document length (round 12; VERDICT r11 what's-wrong #1).
+
+    The r11 carry-fold re-materializes its whole (acc, carry) state
+    every step, so one aggregate over an n-token document is O(n²)
+    copying — measured 193 s for a single 10⁵-token doc.  The fix keeps
+    the SEQUENTIAL state bounded: documents longer than
+    {2·_BPE_FOLD_CHUNK} tokens are pre-split at MERGE-SAFE boundaries
+    into ~{_BPE_FOLD_CHUNK}-token segments, each segment runs the
+    unchanged r11 fold independently inside a parallel ``transform``
+    (per-step state ≤ segment length), and the results flatten — total
+    O(n·C) instead of O(n²), still map-only, zero joins/windows.
+
+    Merge-safe boundary after position b (1-indexed), by case:
+    - (t[b], t[b+1]) is not a match site: the concatenated fold would
+      emit the pending carry unmerged at the junction either way, so a
+      fresh fold on the right half is state-identical.
+    - match site, lhs ≠ rhs: two match sites can never be adjacent
+      (t[b+1] would have to equal both lhs and rhs), so b−1 is not a
+      site — cut there.
+    - match site, lhs = rhs (inside a same-token run): greedy pairing
+      always starts at the run's first token, so a cut with an EVEN
+      number of run tokens before it lands exactly between greedy pairs
+      (carry empty at the crossing); odd parity shifts the cut one left
+      (b = run start gives one-before-the-run, a non-site).
+    Adjustments are at most one position, so cuts stay strictly
+    increasing and every segment is nonempty.  Short documents (every
+    fixture doc: ≤ 100 tokens) take the identical r11 single-fold path.
+    Parity with a sequential pure-python merge is pinned for all three
+    boundary cases on a 10⁵-token document in
+    tests/test_operators_semantics.py."""
+    C = _BPE_FOLD_CHUNK
+    b = f"ck * {C}"
+    # run start p = 1 + last non-lhs position before b (0 if none)
+    runlen = (
+        f"({b} - coalesce(array_max(filter(sequence(1, {b} - 1), "
+        f"fi -> element_at({t}, fi) != {lhs})), 0))"
+    )
+    adjusted = (
+        f"CASE WHEN NOT (element_at({t}, {b}) = {lhs} "
+        f"AND element_at({t}, {b} + 1) = {rhs}) THEN {b} "
+        f"WHEN {lhs} != {rhs} THEN {b} - 1 "
+        f"WHEN pmod({runlen}, 2) = 0 THEN {b} "
+        f"ELSE {b} - 1 END"
+    )
+    bnd = (
+        f"concat(array(0), "
+        f"transform(sequence(1, CAST(floor((size({t}) - 1) / {C}) AS INT)), "
+        f"ck -> {adjusted}), array(size({t})))"
+    )
+    seg = (
+        f"slice({t}, element_at(bnd, si) + 1, "
+        f"element_at(bnd, si + 1) - element_at(bnd, si))"
+    )
+    # transform-over-singleton scopes `bnd` as a let-binding so the
+    # boundary array (and its run-parity scans) evaluates exactly once
+    chunked = (
+        f"element_at(transform(array({bnd}), bnd -> "
+        f"flatten(transform(sequence(1, size(bnd) - 1), si -> "
+        f"{_bpe_simple_fold(seg, lhs, rhs)}))), 1)"
+    )
+    return (
+        f"CASE WHEN size({t}) <= {2 * C} THEN {_bpe_simple_fold(t, lhs, rhs)} "
+        f"ELSE {chunked} END"
+    )
+
+
 @register("pipe_bpe_merges", oracle=_BPE_ORACLE)
 def pipe_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-vocabulary induction — BPE's training loop run as
@@ -1412,37 +1507,12 @@ def pipe_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the pair-count pass
         best = persist_tracked(cnt.orderBy(F.desc("c"), "lhs", "rhs").limit(1))
         # Greedy left-to-right single-rank application as a MAP-ONLY
-        # carry-fold per document (r11 session-2 rewrite of the
-        # match-join + double-window + explode-regroup rebuild: same
-        # greedy semantics — the carry holds the one pending token, a
-        # (carry=lhs, x=rhs) hit emits the merged token and clears the
-        # carry, so runs of the same pair merge at odd positions exactly
-        # like the old gaps-and-islands selection; verified by the
-        # unchanged CTE-chain oracle and the independent pure-python BPE
-        # parity test).  Zero joins, zero windows, zero shuffles in the
-        # rebuild — one projection over the cached token frame.  The
-        # fold appends one token at a time (O(len²) array copying per
-        # doc worst-case) — fine for document token counts ≤ ~10⁴; a
-        # longer-form corpus would chunk first (pipe_chunk_windows).
-        fold = (
-            "aggregate(t, "
-            "named_struct('acc', CAST(array() AS array<string>), "
-            "'carry', CAST(array() AS array<string>)), "
-            "(s, x) -> CASE "
-            "WHEN size(s.carry) = 0 "
-            "THEN named_struct('acc', s.acc, 'carry', array(x)) "
-            "WHEN element_at(s.carry, 1) = lhs AND x = rhs "
-            "THEN named_struct('acc', array_append(s.acc, "
-            f"concat(lhs, '{_BPE_SEP}', rhs)), "
-            "'carry', CAST(array() AS array<string>)) "
-            "ELSE named_struct('acc', array_append(s.acc, element_at(s.carry, 1)), "
-            "'carry', array(x)) END, "
-            "s -> CASE WHEN size(s.carry) = 0 THEN s.acc "
-            "ELSE array_append(s.acc, element_at(s.carry, 1)) END)"
-        )
+        # chunk-rotated carry-fold per document (_bpe_fold_sql) — zero
+        # joins, zero windows, zero shuffles in the rebuild: one
+        # projection over the cached token frame.
         new_toks = persist_tracked(
             toks.crossJoin(F.broadcast(best))
-            .select("doc_id", F.expr(fold).alias("t"))
+            .select("doc_id", F.expr(_bpe_fold_sql()).alias("t"))
         )
         after = new_toks.agg(
             F.sum(F.size("t")).cast("bigint").alias("n_tokens_after")
