@@ -189,3 +189,189 @@ def test_commit_append_txn_idempotence(spark, frames, tmp_path):
     v2 = t.commit_append(b, txn_id="batch-1")
     assert v2 == 2
     assert t.read(spark).count() == 20  # a + b, not a + a + b
+
+
+# -- file-granular commits (round 12; VERDICT r11 what's-missing #1) ------
+
+
+def _inode_map(root, rels):
+    """(rel dir -> {filename: (inode, mtime_ns)}) for every parquet part."""
+    out = {}
+    for rel in rels:
+        d = os.path.join(root, rel)
+        out[rel] = {
+            f: (os.stat(os.path.join(d, f)).st_ino, os.stat(os.path.join(d, f)).st_mtime_ns)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+    return out
+
+
+@pytest.fixture()
+def clustered_tbl(spark, tmp_path):
+    # 400 rows, k = 0..99, clustered on k into 8 range-band dirs
+    df = spark.range(400).selectExpr("id", "CAST(id % 100 AS BIGINT) AS k")
+    t = ManifestTable(str(tmp_path / "tbl"))
+    assert t.commit_clustered(df, "k", n_dirs=8) == 1
+    return t
+
+
+def test_commit_clustered_layout_stats_and_roundtrip(spark, clustered_tbl):
+    t = clustered_tbl
+    man = t.manifest(1)
+    rels = man["snapshots"]
+    assert len(rels) == 8
+    stats = man["dir_stats"]
+    for rel in rels:
+        mn, mx = stats[rel]["k"]
+        assert 0 <= mn <= mx <= 99
+    # bands are disjoint and ordered
+    bounds = sorted(tuple(stats[r]["k"]) for r in rels)
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(bounds, bounds[1:]):
+        assert a_hi < b_lo
+    # the union reads back every row, band column dropped
+    got = t.read(spark)
+    assert got.columns == ["id", "k"]
+    assert sorted(r.id for r in got.collect()) == list(range(400))
+
+
+def test_granular_delete_rewrites_only_covering_dirs(spark, clustered_tbl):
+    # THE untouched-inode pin: a key-scoped erasure with stats pruning
+    # must carry every non-covering dir into the new version by
+    # REFERENCE — identical path, identical inode, identical mtime — and
+    # rewrite only the band(s) whose [min, max] interval covers the keys.
+    t = clustered_tbl
+    v1_rels = t.manifest(1)["snapshots"]
+    before = _inode_map(t.root, v1_rels)
+    assert t.commit_delete(spark, "k IN (7, 11)", prune=("k", [7, 11])) == 2
+    man = t.manifest(2)
+    # 7 and 11 share the low band: exactly one dir removed, one added
+    assert len(man["removed"]) == 1 and len(man["added"]) == 1
+    untouched = [r for r in man["snapshots"] if r in v1_rels]
+    assert len(untouched) == 7
+    after = _inode_map(t.root, untouched)
+    for rel in untouched:
+        assert after[rel] == before[rel], f"{rel} was rewritten"
+    # rewritten band inherits the old (still-valid) stats bounds
+    assert man["dir_stats"][man["added"][0]]["k"] == t.manifest(1)["dir_stats"][
+        man["removed"][0]
+    ]["k"]
+    # correctness: exactly the k=7 and k=11 rows are gone; v1 untouched
+    got = sorted(r.k for r in t.read(spark).collect())
+    assert 7 not in got and 11 not in got
+    assert len(got) == 400 - 8
+    assert t.read(spark, version=1).count() == 400
+
+
+def test_granular_delete_probe_keeps_statless_dirs(spark, frames, tmp_path):
+    # dirs without stats (plain appends) fall back to the LIMIT-1
+    # existence probe: a no-match dir is kept by reference, not rewritten.
+    a, b = frames  # a: v = 2*id (even), b: v = 3*id
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit_append(a)
+    t.commit_append(b)
+    rels = t.manifest(2)["snapshots"]
+    before = _inode_map(t.root, rels)
+    # v = 9 exists only in b (3*3); a has only even values
+    assert t.commit_delete(spark, "v = 9") == 3
+    man = t.manifest(3)
+    assert man["removed"] == [rels[1]] and len(man["added"]) == 1
+    assert rels[0] in man["snapshots"]
+    assert _inode_map(t.root, [rels[0]]) == {rels[0]: before[rels[0]]}
+    assert t.read(spark).count() == 19
+
+
+def test_granular_delete_drops_fully_erased_dir(spark, clustered_tbl):
+    # erasing a whole band is RemoveFile with no AddFile: the dir leaves
+    # the list entirely and the data remains only in history.
+    t = clustered_tbl
+    lo_rel = min(
+        t.manifest(1)["snapshots"], key=lambda r: t.manifest(1)["dir_stats"][r]["k"][0]
+    )
+    lo, hi = t.manifest(1)["dir_stats"][lo_rel]["k"]
+    assert t.commit_delete(spark, f"k BETWEEN {lo} AND {hi}") == 2
+    man = t.manifest(2)
+    assert lo_rel not in man["snapshots"]
+    assert man["removed"] == [lo_rel] and man["added"] == []
+    assert t.read(spark).where(f"k BETWEEN {lo} AND {hi}").count() == 0
+    assert t.read(spark, version=1).count() == 400
+
+
+def test_granular_delete_partial_commit_crash_is_invisible(spark, clustered_tbl, monkeypatch):
+    # the partial-commit kill window: rewrite dirs written, CAS never
+    # reached — readers still see v1 bit-exactly; the orphan rewrite dir
+    # is vacuumable garbage; a clean retry then succeeds.
+    t = clustered_tbl
+
+    def boom(prepared):
+        raise KeyboardInterrupt("crash before CAS")
+
+    monkeypatch.setattr(t, "publish", boom)
+    with pytest.raises(KeyboardInterrupt):
+        t.commit_delete(spark, "k IN (7)", prune=("k", [7]))
+    monkeypatch.undo()
+    reader = ManifestTable(t.root)
+    assert reader.current_version() == 1
+    assert reader.read(spark).count() == 400
+    orphans = [
+        d for d in os.listdir(os.path.join(t.root, "snapshots")) if d.startswith("delete-")
+    ]
+    assert orphans  # the written-but-unpublished rewrite dir
+    t.vacuum(keep_last=2)
+    assert not any(
+        d.startswith("delete-")
+        for d in os.listdir(os.path.join(t.root, "snapshots"))
+    )
+    assert t.commit_delete(spark, "k IN (7)", prune=("k", [7])) == 2
+    assert t.read(spark).where("k = 7").count() == 0
+
+
+def test_granular_delete_cas_race_rederives_from_new_head(spark, clustered_tbl):
+    # two deletes racing for the same version: the loser must re-derive
+    # from the winner's head so BOTH erasures land in the final table.
+    t = clustered_tbl
+    w2 = ManifestTable(t.root)
+    real_publish = w2.publish
+    fired = []
+
+    def racing_publish(prepared):
+        if not fired:
+            fired.append(True)
+            t.commit_delete(spark, "k = 7", prune=("k", [7]))  # w1 wins v2
+        return real_publish(prepared)
+
+    w2.publish = racing_publish
+    v = w2.commit_delete(spark, "k = 11", prune=("k", [11]))
+    assert v == 3  # lost v2, re-derived, won v3
+    got = {r.k for r in w2.read(spark).collect()}
+    assert 7 not in got and 11 not in got
+
+
+def test_granular_delete_txn_idempotent(spark, clustered_tbl):
+    t = clustered_tbl
+    v = t.commit_delete(spark, "k = 7", prune=("k", [7]), txn_id="gdpr-x")
+    n_dirs = len(os.listdir(os.path.join(t.root, "snapshots")))
+    v_dup = t.commit_delete(spark, "k = 7", prune=("k", [7]), txn_id="gdpr-x")
+    assert v == v_dup == 2
+    assert t.current_version() == 2
+    # the replay wrote nothing: no new data dirs appeared
+    assert len(os.listdir(os.path.join(t.root, "snapshots"))) == n_dirs
+
+
+def test_fixture_gdpr_commit_carried_dirs_by_reference(spark, sf_dir):
+    # fixture-level pin of the verdict's "done" bar: in the shared
+    # 5-version table, v4 (GDPR erasure) must have rewritten at most the
+    # band dirs covering users (3, 7, 11) and carried the rest verbatim.
+    from gordo_components_spark.operators.extensions_pipeline import (
+        _manifest_table_root,
+    )
+
+    root = _manifest_table_root(spark, sf_dir)
+    t = ManifestTable(root)
+    v3, v4 = t.manifest(3), t.manifest(4)
+    assert v4["txn_id"] == "gdpr-erasure-001"
+    assert 1 <= len(v4["removed"]) <= 3  # the covering bands only
+    carried = [r for r in v4["snapshots"] if r in v3["snapshots"]]
+    assert len(carried) == len(v3["snapshots"]) - len(v4["removed"])
+    # and the pruned-read current version still chains through v5
+    assert t.current_version() == 5

@@ -927,7 +927,7 @@ def test_plan_audit_census_has_no_unbounded_empty_windows(spark, sf_dir):
 
 def test_manifest_pruned_read_partition_filters(spark, sf_dir):
     # the OPTIMIZE commit's point: a tag-filtered read of the clustered
-    # v4 snapshot must prune at the directory level (PartitionFilters on
+    # v5 snapshot must prune at the directory level (PartitionFilters on
     # event_type), and the manifest faces' plans are bare parquet scans —
     # no join, no window, the commit paid all the work at build time.
     plan = plan_of(spark, "pipe_manifest_pruned_read", sf_dir)
@@ -936,6 +936,10 @@ def test_manifest_pruned_read_partition_filters(spark, sf_dir):
 
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "event_type" in pf.group(1), plan
-    for name in ("pipe_manifest_upsert", "pipe_manifest_delete"):
+    for name in (
+        "pipe_manifest_upsert",
+        "pipe_manifest_delete",
+        "pipe_manifest_gdpr_erase",
+    ):
         p = plan_of(spark, name, sf_dir)
         assert "Join" not in p and "Window" not in p, name
