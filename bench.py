@@ -19,10 +19,24 @@ from gordo_components_spark.session import get_spark
 # Headline set: flagship + one representative per heavy category.
 HEADLINE_TAG = "bench"
 
-# Round-11: the headline membership is unchanged from r10, so totals
-# are directly comparable and the one-round subtotal_r9_set bridge is
-# retired (ROUND11_NOTES #5).  If a future round promotes queries,
-# re-introduce a frozen-prior-set subtotal for exactly one round.
+# Round-12 promotions (r11 verdict item 6): the r9-r11 operator waves
+# were invisible to the headline total, so four anchors joined —
+# pipe_manifest_upsert (mutation family), agg_countmin_estimate
+# (sketches), ext_media_phash_neardup (multimodal near-dup),
+# ext_eval_retrieval (retrieval eval).  The frozen r11 membership below
+# feeds a one-round `subtotal_r11_set` comparability bridge (the same
+# convention as the retired r6/r9 bridges); retire it in round 13.
+R11_SET = frozenset(
+    {
+        "agg_groupby_sum", "agg_resample_mean", "agg_seasonal_profile",
+        "agg_time_weighted_avg", "ext_cosine_topk", "ext_dedup_minhash",
+        "ext_dedup_ngram_jaccard", "ext_tfidf_similar", "flagship_anomaly",
+        "join_align_inner", "join_broadcast_dim", "join_equi_inner",
+        "join_interval_overlap", "ml_drift_ks", "ml_predict_batch",
+        "scan_bucketed_join", "stream_tumbling_agg", "tpch_q10", "tpch_q3",
+        "tpch_q5", "window_cusum_alerts", "window_rolling_avg",
+    }
+)
 
 
 def _prior_round_mins() -> dict[str, float]:
@@ -107,7 +121,7 @@ def _registry_tail(n: int = 10) -> dict[str, float]:
     return {}
 
 
-def _gate_on_load(threshold: float = 2.0, timeout_s: float = 900.0) -> float:
+def _gate_on_load(threshold: float = 0.8, timeout_s: float = 900.0) -> float:
     """Refuse to capture on a loaded box (round-9 verdict item 3,
     completing the r8 hygiene item: load1 was *recorded* but capture was
     not *gated* on it, and the r9 artifact was again taken at load1 =
@@ -115,7 +129,12 @@ def _gate_on_load(threshold: float = 2.0, timeout_s: float = 900.0) -> float:
     so the measurement is EXTERNAL load — until the 1-minute load
     average decays below the threshold, bounded by ``timeout_s`` so an
     unattended driver run can never hang; if the box never quiets the
-    bench proceeds and the recorded load1 lets the judge discount it."""
+    bench proceeds and the recorded load1 lets the judge discount it.
+
+    Round 12 (r11 verdict what's-wrong #3): threshold tightened 2.0 →
+    0.8 — the r10 and r11 committed artifacts were both captured at
+    load1 ≈ 1.5 and carried phantom +8–17% deltas that judge reruns on
+    a quiet box disproved; 0.8 on a 32-core box is genuinely idle."""
     t0 = time.time()
     load = os.getloadavg()[0]
     while load > threshold and time.time() - t0 < timeout_s:
@@ -214,6 +233,11 @@ def main() -> None:
                 "metric": "headline_queries_total_time",
                 "value": round(sum(times.values()), 4),
                 "unit": "sec",
+                # one-round comparability bridge for the r12 promotions:
+                # the same 22-query subtotal BENCH_r10/r11 reported
+                "subtotal_r11_set": round(
+                    sum(t for n, t in times.items() if n in R11_SET), 4
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # load1 = EXTERNAL load at capture start (post-gate,
                 # pre-Spark); load1_end includes the bench's own tail

@@ -352,7 +352,11 @@ def _ph_oracle() -> str:
     """
 
 
-@register("ext_media_phash_neardup", oracle=_ph_oracle())
+@register(
+    "ext_media_phash_neardup",
+    oracle=_ph_oracle(),
+    tags=("bench",),  # round-12 promotion (r11 verdict item 6): perceptual near-dup anchor
+)
 def ext_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 PERCEPTUAL near-dup — the second pass after
     ``ext_media_dedup_bytes``: a re-encoded / resized / re-compressed

@@ -184,7 +184,11 @@ _MANIFEST_UPSERT_ORACLE = """
     """
 
 
-@register("pipe_manifest_upsert", oracle=_MANIFEST_UPSERT_ORACLE)
+@register(
+    "pipe_manifest_upsert",
+    oracle=_MANIFEST_UPSERT_ORACLE,
+    tags=("bench",),  # round-12 promotion (r11 verdict item 6): mutation-family anchor
+)
 def pipe_manifest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``pipe_upsert_latest`` re-run through a TRANSACTIONAL write path
     (r10 verdict What's-missing #2): the compacted table is committed as

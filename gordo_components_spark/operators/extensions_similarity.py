@@ -1512,6 +1512,7 @@ _P_SQL = "[" + ", ".join(f"CAST({p} AS BIGINT)" for p in _NDCG_P) + "]"
 
 @register(
     "ext_eval_retrieval",
+    tags=("bench",),  # round-12 promotion (r11 verdict item 6): retrieval-eval anchor
     oracle=f"""
     WITH e AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

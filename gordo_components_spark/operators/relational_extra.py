@@ -600,6 +600,7 @@ def _cm_cell(h: str, f: str, r: str) -> str:
 
 @register(
     "agg_countmin_estimate",
+    tags=("bench",),  # round-12 promotion (r11 verdict item 6): sketch family anchor
     oracle=f"""
     WITH k AS (
       SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n,
