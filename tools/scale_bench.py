@@ -261,6 +261,22 @@ DECADE2_FAMILY = (
     "ext_tfidf_similar_capped",
     "ext_media_phash_neardup",
 )
+# Output-bound triage (round 12; r11 verdict item 9): ops whose decade-2
+# TIME ratio may exceed the 5x watch bar because the ANSWER itself grows
+# with the corpus — the linearity claim is per-row cost <= 1.0, asserted
+# mechanically at artifact time so the exemption dies loudly the moment
+# its justification stops holding.  These ops stay IN the rehearsal
+# (keep measuring), unlike DECADE2_EXEMPT which drops membership.
+DECADE2_OUTPUT_BOUND: dict[str, str] = {
+    "ext_source_overlap": (
+        "the cross-source overlap-pair answer grows ~linearly with the "
+        "corpus (rows 1900 -> 19000 across the second decade), so wall "
+        "time is floored by output size; three rounds of evidence: 10x "
+        "ratio 4.5 at per-row 0.04 (BENCH_sf1), decade-2 ratio 8.8 at "
+        "per-row 0.88 (BENCH_sf10) — both decades per-row <= 1"
+    ),
+}
+
 DECADE2_EXEMPT: dict[str, str] = {
     "pipe_bpe_merges": (
         "iteration-bound BPE training: minutes at 100x for no additional "
@@ -445,10 +461,30 @@ def main_decade2(out_path: str) -> None:
             f"ratio={t100 / t10:4.1f}  rows {r10}->{r100}  "
             f"per-row {ratios[name]['ratio_per_row']}"
         )
+    # mechanical guard on the output-bound triage: an exempted op whose
+    # per-row cost grows past 1.0 has lost its justification — fail the
+    # rehearsal rather than let the exemption paper over a regression
+    broken = [
+        n
+        for n in DECADE2_OUTPUT_BOUND
+        if n in ratios and ratios[n]["ratio_per_row"] > 1.0
+    ]
+    if broken:
+        print(
+            f"FAIL: output-bound exemption broken (per-row > 1.0): {broken}",
+            file=sys.stderr,
+        )
+        sys.exit(1)
     worst = max(r["ratio"] for r in ratios.values())
+    worst_nob = max(
+        r["ratio"]
+        for n, r in ratios.items()
+        if n not in DECADE2_OUTPUT_BOUND
+    )
     verdict = (
         f"second decade (10x -> 100x data, fixed cores): worst ratio {worst}"
-        + ("" if worst <= 12.0 else " — SUPER-LINEAR")
+        f" (worst non-output-bound {worst_nob})"
+        + ("" if worst_nob <= 12.0 else " — SUPER-LINEAR")
     )
     doc = {
         "note": (
@@ -471,12 +507,13 @@ def main_decade2(out_path: str) -> None:
             "python tools/scale_bench.py --decade2"
         ),
         "decade2_ratios": ratios,
+        "output_bound_exempt": DECADE2_OUTPUT_BOUND,
         "verdict": verdict,
     }
     with open(out_path, "w") as fh:
         json.dump(doc, fh, indent=1)
     print(f"wrote {out_path}")
-    if worst > 12.0:
+    if worst_nob > 12.0:
         print(f"FAIL: {verdict}", file=sys.stderr)
         sys.exit(1)
 
