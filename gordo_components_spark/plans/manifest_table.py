@@ -467,3 +467,124 @@ class ManifestTable:
                             return v
                 continue
         raise CommitConflict(f"lost {retries + 1} delete races on {self.root}")
+
+    def commit_merge(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key_col: str,
+        prune_col: str,
+        txn_id: str | None = None,
+        retries: int = 3,
+    ) -> int:
+        """File-granular MERGE (Delta's ``MERGE INTO`` reduced to
+        directories): each update row REPLACES the row with the same
+        ``key_col`` if one exists, else INSERTS — and only the data dirs
+        whose recorded ``prune_col`` [min, max] interval covers at least
+        one update row are rewritten.  Everything else enters the new
+        manifest by reference, exactly like ``commit_delete``.
+
+        Routing contract (the same constraint Delta puts on
+        partition-pruned merges): every dir of the head version must
+        carry stats on ``prune_col`` (i.e. the table was laid out by
+        ``commit_clustered``; raises ValueError otherwise — an
+        unroutable merge would silently degrade to a full rewrite), the
+        clustered intervals are disjoint (commit_clustered guarantees
+        it), and ``prune_col`` is immutable per key — a row whose
+        clustering key changed must be deleted + re-inserted, not
+        merged, or its old copy survives in the old band.
+
+        Per touched dir the rewrite is
+        ``old ⟕̸ update_keys ∪ updates_in_interval`` (anti-join out the
+        replaced keys, union the routed updates — inserts and updates
+        need no distinction); update rows landing OUTSIDE every interval
+        (genuinely new key ranges) become ONE new append dir with their
+        own computed stats.  One CAS commits removed+added; lost races
+        re-derive from the new head; ``txn_id`` gives replay
+        idempotence.  Crash windows identical to the base protocol."""
+        from pyspark.sql import functions as F
+
+        if txn_id is not None:
+            for v in self.versions():
+                if self.manifest(v).get("txn_id") == txn_id:
+                    return v
+        for _ in range(retries + 1):
+            head = self.current_version()
+            if head is None:
+                raise FileNotFoundError(f"{self.root}: no committed version")
+            rels = self._snapshot_rels(head)
+            stats = self._dir_stats_of(head)
+            missing = [r for r in rels if prune_col not in (stats.get(r) or {})]
+            if missing:
+                raise ValueError(
+                    f"commit_merge needs {prune_col} stats on every data dir "
+                    f"(cluster the table first); missing on: {missing}"
+                )
+            # normalize update column ORDER to the table schema once, so
+            # every written dir (rewrites and the out-of-range insert
+            # dir) carries an identical layout (select raises loudly if
+            # the updates frame misses a table column)
+            table_cols = spark.read.parquet(
+                os.path.join(self.root, rels[0])
+            ).columns
+            upds = updates.select(*table_cols)
+            kept, removed, added, new_stats = [], [], [], {}
+            conds = []
+            for rel in rels:
+                st = stats[rel]
+                mn, mx = st[prune_col]
+                in_dir = F.col(prune_col).between(mn, mx)
+                conds.append(in_dir)
+                upd = upds.where(in_dir)
+                if upd.limit(1).count() == 0:
+                    kept.append(rel)
+                    new_stats[rel] = st
+                    continue  # no update routes here: zero rewrite
+                removed.append(rel)
+                old = spark.read.parquet(os.path.join(self.root, rel))
+                merged = old.join(
+                    upd.select(key_col), key_col, "left_anti"
+                ).unionByName(upd)
+                newdir = os.path.join(
+                    self._snap_root, f"merge-{os.getpid()}-{next(_SEQ)}"
+                )
+                merged.write.mode("errorifexists").parquet(newdir)
+                nrel = os.path.relpath(newdir, self.root)
+                kept.append(nrel)
+                added.append(nrel)
+                # routed updates are inside [mn, mx] by construction and
+                # replaces can only shrink — the old interval stays valid
+                new_stats[nrel] = st
+            outside = upds
+            for c in conds:
+                outside = outside.where(~c)
+            o_lo, o_hi = outside.agg(
+                F.min(prune_col), F.max(prune_col)
+            ).first()
+            if o_lo is not None:  # inserts beyond every clustered band
+                newdir = os.path.join(
+                    self._snap_root, f"merge-{os.getpid()}-{next(_SEQ)}"
+                )
+                outside.write.mode("errorifexists").parquet(newdir)
+                nrel = os.path.relpath(newdir, self.root)
+                kept.append(nrel)
+                added.append(nrel)
+                new_stats[nrel] = {prune_col: [o_lo, o_hi]}
+            payload = {
+                "version": head + 1,
+                "snapshots": kept,
+                "dir_stats": new_stats,
+                "removed": removed,
+                "added": added,
+                "merge_key": key_col,
+                "txn_id": txn_id,
+            }
+            try:
+                return self.publish(self._write_manifest_tmp(head + 1, payload))
+            except CommitConflict:
+                if txn_id is not None:
+                    for v in self.versions():
+                        if self.manifest(v).get("txn_id") == txn_id:
+                            return v
+                continue
+        raise CommitConflict(f"lost {retries + 1} merge races on {self.root}")

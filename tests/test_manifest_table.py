@@ -209,8 +209,10 @@ def _inode_map(root, rels):
 
 @pytest.fixture()
 def clustered_tbl(spark, tmp_path):
-    # 400 rows, k = 0..99, clustered on k into 8 range-band dirs
-    df = spark.range(400).selectExpr("id", "CAST(id % 100 AS BIGINT) AS k")
+    # 400 rows, k = 0..99, v = 2*id, clustered on k into 8 range-band dirs
+    df = spark.range(400).selectExpr(
+        "id", "id * 2 AS v", "CAST(id % 100 AS BIGINT) AS k"
+    )
     t = ManifestTable(str(tmp_path / "tbl"))
     assert t.commit_clustered(df, "k", n_dirs=8) == 1
     return t
@@ -231,7 +233,7 @@ def test_commit_clustered_layout_stats_and_roundtrip(spark, clustered_tbl):
         assert a_hi < b_lo
     # the union reads back every row, band column dropped
     got = t.read(spark)
-    assert got.columns == ["id", "k"]
+    assert got.columns == ["id", "v", "k"]
     assert sorted(r.id for r in got.collect()) == list(range(400))
 
 
@@ -375,3 +377,69 @@ def test_fixture_gdpr_commit_carried_dirs_by_reference(spark, sf_dir):
     assert len(carried) == len(v3["snapshots"]) - len(v4["removed"])
     # and the pruned-read current version still chains through v5
     assert t.current_version() == 5
+
+
+def test_granular_merge_replaces_inserts_and_keeps_other_bands(spark, clustered_tbl):
+    # commit_merge: replaces keyed rows, inserts new keys, rewrites only
+    # the covering bands; out-of-range inserts land in ONE new dir with
+    # their own stats.
+    t = clustered_tbl  # 400 rows, id 0..399, k = id % 100, 8 bands on k
+    v1_rels = t.manifest(1)["snapshots"]
+    before = _inode_map(t.root, v1_rels)
+    updates = spark.createDataFrame(
+        [
+            (7, 7, 7_000),     # replace: id 7 lives in the k=7 band
+            (400, 7, 7_400),   # insert into the same band (new key)
+            (900, 500, 9_000), # insert OUTSIDE every k interval
+        ],
+        "id long, k long, v long",
+    ).selectExpr("id", "v", "k")  # column order differs from the table: unionByName must align
+    assert t.commit_merge(spark, updates, key_col="id", prune_col="k") == 2
+    man = t.manifest(2)
+    assert len(man["removed"]) == 1  # only the band covering k=7
+    assert len(man["added"]) == 2  # its rewrite + the out-of-range insert dir
+    untouched = [r for r in man["snapshots"] if r in v1_rels]
+    assert len(untouched) == 7
+    assert _inode_map(t.root, untouched) == {r: before[r] for r in untouched}
+    got = {r.id: (r.k, r.v) for r in t.read(spark).collect()}
+    assert len(got) == 402  # 400 base - 0 + 2 inserts, id 7 replaced not duplicated
+    assert got[7] == (7, 7_000)
+    assert got[400] == (7, 7_400)
+    assert got[900] == (500, 9_000)
+    assert got[8] == (8, 16)  # untouched row intact (v = 2*id)
+    # the insert dir's stats cover its own range for future pruning
+    ins_rel = [r for r in man["added"] if man["dir_stats"][r]["k"] == [500, 500]]
+    assert len(ins_rel) == 1
+
+
+def test_granular_merge_requires_clustered_stats(spark, frames, tmp_path):
+    a, _ = frames
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit(a)  # full snapshot: no dir stats
+    upd = a.limit(1)
+    with pytest.raises(ValueError, match="stats on every data dir"):
+        t.commit_merge(spark, upd, key_col="id", prune_col="v")
+
+
+def test_granular_merge_txn_idempotent(spark, clustered_tbl):
+    t = clustered_tbl
+    upd = spark.createDataFrame([(7, 7, 1)], "id long, k long, v long")
+    v = t.commit_merge(spark, upd, key_col="id", prune_col="k", txn_id="m-1")
+    n_dirs = len(os.listdir(os.path.join(t.root, "snapshots")))
+    v_dup = t.commit_merge(spark, upd, key_col="id", prune_col="k", txn_id="m-1")
+    assert v == v_dup == 2
+    assert len(os.listdir(os.path.join(t.root, "snapshots"))) == n_dirs
+
+
+def test_fixture_merge_commit_carried_dirs_by_reference(spark, sf_dir):
+    from gordo_components_spark.operators.extensions_pipeline import (
+        _manifest_merge_root,
+    )
+
+    root = _manifest_merge_root(spark, sf_dir)
+    t = ManifestTable(root)
+    v1, v2 = t.manifest(1), t.manifest(2)
+    assert v2["txn_id"] == "merge-001" and v2["merge_key"] == "event_id"
+    assert 1 <= len(v2["removed"]) <= 2  # bands covering users 5 and 9
+    carried = [r for r in v2["snapshots"] if r in v1["snapshots"]]
+    assert len(carried) == len(v1["snapshots"]) - len(v2["removed"])
