@@ -263,10 +263,14 @@ DECADE2_FAMILY = (
 )
 # Output-bound triage (round 12; r11 verdict item 9): ops whose decade-2
 # TIME ratio may exceed the 5x watch bar because the ANSWER itself grows
-# with the corpus — the linearity claim is per-row cost <= 1.0, asserted
+# with the corpus — the linearity claim is per-row cost ~ 1, asserted
 # mechanically at artifact time so the exemption dies loudly the moment
 # its justification stops holding.  These ops stay IN the rehearsal
 # (keep measuring), unlike DECADE2_EXEMPT which drops membership.
+# Guard bound 1.3, not 1.0: two runs of the IDENTICAL r11 tree measured
+# ext_source_overlap at per-row 0.88 and 1.02 — single-digit-percent
+# run variance flaps a strict 1.0 gate, while a genuine quadratic term
+# shows as per-row ~ ratio (>= 2), far above 1.3.
 DECADE2_OUTPUT_BOUND: dict[str, str] = {
     "ext_source_overlap": (
         "the cross-source overlap-pair answer grows ~linearly with the "
@@ -467,11 +471,11 @@ def main_decade2(out_path: str) -> None:
     broken = [
         n
         for n in DECADE2_OUTPUT_BOUND
-        if n in ratios and ratios[n]["ratio_per_row"] > 1.0
+        if n in ratios and ratios[n]["ratio_per_row"] > 1.3
     ]
     if broken:
         print(
-            f"FAIL: output-bound exemption broken (per-row > 1.0): {broken}",
+            f"FAIL: output-bound exemption broken (per-row > 1.3): {broken}",
             file=sys.stderr,
         )
         sys.exit(1)
