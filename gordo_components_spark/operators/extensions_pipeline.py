@@ -327,6 +327,56 @@ def pipe_manifest_merge_granular(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ManifestTable(root).read(spark, version=2)
 
 
+def _manifest_compact_root(spark: SparkSession, sf_dir: str) -> str:
+    """Compaction fixture: one bulk append (75% of events) plus three
+    micro-batch-sized appends (the streaming-sink accumulation shape),
+    then a bin-packing OPTIMIZE commit that merges ONLY the three small
+    dirs — the bulk dir carries by reference."""
+    from gordo_components_spark.caches import materialized_cache
+    from gordo_components_spark.plans.manifest_table import ManifestTable
+
+    def build(tmp: str) -> None:
+        t = ManifestTable(tmp)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "ts", "value"
+        )
+        t.commit_append(ev.where("event_id % 4 != 0"))  # the bulk
+        for k in range(3):  # micro-batch-sized tails
+            t.commit_append(
+                ev.where(f"event_id % 4 = 0 AND user_id % 3 = {k}")
+            )
+        n = ev.count()
+        t.commit_compact(spark, small_rows=n // 4, txn_id="compact-001")
+
+    return materialized_cache(
+        sf_dir, "/tmp/gordo_spark_manifest", "events_compact_5v", "events", build
+    )
+
+
+@register(
+    "pipe_manifest_compact",
+    oracle="""
+    SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+    FROM events
+    """,
+)
+def pipe_manifest_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-packing OPTIMIZE as a commit (round 12): after a bulk load
+    plus three micro-batch appends, ``commit_compact`` merges the three
+    small dirs into one (parquet-FOOTER row counts decide membership —
+    the planner never scans data) while the bulk dir enters v5 by
+    reference (inode-pinned in tests/test_manifest_table.py).  This is
+    the maintenance commit that keeps a streaming-sink table readable at
+    100 TB: one dir per micro-batch accumulates thousands of small
+    files; compaction re-bins them without rewriting the bulk.  Oracle =
+    the raw events projection — value parity proves the layout commit
+    lost and duplicated nothing."""
+    root = _manifest_compact_root(spark, sf_dir)
+    from gordo_components_spark.plans.manifest_table import ManifestTable
+
+    return ManifestTable(root).read(spark)
+
+
 @register(
     "pipe_manifest_pruned_read",
     oracle=_MANIFEST_UPSERT_ORACLE.replace(

@@ -588,3 +588,93 @@ class ManifestTable:
                             return v
                 continue
         raise CommitConflict(f"lost {retries + 1} merge races on {self.root}")
+
+    def _dir_rows(self, rel: str) -> int:
+        """Row count of one data dir from parquet FOOTERS only (no data
+        read — the 100 TB compaction planner must not scan the table to
+        decide what to compact)."""
+        import pyarrow.parquet as pq
+
+        d = os.path.join(self.root, rel)
+        return sum(
+            pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    def commit_compact(
+        self,
+        spark: SparkSession,
+        small_rows: int,
+        txn_id: str | None = None,
+        retries: int = 3,
+    ) -> int:
+        """Bin-packing OPTIMIZE (Delta's small-file compaction as a
+        commit): every data dir whose footer row count is below
+        ``small_rows`` is merged into ONE new dir; every dir at or above
+        the threshold enters the new manifest BY REFERENCE — the
+        append-heavy table (streaming sinks commit one dir per
+        micro-batch) is re-binned without touching its bulk.  Planning
+        reads parquet FOOTERS only; data is read once for the small dirs
+        being merged.  The merged dir's stats are the interval union of
+        its inputs per column (valid bounds; an interval union is exactly
+        what a bin-pack produces).  Rows and values are untouched — this
+        is a pure layout commit, same guarantees as the base protocol;
+        no-op (returns the head) when fewer than two dirs qualify.
+        ``txn_id`` gives replay idempotence; lost races re-derive."""
+        if txn_id is not None:
+            for v in self.versions():
+                if self.manifest(v).get("txn_id") == txn_id:
+                    return v
+        for _ in range(retries + 1):
+            head = self.current_version()
+            if head is None:
+                raise FileNotFoundError(f"{self.root}: no committed version")
+            rels = self._snapshot_rels(head)
+            stats = self._dir_stats_of(head)
+            small = [r for r in rels if self._dir_rows(r) < small_rows]
+            if len(small) < 2:
+                return head  # nothing to bin-pack
+            kept = [r for r in rels if r not in small]
+            new_stats = {r: stats[r] for r in kept if r in stats}
+            merged = spark.read.parquet(
+                *[os.path.join(self.root, r) for r in small]
+            )
+            newdir = os.path.join(
+                self._snap_root, f"compact-{os.getpid()}-{next(_SEQ)}"
+            )
+            merged.write.mode("errorifexists").parquet(newdir)
+            nrel = os.path.relpath(newdir, self.root)
+            # interval-union stats across the merged inputs, per column
+            # present in ALL of them (a column missing stats anywhere
+            # gives no bound for the union)
+            cols = None
+            for r in small:
+                have = set((stats.get(r) or {}).keys())
+                cols = have if cols is None else cols & have
+            union_stats = {}
+            for c in cols or ():
+                union_stats[c] = [
+                    min(stats[r][c][0] for r in small),
+                    max(stats[r][c][1] for r in small),
+                ]
+            if union_stats:
+                new_stats[nrel] = union_stats
+            payload = {
+                "version": head + 1,
+                "snapshots": kept + [nrel],
+                "dir_stats": new_stats,
+                "removed": small,
+                "added": [nrel],
+                "compacted": True,
+                "txn_id": txn_id,
+            }
+            try:
+                return self.publish(self._write_manifest_tmp(head + 1, payload))
+            except CommitConflict:
+                if txn_id is not None:
+                    for v in self.versions():
+                        if self.manifest(v).get("txn_id") == txn_id:
+                            return v
+                continue
+        raise CommitConflict(f"lost {retries + 1} compact races on {self.root}")

@@ -443,3 +443,51 @@ def test_fixture_merge_commit_carried_dirs_by_reference(spark, sf_dir):
     assert 1 <= len(v2["removed"]) <= 2  # bands covering users 5 and 9
     carried = [r for r in v2["snapshots"] if r in v1["snapshots"]]
     assert len(carried) == len(v1["snapshots"]) - len(v2["removed"])
+
+
+def test_compact_merges_only_small_dirs_by_footer_counts(spark, tmp_path):
+    # bin-packing OPTIMIZE: footer-count planning, interval-union stats,
+    # bulk dir untouched (inode identity), rows bit-identical.
+    t = ManifestTable(str(tmp_path / "tbl"))
+    big = spark.range(0, 300).selectExpr("id", "id * 2 AS v")
+    t.commit_append(big)
+    for lo in (300, 320, 340):
+        t.commit_append(
+            spark.range(lo, lo + 20).selectExpr("id", "id * 2 AS v")
+        )
+    rels = t.manifest(4)["snapshots"]
+    before = _inode_map(t.root, rels)
+    big_rel = rels[0]
+    assert t.commit_compact(spark, small_rows=100, txn_id="c-1") == 5
+    man = t.manifest(5)
+    assert man["compacted"] and len(man["removed"]) == 3 and len(man["added"]) == 1
+    assert big_rel in man["snapshots"]
+    assert _inode_map(t.root, [big_rel]) == {big_rel: before[big_rel]}
+    assert sorted(r.id for r in t.read(spark).collect()) == list(range(360))
+    # idempotent replay writes nothing new
+    n_dirs = len(os.listdir(os.path.join(t.root, "snapshots")))
+    assert t.commit_compact(spark, small_rows=100, txn_id="c-1") == 5
+    assert len(os.listdir(os.path.join(t.root, "snapshots"))) == n_dirs
+    # a further compact is a no-op (only one small dir candidate left)
+    assert t.commit_compact(spark, small_rows=100) == 5
+
+
+def test_compact_stats_interval_union(spark, clustered_tbl):
+    # compacting two clustered bands unions their [min, max] so the
+    # merged dir still prunes for granular deletes.
+    t = clustered_tbl
+    stats1 = t.manifest(1)["dir_stats"]
+    rels = t.manifest(1)["snapshots"]
+    # bands hold 52 rows (width-13 k-ranges x 4 ids per k; the tail band
+    # 36); threshold 60 packs all eight
+    v = t.commit_compact(spark, small_rows=60)
+    assert v == 2
+    man = t.manifest(2)
+    assert len(man["snapshots"]) == 1
+    merged_rel = man["added"][0]
+    ks = [stats1[r]["k"] for r in rels]
+    assert man["dir_stats"][merged_rel]["k"] == [
+        min(k[0] for k in ks),
+        max(k[1] for k in ks),
+    ]
+    assert t.read(spark).count() == 400

@@ -941,6 +941,7 @@ def test_manifest_pruned_read_partition_filters(spark, sf_dir):
         "pipe_manifest_delete",
         "pipe_manifest_gdpr_erase",
         "pipe_manifest_merge_granular",
+        "pipe_manifest_compact",
     ):
         p = plan_of(spark, name, sf_dir)
         assert "Join" not in p and "Window" not in p, name
