@@ -520,6 +520,22 @@ class ManifestTable:
                     f"commit_merge needs {prune_col} stats on every data dir "
                     f"(cluster the table first); missing on: {missing}"
                 )
+            # routing REQUIRES pairwise-disjoint intervals: an update row
+            # inside two dirs' intervals would be unioned into both
+            # rewrites (duplicate key), and its existing copy could live
+            # in either — ambiguous by construction, not fixable by
+            # first-match routing.  Overlap arises e.g. after a
+            # commit_compact that merged NON-contiguous small bands
+            # (interval-union stats span the gap).  Fail loud: re-cluster
+            # (OPTIMIZE) before merging.
+            ivals = sorted(tuple(stats[r][prune_col]) for r in rels)
+            for (a_lo, a_hi), (b_lo, b_hi) in zip(ivals, ivals[1:]):
+                if b_lo <= a_hi:
+                    raise ValueError(
+                        f"commit_merge needs disjoint {prune_col} intervals "
+                        f"to route updates; [{a_lo}, {a_hi}] overlaps "
+                        f"[{b_lo}, {b_hi}] — re-cluster the table first"
+                    )
             # normalize update column ORDER to the table schema once, so
             # every written dir (rewrites and the out-of-range insert
             # dir) carries an identical layout (select raises loudly if

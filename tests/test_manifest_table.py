@@ -491,3 +491,30 @@ def test_compact_stats_interval_union(spark, clustered_tbl):
         max(k[1] for k in ks),
     ]
     assert t.read(spark).count() == 400
+
+
+def test_merge_rejects_overlapping_intervals_after_gappy_compact(spark, clustered_tbl):
+    # the round-12 latent-dup pin: compacting NON-contiguous small bands
+    # produces interval-union stats that overlap surviving bands; a merge
+    # routed on overlapping intervals would duplicate keys (one update
+    # row unioned into two rewrites), so commit_merge must refuse.
+    t = clustered_tbl
+    man1 = t.manifest(1)
+    # delete the contents of two non-adjacent bands' key ranges so those
+    # dirs shrink below the compact threshold while others stay above
+    rels = sorted(man1["snapshots"], key=lambda r: man1["dir_stats"][r]["k"][0])
+    lo0, hi0 = man1["dir_stats"][rels[0]]["k"]
+    lo7, hi7 = man1["dir_stats"][rels[-1]]["k"]
+    t.commit_delete(
+        spark,
+        f"(k BETWEEN {lo0} AND {hi0 - 1}) OR (k BETWEEN {lo7 + 1} AND {hi7})",
+    )
+    # bands 0 and 7 are now tiny (one k value each); compact packs them
+    # into ONE dir whose union interval [lo0, hi7] spans every band
+    v = t.commit_compact(spark, small_rows=10)
+    assert v == 3
+    merged_rel = t.manifest(3)["added"][0]
+    assert t.manifest(3)["dir_stats"][merged_rel]["k"] == [lo0, hi7]  # spans the gap
+    upd = spark.createDataFrame([(30, 60, 1)], "id long, k long, v long")
+    with pytest.raises(ValueError, match="disjoint"):
+        t.commit_merge(spark, upd, key_col="id", prune_col="k")
