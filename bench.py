@@ -23,20 +23,10 @@ HEADLINE_TAG = "bench"
 # were invisible to the headline total, so four anchors joined —
 # pipe_manifest_upsert (mutation family), agg_countmin_estimate
 # (sketches), ext_media_phash_neardup (multimodal near-dup),
-# ext_eval_retrieval (retrieval eval).  The frozen r11 membership below
-# feeds a one-round `subtotal_r11_set` comparability bridge (the same
-# convention as the retired r6/r9 bridges); retire it in round 13.
-R11_SET = frozenset(
-    {
-        "agg_groupby_sum", "agg_resample_mean", "agg_seasonal_profile",
-        "agg_time_weighted_avg", "ext_cosine_topk", "ext_dedup_minhash",
-        "ext_dedup_ngram_jaccard", "ext_tfidf_similar", "flagship_anomaly",
-        "join_align_inner", "join_broadcast_dim", "join_equi_inner",
-        "join_interval_overlap", "ml_drift_ks", "ml_predict_batch",
-        "scan_bucketed_join", "stream_tumbling_agg", "tpch_q10", "tpch_q3",
-        "tpch_q5", "window_cusum_alerts", "window_rolling_avg",
-    }
-)
+# ext_eval_retrieval (retrieval eval).  The one-round `subtotal_r11_set`
+# comparability bridge those promotions carried was retired in round 13
+# per the r6/r9 convention: BENCH_r12 and BENCH_r13 share the full
+# 26-query membership, so the headline totals compare directly.
 
 
 def _prior_round_mins() -> dict[str, float]:
@@ -224,20 +214,14 @@ def main() -> None:
     )
     with open(sidecar, "w") as fh:
         json.dump({"sf": sf, "spread": spread}, fh, indent=1)
-    # subtotal over the frozen r7/r8 membership (one-round bridge for the
-    # r9 promotions) + the 1-minute load average at capture time so a
-    # judge can discount an artifact recorded on a loaded box.
+    # 1-minute load average recorded at capture time so a judge can
+    # discount an artifact recorded on a loaded box.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_time",
                 "value": round(sum(times.values()), 4),
                 "unit": "sec",
-                # one-round comparability bridge for the r12 promotions:
-                # the same 22-query subtotal BENCH_r10/r11 reported
-                "subtotal_r11_set": round(
-                    sum(t for n, t in times.items() if n in R11_SET), 4
-                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # load1 = EXTERNAL load at capture start (post-gate,
                 # pre-Spark); load1_end includes the bench's own tail

@@ -2311,7 +2311,15 @@ def _ols_from_points(pts: DataFrame) -> DataFrame:
         F.expr("CAST(count(*) AS BIGINT)").alias("n"),
         F.expr("CAST(sum(x) AS BIGINT)").alias("sx"),
         F.expr("CAST(sum(y3) AS BIGINT)").alias("sy"),
-        F.expr("CAST(sum(x * x) AS BIGINT)").alias("sxx"),
+        # r13 review: sxx DECIMAL-routed like sxy/syy — a raw int64
+        # sum(x*x) could wrap SILENTLY past 2⁶³ (e.g. an epoch-seconds x
+        # after a unit regression) and land back under the 9.0e15 guard;
+        # DECIMAL(38,0) cannot wrap, so the guard always sees the true
+        # magnitude.  At checked SFs sxx < 2⁵³, so the DECIMAL→DOUBLE
+        # value is bit-identical to the old int64→double path.
+        F.expr(
+            "CAST(CAST(sum(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0)) AS DOUBLE)"
+        ).alias("sxx"),
         F.expr(
             "CAST(CAST(sum(CAST(x AS DECIMAL(19,0)) * y3) AS DECIMAL(38,0)) AS DOUBLE)"
         ).alias("sxy"),

@@ -609,18 +609,57 @@ class ManifestTable:
                         for i, rel in enumerate(cand)
                     ]
                 )
-                probe = src.groupBy("__src").agg(
+                aggs = [
                     F.sum(F.when(F.expr(predicate), 1).otherwise(0)).alias(
                         "hits"
                     ),
                     F.sum(F.when(F.expr(survive), 1).otherwise(0)).alias(
                         "survivors"
                     ),
-                )
+                ]
+                if prune is not None:
+                    # the prune spec is a PROMISE (matches only where
+                    # col ∈ keys) that the stats skip relies on for its
+                    # zero-I/O claim; a predicate wider than the spec
+                    # silently under-deletes in the PRUNED dirs.  The
+                    # candidate dirs are being scanned anyway, so check
+                    # the promise there for free — a violation witnessed
+                    # on any scanned row fails the commit loudly
+                    # (null-safe: a match with NULL col is a violation).
+                    # Honest limit: a violation confined ENTIRELY to
+                    # pruned dirs has no witness by construction (zero
+                    # I/O = zero evidence) — the spec remains a promise
+                    # there, exactly Delta replaceWhere's contract; this
+                    # catches the common shape where the predicate is
+                    # broader than the spec in a dir the spec made us
+                    # scan.
+                    col, keys = prune
+                    in_keys = F.col(col).isin(*keys) if keys else F.lit(False)
+                    aggs.append(
+                        F.sum(
+                            F.when(
+                                F.expr(predicate)
+                                & ~F.coalesce(in_keys, F.lit(False)),
+                                1,
+                            ).otherwise(0)
+                        ).alias("promise_violations")
+                    )
+                probe = src.groupBy("__src").agg(*aggs)
                 _capture_plan(probe)
+                rows = probe.collect()
+                if prune is not None:
+                    bad = sum(r["promise_violations"] or 0 for r in rows)
+                    if bad:
+                        raise ValueError(
+                            f"commit_delete: {bad} matching row(s) have "
+                            f"{prune[0]} outside the prune keys — the "
+                            "prune spec must cover every key the "
+                            "predicate can match (stats-skipped dirs "
+                            "would silently under-delete)"
+                        )
                 per = {
                     r["__src"]: (r["hits"] or 0, r["survivors"] or 0)
-                    for r in probe.collect()
+                    for r in rows
                 }
             rewrite_ids = [
                 i for i in range(len(cand))
@@ -771,7 +810,18 @@ class ManifestTable:
                         f"commit_merge: {prune_col} is NULL on some update "
                         "rows — the routing key must be non-null"
                     )
-                lo, hi = upds.agg(F.min(prune_col), F.max(prune_col)).first()
+                lo, hi, n_rows, n_keys = upds.agg(
+                    F.min(prune_col),
+                    F.max(prune_col),
+                    F.count(F.lit(1)),
+                    F.countDistinct(key_col),
+                ).first()
+                if n_rows != n_keys:
+                    raise ValueError(
+                        f"commit_merge: updates contain {n_rows - n_keys} "
+                        f"duplicate {key_col} row(s) — deduplicate the "
+                        "source frame first"
+                    )
                 newdir = os.path.join(
                     self._snap_root, f"merge-{os.getpid()}-{next(_SEQ)}"
                 )
@@ -860,11 +910,25 @@ class ManifestTable:
                 routed = upds.withColumn("__src", route)
                 probe = routed.groupBy("__src").agg(
                     F.count(F.lit(1)).alias("n"),
+                    F.countDistinct(key_col).alias("nk"),
                     F.min(prune_col).alias("mn"),
                     F.max(prune_col).alias("mx"),
                 )
                 _capture_plan(probe)
-                per = {r["__src"]: (r["mn"], r["mx"]) for r in probe.collect()}
+                rows = probe.collect()
+                dup = sum((r["n"] - r["nk"]) for r in rows)
+                if dup:
+                    # Delta's MERGE raises when multiple source rows hit
+                    # one target key; silently unioning both copies would
+                    # land a duplicate key in the rewritten dir.  Checked
+                    # per band (keys can't cross bands: prune_col is
+                    # immutable per key), inside the same routing job.
+                    raise ValueError(
+                        f"commit_merge: updates contain {dup} duplicate "
+                        f"{key_col} row(s) — deduplicate the source frame "
+                        "first (multiple updates per key are ambiguous)"
+                    )
+                per = {r["__src"]: (r["mn"], r["mx"]) for r in rows}
                 touched = sorted(b for b in per if b < n_bands)
                 gaps = sorted(g for g in per if g >= n_bands)
                 rewrite_rel = {}
@@ -885,9 +949,23 @@ class ManifestTable:
                         )
                         # anti-join out the replaced keys; update keys
                         # routed to OTHER bands can't exist here (the
-                        # clustering key is immutable per merge key)
+                        # clustering key is immutable per merge key).
+                        # SHUFFLE_HASH pinned: the MERGE source scales
+                        # with whatever the caller feeds it (the fixture
+                        # derives it from the corpus), so AQE's broadcast
+                        # at small SF is the r9 escape-hatch shape; the
+                        # shuffle it forces touches only the band rows
+                        # this commit REWRITES anyway, so the pin costs
+                        # at most one extra pass over data already being
+                        # written (guarded by the audit over
+                        # MANIFEST_COMMIT_PLANS).
                         pieces.insert(
-                            0, old.join(upds.select(key_col), key_col, "left_anti")
+                            0,
+                            old.join(
+                                upds.select(key_col).hint("SHUFFLE_HASH"),
+                                key_col,
+                                "left_anti",
+                            ),
                         )
                     merged = _union_dirs(pieces)
                     _capture_plan(merged)

@@ -735,3 +735,53 @@ def test_changefeed_delete_and_merge_deltas(spark, clustered_tbl):
     cf13 = t.changefeed(spark, 1, 3)
     assert cf13.where("_change_type = 'delete'").count() == 9  # 8 erased + old id=8
     assert cf13.where("_change_type = 'insert'").count() == 2
+
+
+def test_watch_constants_hardened(spark, sf_dir):
+    # ROUND13_NOTES #7: both documented-but-unguarded constants now have
+    # loud failure paths.  _CM_D > 16 would index past md5's 32 hex
+    # digits (import-time assert); a GDPR subject missing from the
+    # fixture domain would make the erasure face vacuously green.
+    from gordo_components_spark.operators import relational_extra as rx
+
+    assert rx._CM_D <= 16
+    from gordo_components_spark.operators.extensions_pipeline import (
+        _assert_gdpr_subjects_present,
+    )
+    from gordo_components_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    _assert_gdpr_subjects_present(ev, sf_dir)  # current domain holds
+    with pytest.raises(ValueError, match="vacuously green"):
+        _assert_gdpr_subjects_present(ev.where("user_id <> 7"), sf_dir)
+
+
+def test_delete_prune_promise_violation_fails_loud(spark, clustered_tbl):
+    # round-13 review hardening: prune=(col, keys) is a PROMISE the
+    # stats skip relies on; a predicate matching keys outside the spec
+    # would silently under-delete in pruned dirs.  The candidate-dir
+    # probe witnesses violations among the rows it scans anyway and
+    # must refuse.  (A violation confined ENTIRELY to pruned dirs is
+    # undetectable by construction — zero I/O means zero witnesses —
+    # so the spec stays a documented promise; this guard catches the
+    # common shape: the predicate is broader than the spec wherever
+    # the spec made us look.)
+    t = clustered_tbl
+    # k=7 and k=8 share the low band: the spec says only 7, the scan of
+    # that band witnesses matching k=8 rows -> loud refusal
+    with pytest.raises(ValueError, match="outside the prune keys"):
+        t.commit_delete(spark, "k IN (7, 8)", prune=("k", [7]))
+    assert t.current_version() == 1  # nothing committed
+    # honest spec still works
+    assert t.commit_delete(spark, "k IN (7, 8)", prune=("k", [7, 8])) == 2
+
+
+def test_merge_rejects_duplicate_update_keys(spark, clustered_tbl):
+    # Delta MERGE semantics: multiple source rows per target key are
+    # ambiguous — refuse rather than land a duplicate key.
+    upd = spark.createDataFrame(
+        [(7, 7, 1), (7, 7, 2)], "id long, k long, v long"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        clustered_tbl.commit_merge(spark, upd, key_col="id", prune_col="k")
+    assert clustered_tbl.current_version() == 1

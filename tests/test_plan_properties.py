@@ -945,3 +945,49 @@ def test_manifest_pruned_read_partition_filters(spark, sf_dir):
     ):
         p = plan_of(spark, name, sf_dir)
         assert "Join" not in p and "Window" not in p, name
+
+
+def test_manifest_commit_plans_audited_and_no_scaling_broadcast(spark, sf_dir):
+    # r12 verdict what's-wrong #1: the granular commits execute their
+    # probe/rewrite jobs EAGERLY inside fixture builds, so their plans
+    # reach the audit only via the MANIFEST_COMMIT_PLANS sidecars.  This
+    # ring asserts (a) every manifest fixture serves a sidecar, (b) the
+    # merge commit's anti-join runs as the pinned ShuffledHashJoin, and
+    # (c) NO commit-internal plan broadcasts a corpus-scaling build side
+    # (the updates frame derives from events — AQE would happily
+    # broadcast it at audit SF and the escape hatch re-opens).
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit", os.path.join(root, "tools", "plan_audit.py")
+    )
+    pa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pa)
+
+    import gordo_components_spark.operators.extensions_pipeline as ep
+
+    ep._manifest_table_root(spark, sf_dir)
+    ep._manifest_merge_root(spark, sf_dir)
+    ep._manifest_compact_root(spark, sf_dir)
+    ep._manifest_evolve_root(spark, sf_dir)
+    merged_by_kind = {}
+    for kind in ("tbl", "merge", "compact", "evolve"):
+        plans = ep.manifest_commit_plans(kind)  # raises on missing sidecar
+        entries = [pa._audit_plan(p) for p in plans]
+        for e in entries:
+            assert e["bhj_scaling_builds"] == [], (kind, e)
+            assert e["anti_patterns"] == [], (kind, e)
+        merged_by_kind[kind] = entries
+    # the clustered layouts and the granular delete/merge/compact all
+    # captured their internal jobs (a refactor that stops recording
+    # would silently re-open the blind spot)
+    assert len(merged_by_kind["tbl"]) >= 4  # cluster x2 + delete probe/rewrite x2
+    assert len(merged_by_kind["compact"]) >= 1
+    merge_entries = merged_by_kind["merge"]
+    assert len(merge_entries) >= 3  # cluster x2 + routing probe + rewrite
+    assert any(e["shuffled_hash_joins"] >= 1 for e in merge_entries), (
+        "merge anti-join lost its SHUFFLE_HASH pin"
+    )
+    assert all(e["broadcast_hash_joins"] == 0 for e in merge_entries)

@@ -82,7 +82,33 @@ def _bpe_iter_plans() -> list[str]:
     return list(BPE_ITER_PLANS)
 
 
-_EAGER_PLANS = {"pipe_bpe_merges": _bpe_iter_plans}
+def _manifest_plans(kind: str):
+    # commit-internal job plans (probe aggregates, survivor/merge
+    # rewrites) captured at fixture-build time and persisted as a
+    # sidecar in the fixture dir — the manifest faces return committed
+    # read-backs, so these are the only way the audit sees the commit
+    # machinery's joins/shuffles (r12 verdict what's-wrong #1).  The
+    # getter RAISES on a stale pre-sidecar cache rather than silently
+    # auditing nothing.
+    def get() -> list[str]:
+        from gordo_components_spark.operators.extensions_pipeline import (
+            manifest_commit_plans,
+        )
+
+        return manifest_commit_plans(kind)
+
+    return get
+
+
+_EAGER_PLANS = {
+    "pipe_bpe_merges": _bpe_iter_plans,
+    # one face per fixture carries that fixture's commit plans (the
+    # other faces over the same fixture would double-count them)
+    "pipe_manifest_gdpr_erase": _manifest_plans("tbl"),
+    "pipe_manifest_merge_granular": _manifest_plans("merge"),
+    "pipe_manifest_compact": _manifest_plans("compact"),
+    "pipe_manifest_schema_evolve": _manifest_plans("evolve"),
+}
 
 
 # Empty-partition Window nodes (WindowExec "Moving all data to a single
