@@ -229,6 +229,13 @@ HEAVY = (
     # skipped the plan's first scan block, so the widened guard never
     # saw it) — rehearsed wholesale per the r10 policy
     "join_range_theta",
+    # round 13: the merge-bearing manifest face (r12 verdict what's-wrong
+    # #1) — its PLAN_AUDIT entry now merges the commit-INTERNAL plans
+    # (pinned SHUFFLE_HASH anti-join; the registered read-back is scan
+    # only), so the join-bearing rule pulls it in; run 1 at each SF pays
+    # the cold fixture build (the commit machinery itself), run 2 the
+    # warm pointer read
+    "pipe_manifest_merge_granular",
 )
 
 # Join-bearing queries that are deliberately NOT rehearsed, with the
@@ -394,12 +401,6 @@ DECADE2 = (
     # drifted over the 2.5 floor (2.5-3.0 band run to run); its 100x
     # measurement lands at the next --decade2 regeneration
     "tpch_q17",
-    # round 13: the merge-bearing manifest face (r12 verdict what's-wrong
-    # #1) — its PLAN_AUDIT entry now merges the commit-INTERNAL plans
-    # (pinned SHUFFLE_HASH anti-join; the registered read-back is scan
-    # only), so the join-bearing rule pulls it in; timing measures the
-    # cold fixture build (commit machinery) then the warm read
-    "pipe_manifest_merge_granular",
 )
 
 
