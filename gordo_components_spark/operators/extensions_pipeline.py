@@ -578,6 +578,41 @@ def pipe_manifest_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipe_manifest_skip_read",
+    oracle=f"""
+    SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+           CASE WHEN user_id IN {_MERGE_USERS} THEN value + 1000.0
+                ELSE value END AS value
+    FROM events WHERE user_id BETWEEN 5 AND 9
+    UNION ALL
+    SELECT event_id + {_MERGE_ID_OFF} AS event_id, user_id, event_type,
+           CAST(ts AS TIMESTAMP) AS ts, value + 2000.0 AS value
+    FROM events WHERE user_id IN {_MERGE_USERS}
+    """,
+)
+def pipe_manifest_skip_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-based data-skipping read — Delta's file skipping from its
+    own log, reduced to directories: ``user_id BETWEEN 5 AND 9`` over
+    the merged table is planned from the MANIFEST's per-dir [min, max]
+    intervals, so only the covering band dirs are ever handed to Spark
+    (no file listing, no footer I/O for provably-disjoint dirs; the
+    residual predicate stays on top so stats-less dirs would still read
+    exactly).  This is the non-hive sibling of
+    ``pipe_manifest_pruned_read``: THAT face prunes via partition
+    directories Spark discovers, THIS one prunes via table-format
+    stats before Spark sees a path — the read that makes a range query
+    on a 100 TB clustered table touch its covering bands only.  The
+    skipped-dirs property is pinned by
+    ``test_read_pruned_skips_non_covering_dirs`` (inputFiles ⊂ the
+    manifest's dir list).  Oracle = the merge oracle under the same
+    range filter."""
+    root = _manifest_merge_root(spark, sf_dir)
+    from gordo_components_spark.plans.manifest_table import ManifestTable
+
+    return ManifestTable(root).read_pruned(spark, "user_id", 5, 9, version=2)
+
+
+@register(
     "pipe_manifest_changefeed",
     oracle=f"""
     SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,

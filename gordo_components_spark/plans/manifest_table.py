@@ -1129,6 +1129,48 @@ class ManifestTable:
                 continue
         raise CommitConflict(f"lost {retries + 1} compact races on {self.root}")
 
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo,
+        hi,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Stats-based data-skipping read (Delta's file skipping from its
+        own log, reduced to directories): serve ``col BETWEEN lo AND hi``
+        reading ONLY the data dirs whose recorded [min, max] interval
+        intersects the range — planned from the MANIFEST, before Spark
+        ever lists a file.  Dirs without stats on ``col`` are always
+        read (no evidence either way), and the residual predicate is
+        applied on top, so the result is exact whatever the stats
+        coverage.  This is the non-hive sibling of the
+        ``partition_by`` pruned read: clustering gave the dirs their
+        intervals, and a range read over a 100 TB table touches the
+        covering band dirs only — the manifest is the index."""
+        from pyspark.sql import functions as F
+
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"{self.root}: no committed version")
+        man = self.manifest(v)
+        rels = self._snapshot_rels(v)
+        stats = man.get("dir_stats") or {}
+        keep = []
+        for rel in rels:
+            rng = (stats.get(rel) or {}).get(col)
+            if rng is None or (rng[0] <= hi and lo <= rng[1]):
+                keep.append(rel)
+        if not keep:
+            return self.read(spark, v).where(F.col(col).between(lo, hi)).limit(0)
+        reader = self._reader(spark, man)
+        paths = [os.path.join(self.root, r) for r in keep]
+        if len(paths) > 1 and any(self._is_partitioned(p) for p in paths):
+            df = _union_dirs([reader.parquet(p) for p in paths])
+        else:
+            df = reader.parquet(*paths)
+        return df.where(F.col(col).between(lo, hi))
+
     def changefeed(
         self, spark: SparkSession, from_version: int, to_version: int
     ) -> DataFrame:

@@ -785,3 +785,39 @@ def test_merge_rejects_duplicate_update_keys(spark, clustered_tbl):
     with pytest.raises(ValueError, match="duplicate"):
         clustered_tbl.commit_merge(spark, upd, key_col="id", prune_col="k")
     assert clustered_tbl.current_version() == 1
+
+
+def test_read_pruned_skips_non_covering_dirs(spark, clustered_tbl):
+    # round-13 data-skipping read: a range read plans from the
+    # manifest's per-dir intervals — Spark only ever receives the
+    # covering dirs' paths (inputFiles is a strict subset), and the
+    # residual filter keeps the result exact.
+    t = clustered_tbl  # 400 rows, k = id % 100, 8 width-13 bands
+    got = t.read_pruned(spark, "k", 30, 40)
+    want = t.read(spark).where("k BETWEEN 30 AND 40")
+    assert sorted(r.id for r in got.collect()) == sorted(
+        r.id for r in want.collect()
+    )
+    all_dirs = {os.path.join(t.root, r) for r in t.manifest(1)["snapshots"]}
+    read_dirs = {
+        os.path.normpath(os.path.dirname(f.removeprefix("file:")))
+        for f in got.inputFiles()
+    }
+    assert read_dirs  # something was read
+    assert read_dirs < all_dirs  # STRICT subset: non-covering dirs skipped
+    # [30, 40] spans at most ceil(11/13)+1 = 2 bands
+    assert len(read_dirs) <= 2
+    # stats-less dirs are always read (no evidence either way): append
+    # one and re-check exactness
+    t.commit_append(
+        spark.createDataFrame([(9000, 1, 35)], "id long, v long, k long")
+    )
+    got2 = t.read_pruned(spark, "k", 30, 40)
+    assert got2.where("id = 9000").count() == 1
+
+
+def test_read_pruned_empty_range_returns_empty_exact_schema(spark, clustered_tbl):
+    t = clustered_tbl
+    got = t.read_pruned(spark, "k", 1000, 2000)  # beyond every interval
+    assert got.count() == 0
+    assert got.columns == ["id", "v", "k"]
