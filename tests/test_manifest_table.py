@@ -821,3 +821,80 @@ def test_read_pruned_empty_range_returns_empty_exact_schema(spark, clustered_tbl
     got = t.read_pruned(spark, "k", 1000, 2000)  # beyond every interval
     assert got.count() == 0
     assert got.columns == ["id", "v", "k"]
+
+
+def test_manifest_model_based_random_ops(spark, tmp_path):
+    # Model-based ring (round 13): a seeded random sequence of commits
+    # runs against an in-memory reference dict; after EVERY commit the
+    # table must read back exactly the model, and at the end every
+    # retained version must time-travel to its own recorded state.
+    # This is the cross-product the per-feature tests can't enumerate
+    # (delete-after-merge-after-compact-after-append...).
+    import random
+
+    rnd = random.Random(20260816)
+    t = ManifestTable(str(tmp_path / "tbl"))
+
+    def df_of(rows):
+        data = [(i, kv[0], kv[1]) for i, kv in sorted(rows.items())]
+        return spark.createDataFrame(data, "id long, k long, v long")
+
+    model = {i: (i % 50, i * 2) for i in range(200)}
+    t.commit_clustered(df_of(model), "k", n_dirs=6)
+    history = {1: dict(model)}
+    merge_ok = True  # every dir has disjoint-interval stats
+    n_merges_applied = 0
+    next_id = 1000
+    for step in range(12):
+        op = rnd.choice(["append", "delete", "merge", "compact", "cluster"])
+        if op == "append":
+            newrows = {
+                next_id + j: (rnd.randrange(-20, 120), rnd.randrange(1000))
+                for j in range(rnd.randrange(1, 20))
+            }
+            next_id += 100
+            t.commit_append(df_of(newrows))
+            model.update(newrows)
+            merge_ok = False  # the append dir carries no stats
+        elif op == "delete":
+            lo = rnd.randrange(-10, 100)
+            hi = lo + rnd.randrange(0, 30)
+            t.commit_delete(spark, f"k BETWEEN {lo} AND {hi}")
+            model = {
+                i: kv for i, kv in model.items() if not (lo <= kv[0] <= hi)
+            }
+            # deletes keep stats coverage: dirs drop or inherit bounds
+        elif op == "merge":
+            ups = {}
+            for i in rnd.sample(sorted(model), min(5, len(model))):
+                ups[i] = (model[i][0], rnd.randrange(5000, 6000))  # k immutable
+            for j in range(3):
+                ups[next_id + j] = (rnd.randrange(-20, 120), rnd.randrange(1000))
+            next_id += 100
+            # a merge may legally refuse (stats-less append dirs;
+            # gap-spanning compact unions) — the authority is the
+            # commit's own checks; whatever it decides, the data
+            # equality assertion below is the judge of mis-routing
+            try:
+                t.commit_merge(spark, df_of(ups), key_col="id", prune_col="k")
+            except ValueError:
+                assert not merge_ok, "merge refused a clustered layout"
+                continue  # refused: no commit happened
+            model.update(ups)
+            n_merges_applied += 1
+        elif op == "compact":
+            t.commit_compact(spark, small_rows=40)
+            merge_ok = False  # union stats may span gaps (overlap)
+        elif op == "cluster":
+            if not model:
+                continue
+            t.commit_clustered(df_of(model), "k", n_dirs=4)
+            merge_ok = True
+        cur = t.current_version()
+        history[cur] = dict(model)
+        got = {r.id: (r.k, r.v) for r in t.read(spark).collect()}
+        assert got == model, f"step {step} op {op} diverged at v{cur}"
+    assert n_merges_applied >= 1  # the sequence exercised real merges
+    for v, m in sorted(history.items()):
+        got = {r.id: (r.k, r.v) for r in t.read(spark, v).collect()}
+        assert got == m, f"time travel to v{v} diverged"
