@@ -577,6 +577,65 @@ def pipe_manifest_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ManifestTable(root).read(spark)
 
 
+def _manifest_restat_root(spark: SparkSession, sf_dir: str) -> str:
+    """Stats-refresh fixture: v1 = events clustered into 8 user_id
+    bands; v2 = ``user_id = 5`` erased file-granularly (the rewritten
+    band INHERITS its loose [4, 5] interval); v3 = ``commit_restat``
+    re-derives every dir's bounds from parquet footer row-group
+    statistics — pointer-only, zero data read — so the band now
+    advertises [4, 4] and a user_id = 5 read is provably clean."""
+    from gordo_components_spark.caches import materialized_cache
+    from gordo_components_spark.plans.manifest_table import ManifestTable
+
+    def build(tmp: str) -> None:
+        t = ManifestTable(tmp)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "ts", "value"
+        )
+        t.commit_clustered(ev.repartition(8), "user_id", n_dirs=8)
+        t.commit_delete(spark, "user_id = 5", prune=("user_id", [5]))
+        t.commit_restat(["user_id"], txn_id="restat-001")
+
+    root = materialized_cache(
+        sf_dir,
+        "/tmp/gordo_spark_manifest",
+        "events_restat_3v",
+        "events",
+        _with_commit_plan_sidecar(build),
+    )
+    _MANIFEST_PLAN_ROOTS["restat"] = root
+    return root
+
+
+@register(
+    "pipe_manifest_restat_read",
+    oracle="""
+    SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+    FROM events WHERE user_id BETWEEN 4 AND 7
+      AND user_id <> 5
+    """,
+)
+def pipe_manifest_restat_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-refresh OPTIMIZE (``commit_restat``) closing the r12
+    inherited-bounds gap: granular rewrites INHERIT pre-mutation
+    [min, max] intervals (valid but loose — a band whose extreme key
+    was erased keeps advertising it), and plain appends carry no stats
+    at all.  ``commit_restat`` re-derives every dir's bounds from
+    parquet FOOTER row-group statistics — a pointer-only commit, zero
+    data read or movement (inode-pinned in tests) — after which the
+    data-skipping read plans against EXACT intervals: the fixture's
+    erased ``user_id = 5`` band tightens [4, 5] → [4, 4], so a
+    user_id = 5 range read touches ZERO dirs (pinned by pytest) while
+    this face's [4, 7] read returns the surviving users oracle-exactly.
+    At 100 TB this is the cheap maintenance commit between OPTIMIZE
+    runs: footers are already written, the refresh costs one metadata
+    sweep and one CAS."""
+    root = _manifest_restat_root(spark, sf_dir)
+    from gordo_components_spark.plans.manifest_table import ManifestTable
+
+    return ManifestTable(root).read_pruned(spark, "user_id", 4, 7)
+
+
 @register(
     "pipe_manifest_skip_read",
     oracle=f"""

@@ -1129,6 +1129,117 @@ class ManifestTable:
                 continue
         raise CommitConflict(f"lost {retries + 1} compact races on {self.root}")
 
+    def commit_restat(
+        self,
+        cols: list[str],
+        txn_id: str | None = None,
+        retries: int = 3,
+    ) -> int:
+        """Stats-refresh OPTIMIZE (pointer-only): re-derive each data
+        dir's [min, max] for ``cols`` from parquet FOOTER row-group
+        statistics — zero data read, zero data movement, one CAS that
+        re-publishes the SAME dir list with exact bounds.  Closes the
+        two places bounds go stale or missing:
+
+        - granular delete/merge rewrites INHERIT the pre-mutation
+          bounds (valid but never tightened — a band whose extreme
+          keys were erased keeps advertising them, so ``read_pruned``
+          and ``commit_delete`` scan dirs they could skip);
+        - plain append dirs carry NO stats at all, so every key-scoped
+          read must probe them.
+
+        A column absent from some file's footer statistics leaves that
+        dir's bound for that column unchanged (old value if any) — a
+        bound must cover every row or it is a lie.  Tightening can
+        never break interval DISJOINTNESS (shrinking preserves it),
+        but newly-statted append dirs may legitimately overlap the
+        clustered bands — ``commit_merge``'s disjointness check remains
+        the authority and still refuses such layouts (re-cluster
+        first); reads need no disjointness.  ``txn_id`` gives replay
+        idempotence; a lost CAS race re-reads the new head and
+        re-derives (footers are immutable, so the recomputation is
+        free of data races by construction)."""
+        import pyarrow.parquet as pq
+
+        if txn_id is not None:
+            for v in self.versions():
+                if self.manifest(v).get("txn_id") == txn_id:
+                    return v
+        for _ in range(retries + 1):
+            head = self.current_version()
+            if head is None:
+                raise FileNotFoundError(f"{self.root}: no committed version")
+            man = self.manifest(head)
+            rels = self._snapshot_rels(head)
+            old_stats = self._dir_stats_of(head)
+            new_stats: dict = {}
+            for rel in rels:
+                bounds: dict = {}
+                complete = dict.fromkeys(cols, True)
+                for dirpath, _dirs, files in os.walk(
+                    os.path.join(self.root, rel)
+                ):
+                    for f in files:
+                        if not f.endswith(".parquet"):
+                            continue
+                        md = pq.ParquetFile(
+                            os.path.join(dirpath, f)
+                        ).metadata
+                        if md.num_rows == 0:
+                            continue  # an empty file bounds nothing
+                        names = {
+                            md.row_group(0).column(j).path_in_schema: j
+                            for j in range(md.num_columns)
+                        }
+                        for c in cols:
+                            j = names.get(c)
+                            if j is None:
+                                complete[c] = False
+                                continue
+                            for g in range(md.num_row_groups):
+                                st = md.row_group(g).column(j).statistics
+                                if (
+                                    st is None
+                                    or not st.has_min_max
+                                    or st.null_count is None
+                                    or st.null_count > 0
+                                ):
+                                    # no (or null-bearing) evidence: a
+                                    # bound must cover every row
+                                    complete[c] = False
+                                    break
+                                lo, hi = st.min, st.max
+                                if c not in bounds:
+                                    bounds[c] = [lo, hi]
+                                else:
+                                    bounds[c][0] = min(bounds[c][0], lo)
+                                    bounds[c][1] = max(bounds[c][1], hi)
+                st = dict(old_stats.get(rel) or {})
+                for c in cols:
+                    if complete[c] and c in bounds:
+                        st[c] = [bounds[c][0], bounds[c][1]]
+                if st:
+                    new_stats[rel] = st
+            payload = {
+                "version": head + 1,
+                "snapshots": rels,
+                "dir_stats": new_stats,
+                "removed": [],
+                "added": [],
+                "restat": cols,
+                "schema": man.get("schema"),
+                "txn_id": txn_id,
+            }
+            try:
+                return self.publish(self._write_manifest_tmp(head + 1, payload))
+            except CommitConflict:
+                if txn_id is not None:
+                    for v in self.versions():
+                        if self.manifest(v).get("txn_id") == txn_id:
+                            return v
+                continue
+        raise CommitConflict(f"lost {retries + 1} restat races on {self.root}")
+
     def read_pruned(
         self,
         spark: SparkSession,

@@ -898,3 +898,85 @@ def test_manifest_model_based_random_ops(spark, tmp_path):
     for v, m in sorted(history.items()):
         got = {r.id: (r.k, r.v) for r in t.read(spark, v).collect()}
         assert got == m, f"time travel to v{v} diverged"
+
+
+def test_restat_tightens_bounds_pointer_only(spark, clustered_tbl):
+    # round-13 stats-refresh OPTIMIZE: footer row-group statistics
+    # re-derive per-dir bounds with ZERO data read/movement (pointer
+    # commit) — inherited-loose rewrite bounds tighten, stats-less
+    # append dirs gain bounds, inode identity everywhere.
+    t = clustered_tbl  # 8 width-13 bands on k in [0, 99]
+    man1 = t.manifest(1)
+    rels = sorted(man1["snapshots"], key=lambda r: man1["dir_stats"][r]["k"][0])
+    lo0, hi0 = man1["dir_stats"][rels[0]]["k"]
+    t.commit_delete(spark, f"k = {hi0}")  # v2: rewrite INHERITS [lo0, hi0]
+    new_rel = t.manifest(2)["added"][0]
+    assert t.manifest(2)["dir_stats"][new_rel]["k"] == [lo0, hi0]  # loose
+    t.commit_append(
+        spark.createDataFrame([(5000, 1, 200)], "id long, v long, k long")
+    )  # v3: stats-less dir
+    rels3 = t.manifest(3)["snapshots"]
+    before = _inode_map(t.root, rels3)
+    assert t.commit_restat(["k"], txn_id="restat-1") == 4
+    man4 = t.manifest(4)
+    assert man4["snapshots"] == rels3  # same dirs, pointer-only
+    assert _inode_map(t.root, rels3) == before  # zero bytes moved
+    assert man4["dir_stats"][new_rel]["k"] == [lo0, hi0 - 1]  # tightened
+    app_rel = next(r for r in rels3 if "append-" in r)
+    assert man4["dir_stats"][app_rel]["k"] == [200, 200]  # appends statted
+    # the erased key's band is now provably clean: nothing reads it
+    assert t.read_pruned(spark, "k", hi0, hi0).count() == 0
+    # a range inside the tightened band touches exactly one dir
+    got = t.read_pruned(spark, "k", hi0 - 1, hi0 - 1)
+    read_dirs = {
+        os.path.normpath(os.path.dirname(f.removeprefix("file:")))
+        for f in got.inputFiles()
+    }
+    assert len(read_dirs) == 1
+    # replay idempotence: no version bump, no new stats churn
+    assert t.commit_restat(["k"], txn_id="restat-1") == 4
+    assert t.current_version() == 4
+    # rows are untouched throughout
+    assert t.read(spark).count() == 400 - 4 + 1  # 4 rows had k = hi0
+
+
+def test_restat_skips_null_bearing_and_missing_columns(spark, tmp_path):
+    # a bound must cover every row: a column with NULLs (or absent from
+    # a file's footer stats) keeps its OLD bound rather than recording
+    # evidence-free tight ones.
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit_append(
+        spark.createDataFrame(
+            [(1, 5), (2, None), (3, 9)], "id long, k long"
+        )
+    )
+    t.commit_restat(["k", "nope"])
+    st = t.manifest(2)["dir_stats"]
+    # NULL-bearing k and absent column record no bounds at all
+    assert st == {}
+    # id is clean: bounds land
+    t.commit_restat(["id"])
+    (rel,) = t.manifest(3)["snapshots"]
+    assert t.manifest(3)["dir_stats"][rel]["id"] == [1, 3]
+
+
+def test_fixture_restat_makes_erased_band_provably_clean(spark, sf_dir):
+    # fixture-level pin of the restat face's I/O claim: BEFORE the
+    # stats refresh a user_id = 5 range read must probe the loose
+    # [4, 5] band; AFTER it the read touches zero dirs.
+    from gordo_components_spark.operators.extensions_pipeline import (
+        _manifest_restat_root,
+    )
+
+    root = _manifest_restat_root(spark, sf_dir)
+    t = ManifestTable(root)
+    assert t.manifest(3)["restat"] == ["user_id"]
+    loose = t.read_pruned(spark, "user_id", 5, 5, version=2)
+    tight = t.read_pruned(spark, "user_id", 5, 5, version=3)
+    assert loose.count() == 0 and tight.count() == 0  # both exact
+    assert len(loose.inputFiles()) > 0  # v2 had to probe the loose band
+    # v3's planner proves the band clean from the manifest alone: the
+    # keep-list is empty, so the frame is the schema-only empty read
+    assert tight.inputFiles() == []
+    # pointer-only: v2 and v3 list identical dirs (same inodes)
+    assert t.manifest(3)["snapshots"] == t.manifest(2)["snapshots"]
