@@ -823,7 +823,8 @@ def test_read_pruned_empty_range_returns_empty_exact_schema(spark, clustered_tbl
     assert got.columns == ["id", "v", "k"]
 
 
-def test_manifest_model_based_random_ops(spark, tmp_path):
+@pytest.mark.parametrize("seed", [20260816, 1307])
+def test_manifest_model_based_random_ops(spark, tmp_path, seed):
     # Model-based ring (round 13): a seeded random sequence of commits
     # runs against an in-memory reference dict; after EVERY commit the
     # table must read back exactly the model, and at the end every
@@ -832,8 +833,8 @@ def test_manifest_model_based_random_ops(spark, tmp_path):
     # (delete-after-merge-after-compact-after-append...).
     import random
 
-    rnd = random.Random(20260816)
-    t = ManifestTable(str(tmp_path / "tbl"))
+    rnd = random.Random(seed)
+    t = ManifestTable(str(tmp_path / f"tbl-{seed}"))
 
     def df_of(rows):
         data = [(i, kv[0], kv[1]) for i, kv in sorted(rows.items())]
@@ -980,3 +981,31 @@ def test_fixture_restat_makes_erased_band_provably_clean(spark, sf_dir):
     assert tight.inputFiles() == []
     # pointer-only: v2 and v3 list identical dirs (same inodes)
     assert t.manifest(3)["snapshots"] == t.manifest(2)["snapshots"]
+
+
+def test_granular_merge_cas_race_rederives_from_new_head(spark, clustered_tbl):
+    # the merge mirror of the delete race pin: two merges racing for one
+    # version — the loser must re-derive from the winner's head so BOTH
+    # key sets land, and the winner's rewritten dir must not be
+    # clobbered or double-anti-joined.
+    t = clustered_tbl
+    w2 = ManifestTable(t.root)
+    real_publish = w2.publish
+    fired = []
+
+    def racing_publish(prepared):
+        if not fired:
+            fired.append(True)
+            upd1 = spark.createDataFrame(
+                [(7, 7, 7000)], "id long, k long, v long"
+            )
+            t.commit_merge(spark, upd1, key_col="id", prune_col="k")  # w1 wins v2
+        return real_publish(prepared)
+
+    w2.publish = racing_publish
+    upd2 = spark.createDataFrame([(11, 11, 1111)], "id long, k long, v long")
+    v = w2.commit_merge(spark, upd2, key_col="id", prune_col="k")
+    assert v == 3  # lost v2, re-derived on top of the winner
+    got = {r.id: (r.k, r.v) for r in w2.read(spark).collect()}
+    assert got[7] == (7, 7000) and got[11] == (11, 1111)
+    assert len(got) == 400  # both replaces, no duplicates, no losses
