@@ -101,17 +101,47 @@ def _with_commit_plan_sidecar(build):
 
     def wrapped(tmp: str) -> None:
         import json
+        import os
 
         from gordo_components_spark.plans import manifest_table as _mt
 
         _mt.MANIFEST_COMMIT_PLANS.clear()
-        build(tmp)
-        import os
-
+        _mt.arm_plan_capture(True)  # capture costs explain() per job:
+        try:  # only fixture builds pay it, never production commits
+            build(tmp)
+        finally:
+            _mt.arm_plan_capture(False)
         with open(os.path.join(tmp, "_commit_plans.json"), "w") as fh:
             json.dump(list(_mt.MANIFEST_COMMIT_PLANS), fh)
 
     return wrapped
+
+
+def _manifest_fixture(sf_dir: str, name: str, kind: str, build) -> str:
+    """Resolve a manifest fixture with SELF-HEALING for pre-sidecar
+    caches: the materialized-cache fingerprint keys on {sf_dir, footer
+    rows} and cannot see a fixture-FORMAT change, so a warm cache built
+    before the commit-plan sidecar existed would serve forever and the
+    audit getter could only fail with a delete-this-dir instruction
+    (r13 review finding).  A missing sidecar invalidates the cached dir
+    and rebuilds once."""
+    import os
+    import shutil
+
+    from gordo_components_spark.caches import materialized_cache
+
+    root = materialized_cache(
+        sf_dir, "/tmp/gordo_spark_manifest", name, "events",
+        _with_commit_plan_sidecar(build),
+    )
+    if not os.path.exists(os.path.join(root, "_commit_plans.json")):
+        shutil.rmtree(root, ignore_errors=True)
+        root = materialized_cache(
+            sf_dir, "/tmp/gordo_spark_manifest", name, "events",
+            _with_commit_plan_sidecar(build),
+        )
+    _MANIFEST_PLAN_ROOTS[kind] = root
+    return root
 
 
 def manifest_commit_plans(kind: str) -> list[str]:
@@ -175,7 +205,6 @@ def _manifest_table_root(spark: SparkSession, sf_dir: str) -> str:
     layout (OPTIMIZE as a commit: same rows, new layout) — each step one
     atomic hard-link CAS (plans/manifest_table.py).  Built once per
     fixture fingerprint via ``materialized_cache``."""
-    from gordo_components_spark.caches import materialized_cache
     from gordo_components_spark.plans.manifest_table import ManifestTable
 
     def build(tmp: str) -> None:
@@ -230,15 +259,7 @@ def _manifest_table_root(spark: SparkSession, sf_dir: str) -> str:
             partition_by=("event_type",),
         )
 
-    root = materialized_cache(
-        sf_dir,
-        "/tmp/gordo_spark_manifest",
-        "events_tbl_5v",
-        "events",
-        _with_commit_plan_sidecar(build),
-    )
-    _MANIFEST_PLAN_ROOTS["tbl"] = root
-    return root
+    return _manifest_fixture(sf_dir, "events_tbl_5v", "tbl", build)
 
 
 # the manifest-table fixture carries event_type through every snapshot
@@ -349,7 +370,6 @@ def _manifest_merge_root(spark: SparkSession, sf_dir: str) -> str:
     9's activity — their existing rows replaced (value + 1000) and one
     insert per row under a shifted event_id (value + 2000), routed by
     the per-dir user_id intervals so only the covering bands rewrite."""
-    from gordo_components_spark.caches import materialized_cache
     from gordo_components_spark.plans.manifest_table import ManifestTable
 
     def build(tmp: str) -> None:
@@ -368,15 +388,7 @@ def _manifest_merge_root(spark: SparkSession, sf_dir: str) -> str:
             txn_id="merge-001",
         )
 
-    root = materialized_cache(
-        sf_dir,
-        "/tmp/gordo_spark_manifest",
-        "events_merge_2v",
-        "events",
-        _with_commit_plan_sidecar(build),
-    )
-    _MANIFEST_PLAN_ROOTS["merge"] = root
-    return root
+    return _manifest_fixture(sf_dir, "events_merge_2v", "merge", build)
 
 
 @register(
@@ -416,7 +428,6 @@ def _manifest_compact_root(spark: SparkSession, sf_dir: str) -> str:
     micro-batch-sized appends (the streaming-sink accumulation shape),
     then a bin-packing OPTIMIZE commit that merges ONLY the three small
     dirs — the bulk dir carries by reference."""
-    from gordo_components_spark.caches import materialized_cache
     from gordo_components_spark.plans.manifest_table import ManifestTable
 
     def build(tmp: str) -> None:
@@ -432,15 +443,7 @@ def _manifest_compact_root(spark: SparkSession, sf_dir: str) -> str:
         n = ev.count()
         t.commit_compact(spark, small_rows=n // 4, txn_id="compact-001")
 
-    root = materialized_cache(
-        sf_dir,
-        "/tmp/gordo_spark_manifest",
-        "events_compact_5v",
-        "events",
-        _with_commit_plan_sidecar(build),
-    )
-    _MANIFEST_PLAN_ROOTS["compact"] = root
-    return root
+    return _manifest_fixture(sf_dir, "events_compact_5v", "compact", build)
 
 
 @register(
@@ -519,7 +522,6 @@ def _manifest_evolve_root(spark: SparkSession, sf_dir: str) -> str:
     carrying an ADDED ``value_band`` column (integer floor(value/100)).
     The manifest records the evolved schema, so the current read serves
     NULL bands for v1's dirs with zero I/O — no mergeSchema sweep."""
-    from gordo_components_spark.caches import materialized_cache
     from gordo_components_spark.plans.manifest_table import ManifestTable
 
     def build(tmp: str) -> None:
@@ -535,15 +537,7 @@ def _manifest_evolve_root(spark: SparkSession, sf_dir: str) -> str:
             txn_id="evolve-001",
         )
 
-    root = materialized_cache(
-        sf_dir,
-        "/tmp/gordo_spark_manifest",
-        "events_evolve_2v",
-        "events",
-        _with_commit_plan_sidecar(build),
-    )
-    _MANIFEST_PLAN_ROOTS["evolve"] = root
-    return root
+    return _manifest_fixture(sf_dir, "events_evolve_2v", "evolve", build)
 
 
 @register(
@@ -584,7 +578,6 @@ def _manifest_restat_root(spark: SparkSession, sf_dir: str) -> str:
     re-derives every dir's bounds from parquet footer row-group
     statistics — pointer-only, zero data read — so the band now
     advertises [4, 4] and a user_id = 5 read is provably clean."""
-    from gordo_components_spark.caches import materialized_cache
     from gordo_components_spark.plans.manifest_table import ManifestTable
 
     def build(tmp: str) -> None:
@@ -596,15 +589,7 @@ def _manifest_restat_root(spark: SparkSession, sf_dir: str) -> str:
         t.commit_delete(spark, "user_id = 5", prune=("user_id", [5]))
         t.commit_restat(["user_id"], txn_id="restat-001")
 
-    root = materialized_cache(
-        sf_dir,
-        "/tmp/gordo_spark_manifest",
-        "events_restat_3v",
-        "events",
-        _with_commit_plan_sidecar(build),
-    )
-    _MANIFEST_PLAN_ROOTS["restat"] = root
-    return root
+    return _manifest_fixture(sf_dir, "events_restat_3v", "restat", build)
 
 
 @register(
@@ -1752,13 +1737,11 @@ BPE_ITER_PLANS: list[str] = []
 
 
 def _formatted_plan(df: DataFrame) -> str:
-    import contextlib
-    import io
+    # one shared explain-capture helper (r13 review: this body and the
+    # manifest commits' copy had started to drift)
+    from gordo_components_spark.plans.manifest_table import formatted_plan
 
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+    return formatted_plan(df)
 
 
 def _bpe_iteration_sql(i: int) -> str:

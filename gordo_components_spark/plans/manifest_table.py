@@ -79,18 +79,34 @@ _SEQ = itertools.count(1)
 # commit-side joins and shuffles would be structurally invisible to
 # tools/plan_audit.py — the same eager-execution blind spot the BPE
 # trainer closed with BPE_ITER_PLANS (r12 verdict what's-wrong #1).
-# Fixture builders snapshot this list into a sidecar the audit reads.
+# Fixture builders ARM the capture, snapshot this list into a sidecar
+# the audit reads, then disarm — production commits (a streaming sink
+# appending per micro-batch, say) pay neither the explain() cost nor
+# an ever-growing driver-side list (r13 review finding).
 MANIFEST_COMMIT_PLANS: list[str] = []
+_PLAN_CAPTURE_ARMED = False
 
 
-def _capture_plan(df: DataFrame) -> None:
+def arm_plan_capture(on: bool) -> None:
+    global _PLAN_CAPTURE_ARMED
+    _PLAN_CAPTURE_ARMED = on
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The one explain-capture helper (shared with the BPE trainer's
+    iteration plans via operators/extensions_pipeline)."""
     import contextlib
     import io
 
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
-    MANIFEST_COMMIT_PLANS.append(buf.getvalue())
+    return buf.getvalue()
+
+
+def _capture_plan(df: DataFrame) -> None:
+    if _PLAN_CAPTURE_ARMED:
+        MANIFEST_COMMIT_PLANS.append(formatted_plan(df))
 
 
 def _union_dirs(parts: list[DataFrame]) -> DataFrame:
@@ -229,14 +245,25 @@ class ManifestTable:
 
         return StructType.fromJson(sj)
 
-    def _evolved_schema_json(self, head: int | None, df: DataFrame) -> dict:
+    def _evolved_schema_json(
+        self, head: int | None, df: DataFrame
+    ) -> dict | None:
         """ADD-COLUMN-only schema evolution: the commit's schema is the
         parent's fields plus any NEW fields the frame carries, in parent
         order (Delta's mergeSchema write semantics).  A type change on
         an existing column raises — widening belongs to an explicit
-        migration commit, not a silent append."""
+        migration commit, not a silent append.
+
+        A PRE-SCHEMA table (manifests without a recorded schema) stays
+        schema-less: recording the append frame's schema as the
+        authority would PIN reads to it and silently hide columns the
+        older dirs carry (r13 review finding) — the authority begins
+        only on tables whose history records it from their first
+        commit."""
         parent = self._schema_of(head)
         if parent is None:
+            if head is not None:
+                return None  # legacy history: never narrow its reads
             return self._schema_json(df.schema)
         from pyspark.sql.types import StructType
 
@@ -472,6 +499,10 @@ class ManifestTable:
         and non-null (JSON-able stats)."""
         from pyspark.sql import functions as F
 
+        if "__band" in df.columns:
+            raise ValueError(
+                "commit_clustered: '__band' is a reserved column name"
+            )
         lo, hi, n_all, n_col = df.agg(
             F.min(cluster_col),
             F.max(cluster_col),
@@ -602,13 +633,19 @@ class ManifestTable:
             src = None
             if cand:
                 reader = self._reader(spark, man)
-                src = _union_dirs(
-                    [
-                        reader.parquet(os.path.join(self.root, rel))
-                        .withColumn("__src", F.lit(i))
-                        for i, rel in enumerate(cand)
-                    ]
-                )
+                parts = []
+                for i, rel in enumerate(cand):
+                    d = reader.parquet(os.path.join(self.root, rel))
+                    if i == 0 and "__src" in d.columns:
+                        # withColumn would silently REPLACE a data
+                        # column of that name and partitionBy would
+                        # then erase it from every rewritten dir
+                        raise ValueError(
+                            "commit_delete: '__src' is a reserved "
+                            "column name in granular commits"
+                        )
+                    parts.append(d.withColumn("__src", F.lit(i)))
+                src = _union_dirs(parts)
                 aggs = [
                     F.sum(F.when(F.expr(predicate), 1).otherwise(0)).alias(
                         "hits"
@@ -798,34 +835,54 @@ class ManifestTable:
             if not rels:
                 # emptied table (e.g. a delete erased every dir): MERGE
                 # degenerates to insert-everything — one new dir, stats
-                # computed; rels[0] schema probing would IndexError here
+                # computed; rels[0] schema probing would IndexError here.
+                # PERSIST before the validation aggregate and the write
+                # (same reason as the main path: a nondeterministic
+                # source evaluated per-consumer could record stats
+                # bounds that don't cover the rows it then writes)
                 upds = (
                     updates.select(*[f.name for f in table_schema.fields])
                     if table_schema is not None
                     else updates
-                )
-                null_check = upds.where(F.col(prune_col).isNull())
-                if null_check.limit(1).count() > 0:
-                    raise ValueError(
-                        f"commit_merge: {prune_col} is NULL on some update "
-                        "rows — the routing key must be non-null"
+                ).persist()
+                try:
+                    (
+                        lo,
+                        hi,
+                        n_rows,
+                        n_keys,
+                        n_prune,
+                        n_key_nn,
+                    ) = upds.agg(
+                        F.min(prune_col),
+                        F.max(prune_col),
+                        F.count(F.lit(1)),
+                        F.countDistinct(key_col),
+                        F.count(prune_col),
+                        F.count(key_col),
+                    ).first()
+                    if n_prune != n_rows:
+                        raise ValueError(
+                            f"commit_merge: {prune_col} is NULL on some "
+                            "update rows — the routing key must be non-null"
+                        )
+                    if n_key_nn != n_rows:
+                        raise ValueError(
+                            f"commit_merge: {key_col} is NULL on some "
+                            "update rows — the merge key must be non-null"
+                        )
+                    if n_rows != n_keys:
+                        raise ValueError(
+                            f"commit_merge: updates contain "
+                            f"{n_rows - n_keys} duplicate {key_col} row(s) "
+                            "— deduplicate the source frame first"
+                        )
+                    newdir = os.path.join(
+                        self._snap_root, f"merge-{os.getpid()}-{next(_SEQ)}"
                     )
-                lo, hi, n_rows, n_keys = upds.agg(
-                    F.min(prune_col),
-                    F.max(prune_col),
-                    F.count(F.lit(1)),
-                    F.countDistinct(key_col),
-                ).first()
-                if n_rows != n_keys:
-                    raise ValueError(
-                        f"commit_merge: updates contain {n_rows - n_keys} "
-                        f"duplicate {key_col} row(s) — deduplicate the "
-                        "source frame first"
-                    )
-                newdir = os.path.join(
-                    self._snap_root, f"merge-{os.getpid()}-{next(_SEQ)}"
-                )
-                upds.write.mode("errorifexists").parquet(newdir)
+                    upds.write.mode("errorifexists").parquet(newdir)
+                finally:
+                    upds.unpersist()
                 nrel = os.path.relpath(newdir, self.root)
                 payload = {
                     "version": head + 1,
@@ -887,6 +944,11 @@ class ManifestTable:
                 .parquet(os.path.join(self.root, rels[0]))
                 .columns
             )
+            if "__src" in table_cols:
+                raise ValueError(
+                    "commit_merge: '__src' is a reserved column name in "
+                    "granular commits"
+                )
             upds = updates.select(*table_cols).persist()
             try:
                 if upds.where(F.col(prune_col).isNull()).limit(1).count() > 0:
@@ -911,11 +973,21 @@ class ManifestTable:
                 probe = routed.groupBy("__src").agg(
                     F.count(F.lit(1)).alias("n"),
                     F.countDistinct(key_col).alias("nk"),
+                    F.count(key_col).alias("nknn"),
                     F.min(prune_col).alias("mn"),
                     F.max(prune_col).alias("mx"),
                 )
                 _capture_plan(probe)
                 rows = probe.collect()
+                knull = sum((r["n"] - r["nknn"]) for r in rows)
+                if knull:
+                    # name the real problem: countDistinct skips NULLs,
+                    # so without this a NULL merge key would be
+                    # misreported as a duplicate (r13 review finding)
+                    raise ValueError(
+                        f"commit_merge: {key_col} is NULL on {knull} update "
+                        "row(s) — the merge key must be non-null"
+                    )
                 dup = sum((r["n"] - r["nk"]) for r in rows)
                 if dup:
                     # Delta's MERGE raises when multiple source rows hit
@@ -1209,6 +1281,17 @@ class ManifestTable:
                                     complete[c] = False
                                     break
                                 lo, hi = st.min, st.max
+                                if not (
+                                    isinstance(lo, (int, float, str))
+                                    and isinstance(hi, (int, float, str))
+                                    and not isinstance(lo, bool)
+                                ):
+                                    # timestamp/date/binary stats are
+                                    # not JSON-able as-is: keep the old
+                                    # bound instead of crashing inside
+                                    # the manifest write (r13 review)
+                                    complete[c] = False
+                                    break
                                 if c not in bounds:
                                     bounds[c] = [lo, hi]
                                 else:
@@ -1307,8 +1390,9 @@ class ManifestTable:
 
         old_rels = self._snapshot_rels(from_version)
         new_rels = self._snapshot_rels(to_version)
-        dropped = [r for r in old_rels if r not in set(new_rels)]
-        arrived = [r for r in new_rels if r not in set(old_rels)]
+        new_set, old_set = set(new_rels), set(old_rels)
+        dropped = [r for r in old_rels if r not in new_set]
+        arrived = [r for r in new_rels if r not in old_set]
         man = self.manifest(to_version)
         if man.get("schema") is None:
             man = self.manifest(from_version)

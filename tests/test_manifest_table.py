@@ -1009,3 +1009,85 @@ def test_granular_merge_cas_race_rederives_from_new_head(spark, clustered_tbl):
     got = {r.id: (r.k, r.v) for r in w2.read(spark).collect()}
     assert got[7] == (7, 7000) and got[11] == (11, 1111)
     assert len(got) == 400  # both replaces, no duplicates, no losses
+
+
+def test_legacy_schema_less_table_append_never_narrows_reads(spark, tmp_path):
+    # r13 review (high): on a PRE-schema-authority table (r12-era
+    # manifests record no schema), an append carrying FEWER columns must
+    # not become the recorded authority — that would pin reads to the
+    # narrow set and silently hide columns older dirs carry.
+    import json as _json
+
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit_append(spark.range(3).selectExpr("id", "id*2 AS v", "id*3 AS w"))
+    # simulate r12-era history: strip the recorded schema from v1
+    mp = os.path.join(t.root, "manifests", "v00000001.json")
+    man = _json.load(open(mp))
+    del man["schema"]
+    os.unlink(mp)
+    with open(mp, "w") as fh:
+        _json.dump(man, fh)
+    t.commit_append(spark.range(3, 5).selectExpr("id", "id*2 AS v"))
+    man2 = t.manifest(2)
+    assert man2.get("schema") is None  # legacy history stays schema-less
+    got = t.read(spark)
+    assert "w" in got.columns  # the wide column still surfaces
+    assert got.where("w IS NOT NULL").count() == 3
+
+
+def test_merge_null_key_reports_null_not_duplicate(spark, clustered_tbl):
+    # r13 review: countDistinct skips NULLs, so a NULL merge key used to
+    # surface as a bogus "duplicate key" error.
+    upd = spark.createDataFrame(
+        [(None, 7, 1), (8, 8, 2)], "id long, k long, v long"
+    )
+    with pytest.raises(ValueError, match="id is NULL"):
+        clustered_tbl.commit_merge(spark, upd, key_col="id", prune_col="k")
+
+
+def test_reserved_internal_column_names_raise(spark, tmp_path, clustered_tbl):
+    # r13 review: withColumn("__src"/"__band") would silently REPLACE a
+    # data column of that name and the partitioned write would erase it.
+    t = ManifestTable(str(tmp_path / "tbl"))
+    bad = spark.range(5).selectExpr("id", "id AS __band")
+    with pytest.raises(ValueError, match="__band.*reserved"):
+        t.commit_clustered(bad, "id", n_dirs=2)
+    t2 = ManifestTable(str(tmp_path / "tbl2"))
+    t2.commit_append(spark.range(5).selectExpr("id", "id AS __src"))
+    with pytest.raises(ValueError, match="__src.*reserved"):
+        t2.commit_delete(spark, "id = 1")
+    upd = spark.createDataFrame([(7, 7, 1)], "id long, k long, v long")
+    # merge guard reads the TABLE schema: patch a reserved name into it
+    man = clustered_tbl.manifest(1)
+    from pyspark.sql.types import StructType
+
+    sch = StructType.fromJson(man["schema"]).add("__src", "long")
+    import json as _json
+
+    mp = os.path.join(
+        clustered_tbl.root, "manifests", f"v{1:08d}.json"
+    )
+    man["schema"] = sch.jsonValue()
+    os.unlink(mp)
+    with open(mp, "w") as fh:
+        _json.dump(man, fh)
+    with pytest.raises(ValueError, match="__src.*reserved"):
+        clustered_tbl.commit_merge(spark, upd, key_col="id", prune_col="k")
+
+
+def test_restat_keeps_old_bounds_for_non_json_stats(spark, tmp_path):
+    # r13 review: timestamp/date/binary footer stats are not JSON-able;
+    # restat must keep the old bound rather than crash in the manifest
+    # write.
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit_append(
+        spark.range(3).selectExpr(
+            "id", "timestamp_seconds(id * 3600) AS ts"
+        )
+    )
+    v = t.commit_restat(["ts", "id"])  # must not raise
+    assert v == 2
+    (rel,) = t.manifest(2)["snapshots"]
+    st = t.manifest(2)["dir_stats"][rel]
+    assert "ts" not in st  # no JSON-able evidence: no bound recorded
+    assert st["id"] == [0, 2]

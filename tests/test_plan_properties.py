@@ -972,8 +972,9 @@ def test_manifest_commit_plans_audited_and_no_scaling_broadcast(spark, sf_dir):
     ep._manifest_merge_root(spark, sf_dir)
     ep._manifest_compact_root(spark, sf_dir)
     ep._manifest_evolve_root(spark, sf_dir)
+    ep._manifest_restat_root(spark, sf_dir)
     merged_by_kind = {}
-    for kind in ("tbl", "merge", "compact", "evolve"):
+    for kind in ("tbl", "merge", "compact", "evolve", "restat"):
         plans = ep.manifest_commit_plans(kind)  # raises on missing sidecar
         entries = [pa._audit_plan(p) for p in plans]
         for e in entries:
@@ -991,3 +992,19 @@ def test_manifest_commit_plans_audited_and_no_scaling_broadcast(spark, sf_dir):
         "merge anti-join lost its SHUFFLE_HASH pin"
     )
     assert all(e["broadcast_hash_joins"] == 0 for e in merge_entries)
+    # every fixture KIND that records a sidecar must be consumed by an
+    # _EAGER_PLANS face — the r13 review caught 'restat' captured but
+    # never audited; this pins the mapping mechanically
+    assert set(ep._MANIFEST_PLAN_ROOTS) == {
+        "tbl", "merge", "compact", "evolve", "restat",
+    }
+    import re as _re
+
+    audited_kinds = set(
+        _re.findall(r'_manifest_plans\("(\w+)"\)', open(
+            os.path.join(root, "tools", "plan_audit.py")).read())
+    )
+    assert audited_kinds >= set(ep._MANIFEST_PLAN_ROOTS), (
+        f"fixture kinds missing from plan_audit._EAGER_PLANS: "
+        f"{set(ep._MANIFEST_PLAN_ROOTS) - audited_kinds}"
+    )

@@ -108,6 +108,7 @@ _EAGER_PLANS = {
     "pipe_manifest_merge_granular": _manifest_plans("merge"),
     "pipe_manifest_compact": _manifest_plans("compact"),
     "pipe_manifest_schema_evolve": _manifest_plans("evolve"),
+    "pipe_manifest_restat_read": _manifest_plans("restat"),
 }
 
 
