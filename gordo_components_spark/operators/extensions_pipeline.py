@@ -135,7 +135,24 @@ def _manifest_fixture(sf_dir: str, name: str, kind: str, build) -> str:
         _with_commit_plan_sidecar(build),
     )
     if not os.path.exists(os.path.join(root, "_commit_plans.json")):
-        shutil.rmtree(root, ignore_errors=True)
+        # invalidate BEFORE deleting (ADVICE r13): an in-place rmtree of
+        # the installed dir is non-atomic visible state — a concurrent
+        # session could observe a half-deleted dir whose surviving
+        # _FP.json still validates it.  Unlinking the fingerprint first
+        # guarantees a partial delete can never be served as a warm
+        # cache; the rename-aside then makes the delete itself invisible
+        # (a same-pid name collision from a prior heal is pre-cleared).
+        try:
+            os.unlink(os.path.join(root, "_FP.json"))
+        except OSError:
+            pass
+        stale = f"{root}.stale-{os.getpid()}"
+        shutil.rmtree(stale, ignore_errors=True)
+        try:
+            os.replace(root, stale)
+        except OSError:
+            pass  # another session already healed/removed it
+        shutil.rmtree(stale, ignore_errors=True)
         root = materialized_cache(
             sf_dir, "/tmp/gordo_spark_manifest", name, "events",
             _with_commit_plan_sidecar(build),

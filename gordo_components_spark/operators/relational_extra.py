@@ -585,8 +585,11 @@ _CM_W = 256  # sketch width (counters per row) — one md5 hex-digit pair
 # _cm_cell reads md5 hex digits 2r+1..2r+2: depth d consumes 2d digits
 # of the 32-digit md5, so d > 16 would index past the hash and substr
 # silently returns '' (cell -17) — fail at import, not in a query
-# (ROUND13_NOTES #7: watch constant hardened into an assertion)
-assert _CM_D <= 16, f"_CM_D={_CM_D} exceeds md5's 16 hex-digit pairs"
+# (ROUND13_NOTES #7: watch constant hardened; explicit raise, not
+# assert — asserts are stripped under python -O, defeating the
+# fail-at-import intent; ADVICE r13)
+if _CM_D > 16:
+    raise ValueError(f"_CM_D={_CM_D} exceeds md5's 16 hex-digit pairs")
 
 
 def _cm_cell(h: str, f: str, r: str) -> str:

@@ -2330,16 +2330,16 @@ def _ols_from_points(pts: DataFrame) -> DataFrame:
     mx = "(CAST(sx AS DOUBLE) / n)"
     my = "(CAST(sy AS DOUBLE) / n)"
     covxy = f"(sxy / n - {mx} * {my})"
-    covxx = f"greatest(CAST(sxx AS DOUBLE) / n - {mx} * {mx}, 1e-12)"
+    covxx = f"greatest(sxx / n - {mx} * {mx}, 1e-12)"
     covyy = f"(syy / n - {my} * {my})"
     # Fail-loud headroom guard on every >2⁵³-sensitive moment (see
-    # docstring).  abs(sxy) — covariance can be negative; sxx is BIGINT
-    # (int64→double is a single IEEE instruction, identical everywhere)
-    # but its magnitude growing past 9e15 signals era drift, so it is
-    # guarded too.
+    # docstring).  abs(sxy) — covariance can be negative; sxx is
+    # DECIMAL(38,0)-routed to DOUBLE like sxy/syy (r13 review: a raw
+    # int64 sum could wrap past 2⁶³ and land back under the guard), so
+    # the guard always sees the true magnitude.
     n_guarded = (
         "CASE WHEN syy < 9.0e15 AND abs(sxy) < 9.0e15"
-        " AND CAST(sxx AS DOUBLE) < 9.0e15 THEN n"
+        " AND sxx < 9.0e15 THEN n"
         " ELSE CAST(raise_error(concat("
         "'agg_ols_trend: integer-moment headroom exceeded (fixture drift?)"
         " syy=', CAST(syy AS STRING), ' sxy=', CAST(sxy AS STRING),"

@@ -631,95 +631,107 @@ class ManifestTable:
                 cand.append(rel)
             per: dict[int, tuple[int, int]] = {}
             src = None
-            if cand:
-                reader = self._reader(spark, man)
-                parts = []
-                for i, rel in enumerate(cand):
-                    d = reader.parquet(os.path.join(self.root, rel))
-                    if i == 0 and "__src" in d.columns:
-                        # withColumn would silently REPLACE a data
-                        # column of that name and partitionBy would
-                        # then erase it from every rewritten dir
-                        raise ValueError(
-                            "commit_delete: '__src' is a reserved "
-                            "column name in granular commits"
+            try:
+                if cand:
+                    reader = self._reader(spark, man)
+                    parts = []
+                    for i, rel in enumerate(cand):
+                        d = reader.parquet(os.path.join(self.root, rel))
+                        if i == 0 and "__src" in d.columns:
+                            # withColumn would silently REPLACE a data
+                            # column of that name and partitionBy would
+                            # then erase it from every rewritten dir
+                            raise ValueError(
+                                "commit_delete: '__src' is a reserved "
+                                "column name in granular commits"
+                            )
+                        parts.append(d.withColumn("__src", F.lit(i)))
+                    # PERSIST across the probe aggregate and the survivor
+                    # write (ADVICE r13): the predicate is evaluated by both
+                    # consumers, and a nondeterministic predicate evaluated
+                    # twice could make the written survivors disagree with
+                    # the probe counts — worst case the manifest references
+                    # a delete-*/__src=i partition the write never
+                    # materialized.  commit_merge persists its source for
+                    # exactly this reason.
+                    src = _union_dirs(parts).persist()
+                    aggs = [
+                        F.sum(F.when(F.expr(predicate), 1).otherwise(0)).alias(
+                            "hits"
+                        ),
+                        F.sum(F.when(F.expr(survive), 1).otherwise(0)).alias(
+                            "survivors"
+                        ),
+                    ]
+                    if prune is not None:
+                        # the prune spec is a PROMISE (matches only where
+                        # col ∈ keys) that the stats skip relies on for its
+                        # zero-I/O claim; a predicate wider than the spec
+                        # silently under-deletes in the PRUNED dirs.  The
+                        # candidate dirs are being scanned anyway, so check
+                        # the promise there for free — a violation witnessed
+                        # on any scanned row fails the commit loudly
+                        # (null-safe: a match with NULL col is a violation).
+                        # Honest limit: a violation confined ENTIRELY to
+                        # pruned dirs has no witness by construction (zero
+                        # I/O = zero evidence) — the spec remains a promise
+                        # there, exactly Delta replaceWhere's contract; this
+                        # catches the common shape where the predicate is
+                        # broader than the spec in a dir the spec made us
+                        # scan.
+                        col, keys = prune
+                        in_keys = F.col(col).isin(*keys) if keys else F.lit(False)
+                        aggs.append(
+                            F.sum(
+                                F.when(
+                                    F.expr(predicate)
+                                    & ~F.coalesce(in_keys, F.lit(False)),
+                                    1,
+                                ).otherwise(0)
+                            ).alias("promise_violations")
                         )
-                    parts.append(d.withColumn("__src", F.lit(i)))
-                src = _union_dirs(parts)
-                aggs = [
-                    F.sum(F.when(F.expr(predicate), 1).otherwise(0)).alias(
-                        "hits"
-                    ),
-                    F.sum(F.when(F.expr(survive), 1).otherwise(0)).alias(
-                        "survivors"
-                    ),
+                    probe = src.groupBy("__src").agg(*aggs)
+                    _capture_plan(probe)
+                    rows = probe.collect()
+                    if prune is not None:
+                        bad = sum(r["promise_violations"] or 0 for r in rows)
+                        if bad:
+                            raise ValueError(
+                                f"commit_delete: {bad} matching row(s) have "
+                                f"{prune[0]} outside the prune keys — the "
+                                "prune spec must cover every key the "
+                                "predicate can match (stats-skipped dirs "
+                                "would silently under-delete)"
+                            )
+                    per = {
+                        r["__src"]: (r["hits"] or 0, r["survivors"] or 0)
+                        for r in rows
+                    }
+                rewrite_ids = [
+                    i for i in range(len(cand))
+                    if per.get(i, (0, 0))[0] > 0 and per[i][1] > 0
                 ]
-                if prune is not None:
-                    # the prune spec is a PROMISE (matches only where
-                    # col ∈ keys) that the stats skip relies on for its
-                    # zero-I/O claim; a predicate wider than the spec
-                    # silently under-deletes in the PRUNED dirs.  The
-                    # candidate dirs are being scanned anyway, so check
-                    # the promise there for free — a violation witnessed
-                    # on any scanned row fails the commit loudly
-                    # (null-safe: a match with NULL col is a violation).
-                    # Honest limit: a violation confined ENTIRELY to
-                    # pruned dirs has no witness by construction (zero
-                    # I/O = zero evidence) — the spec remains a promise
-                    # there, exactly Delta replaceWhere's contract; this
-                    # catches the common shape where the predicate is
-                    # broader than the spec in a dir the spec made us
-                    # scan.
-                    col, keys = prune
-                    in_keys = F.col(col).isin(*keys) if keys else F.lit(False)
-                    aggs.append(
-                        F.sum(
-                            F.when(
-                                F.expr(predicate)
-                                & ~F.coalesce(in_keys, F.lit(False)),
-                                1,
-                            ).otherwise(0)
-                        ).alias("promise_violations")
+                rewrite_rel = {}
+                if rewrite_ids:
+                    parent = os.path.join(
+                        self._snap_root, f"delete-{os.getpid()}-{next(_SEQ)}"
                     )
-                probe = src.groupBy("__src").agg(*aggs)
-                _capture_plan(probe)
-                rows = probe.collect()
-                if prune is not None:
-                    bad = sum(r["promise_violations"] or 0 for r in rows)
-                    if bad:
-                        raise ValueError(
-                            f"commit_delete: {bad} matching row(s) have "
-                            f"{prune[0]} outside the prune keys — the "
-                            "prune spec must cover every key the "
-                            "predicate can match (stats-skipped dirs "
-                            "would silently under-delete)"
+                    surv = src.where(F.col("__src").isin(rewrite_ids)).where(
+                        F.expr(survive)
+                    )
+                    _capture_plan(surv)
+                    surv.write.mode("errorifexists").partitionBy("__src").parquet(
+                        parent
+                    )
+                    rewrite_rel = {
+                        i: os.path.relpath(
+                            os.path.join(parent, f"__src={i}"), self.root
                         )
-                per = {
-                    r["__src"]: (r["hits"] or 0, r["survivors"] or 0)
-                    for r in rows
-                }
-            rewrite_ids = [
-                i for i in range(len(cand))
-                if per.get(i, (0, 0))[0] > 0 and per[i][1] > 0
-            ]
-            rewrite_rel = {}
-            if rewrite_ids:
-                parent = os.path.join(
-                    self._snap_root, f"delete-{os.getpid()}-{next(_SEQ)}"
-                )
-                surv = src.where(F.col("__src").isin(rewrite_ids)).where(
-                    F.expr(survive)
-                )
-                _capture_plan(surv)
-                surv.write.mode("errorifexists").partitionBy("__src").parquet(
-                    parent
-                )
-                rewrite_rel = {
-                    i: os.path.relpath(
-                        os.path.join(parent, f"__src={i}"), self.root
-                    )
-                    for i in rewrite_ids
-                }
+                        for i in rewrite_ids
+                    }
+            finally:
+                if src is not None:
+                    src.unpersist()
             kept, removed, added, new_stats = [], [], [], {}
             idx = {rel: i for i, rel in enumerate(cand)}
             for rel in rels:
@@ -970,7 +982,18 @@ class ManifestTable:
                     gap = term if gap is None else gap + term
                 route = route.otherwise(F.lit(n_bands) + gap)
                 routed = upds.withColumn("__src", route)
-                probe = routed.groupBy("__src").agg(
+                # ROLLUP, not groupBy: the grand-total row (NULL __src —
+                # routing always produces a value, so NULL is
+                # unambiguous) carries the GLOBAL distinct-key count in
+                # the same aggregate job.  Per-band countDistinct alone
+                # cannot see a duplicate key whose prune_col values
+                # differ between copies (a violation of the documented
+                # clustering-key-immutability precondition): the copies
+                # route to different bands, each band sees one, and the
+                # duplicate silently lands in the table (ADVICE r13).
+                # sum(per-band nk) > global nk iff some key crosses
+                # bands — checked below at zero extra jobs.
+                probe = routed.rollup("__src").agg(
                     F.count(F.lit(1)).alias("n"),
                     F.countDistinct(key_col).alias("nk"),
                     F.count(key_col).alias("nknn"),
@@ -978,7 +1001,11 @@ class ManifestTable:
                     F.max(prune_col).alias("mx"),
                 )
                 _capture_plan(probe)
-                rows = probe.collect()
+                all_rows = probe.collect()
+                total_nk = next(
+                    (r["nk"] or 0) for r in all_rows if r["__src"] is None
+                )
+                rows = [r for r in all_rows if r["__src"] is not None]
                 knull = sum((r["n"] - r["nknn"]) for r in rows)
                 if knull:
                     # name the real problem: countDistinct skips NULLs,
@@ -999,6 +1026,19 @@ class ManifestTable:
                         f"commit_merge: updates contain {dup} duplicate "
                         f"{key_col} row(s) — deduplicate the source frame "
                         "first (multiple updates per key are ambiguous)"
+                    )
+                cross = sum((r["nk"] or 0) for r in rows) - total_nk
+                if cross:
+                    # same key, different prune_col between its copies:
+                    # each copy routed to a different band, evading the
+                    # per-band check — the clustering key is NOT
+                    # immutable for these keys and both copies would
+                    # land (ADVICE r13).  Delete + re-insert instead.
+                    raise ValueError(
+                        f"commit_merge: {cross} update key(s) appear with "
+                        f"multiple {prune_col} values — the clustering "
+                        "key must be immutable per merge key; delete + "
+                        "re-insert rows whose clustering key changed"
                     )
                 per = {r["__src"]: (r["mn"], r["mx"]) for r in rows}
                 touched = sorted(b for b in per if b < n_bands)

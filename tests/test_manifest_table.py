@@ -787,6 +787,22 @@ def test_merge_rejects_duplicate_update_keys(spark, clustered_tbl):
     assert clustered_tbl.current_version() == 1
 
 
+def test_merge_rejects_cross_band_duplicate_keys(spark, clustered_tbl):
+    # ADVICE r13: a duplicate key whose prune_col values DIFFER routes
+    # its copies to different bands — each band's countDistinct sees
+    # one copy, the per-band duplicate check passes, and both copies
+    # would silently land.  The rollup grand-total cross-check (global
+    # distinct keys vs sum of per-band distincts) must refuse: this is
+    # a clustering-key-immutability violation (k=7 and k=93 fall in
+    # different 8-band dirs of the 0..99 layout).
+    upd = spark.createDataFrame(
+        [(7, 7, 1), (7, 93, 2)], "id long, k long, v long"
+    )
+    with pytest.raises(ValueError, match="immutable"):
+        clustered_tbl.commit_merge(spark, upd, key_col="id", prune_col="k")
+    assert clustered_tbl.current_version() == 1
+
+
 def test_read_pruned_skips_non_covering_dirs(spark, clustered_tbl):
     # round-13 data-skipping read: a range read plans from the
     # manifest's per-dir intervals — Spark only ever receives the
