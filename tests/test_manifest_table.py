@@ -1488,3 +1488,21 @@ def test_changefeed_rejects_reversed_window(spark, tmp_path, frames):
     t.commit_append(b)
     with pytest.raises(ValueError, match="from_version"):
         t.changefeed(spark, 2, 1)
+
+
+def test_delete_on_evolved_column_keeps_pre_evolution_rows(spark, tmp_path):
+    # round-14 review probe: a DELETE whose predicate references an
+    # evolved column runs over pre-evolution dirs through the fast
+    # multi-path scan, which serves NULL for the missing column — the
+    # NULL-predicate rows must be RETAINED (Delta DELETE semantics),
+    # and the dirs holding them stay by-reference (hits = 0).
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit_append(spark.range(3).selectExpr("id"))
+    t.commit_append(spark.range(3, 6).selectExpr("id", "id AS w"))
+    old_dirs = set(t.manifest(2)["snapshots"])
+    t.commit_delete(spark, "w = 4")
+    assert {r.id for r in t.read(spark).collect()} == {0, 1, 2, 3, 5}
+    man = t.manifest(3)
+    # only the dir that actually held w=4 was rewritten
+    assert len(man["removed"]) == 1
+    assert old_dirs - set(man["removed"]) < set(man["snapshots"])
