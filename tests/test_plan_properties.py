@@ -991,7 +991,46 @@ def test_manifest_commit_plans_audited_and_no_scaling_broadcast(spark, sf_dir):
     assert any(e["shuffled_hash_joins"] >= 1 for e in merge_entries), (
         "merge anti-join lost its SHUFFLE_HASH pin"
     )
-    assert all(e["broadcast_hash_joins"] == 0 for e in merge_entries)
+    # BHJs inside commit plans are allowed ONLY with a driver-local
+    # build side (the r14 fast-scan dir-id lookup and the many-band
+    # interval mapping — createDataFrame relations, metadata-scale by
+    # construction).  Anything else under a build — a parquet scan, a
+    # persisted frame (InMemoryTableScan: how the events-derived updates
+    # side appears, which bhj_scaling_builds is blind to) — re-opens the
+    # r9 broadcast escape hatch.  The old pin here was a blanket
+    # broadcast_hash_joins == 0; this is the same guarantee minus the
+    # sanctioned local lookups.
+    _LOCAL_LEAVES = ("Scan ExistingRDD", "LocalTableScan")
+
+    def _bhj_build_leaves(plan):
+        nodes = pa._tree_nodes(plan)
+        leaves = []
+        for i, (d, name, _) in enumerate(nodes):
+            if not name.startswith("BroadcastHashJoin"):
+                continue
+            for j, (cd, cname, _) in enumerate(pa._subtree(nodes, i)):
+                if cd == d + 1 and cname.startswith(
+                    ("BroadcastExchange", "ReusedExchange")
+                ):
+                    leaves += [
+                        n
+                        for _, n, _ in pa._subtree(nodes, i + j)
+                        if n.startswith(
+                            ("Scan", "InMemoryTableScan", "LocalTableScan")
+                        )
+                    ]
+        return leaves
+
+    for kind, entries in merged_by_kind.items():
+        for plan, e in zip(ep.manifest_commit_plans(kind), entries):
+            if e["broadcast_hash_joins"] == 0:
+                continue
+            bad = [
+                leaf
+                for leaf in _bhj_build_leaves(plan)
+                if not leaf.startswith(_LOCAL_LEAVES)
+            ]
+            assert not bad, (kind, bad)
     # every fixture KIND that records a sidecar must be consumed by an
     # _EAGER_PLANS face — the r13 review caught 'restat' captured but
     # never audited; this pins the mapping mechanically
