@@ -973,8 +973,9 @@ def test_manifest_commit_plans_audited_and_no_scaling_broadcast(spark, sf_dir):
     ep._manifest_compact_root(spark, sf_dir)
     ep._manifest_evolve_root(spark, sf_dir)
     ep._manifest_restat_root(spark, sf_dir)
+    ep._manifest_manydirs_root(spark, sf_dir)
     merged_by_kind = {}
-    for kind in ("tbl", "merge", "compact", "evolve", "restat"):
+    for kind in ("tbl", "merge", "compact", "evolve", "restat", "manydirs"):
         plans = ep.manifest_commit_plans(kind)  # raises on missing sidecar
         entries = [pa._audit_plan(p) for p in plans]
         for e in entries:
@@ -1035,7 +1036,7 @@ def test_manifest_commit_plans_audited_and_no_scaling_broadcast(spark, sf_dir):
     # _EAGER_PLANS face — the r13 review caught 'restat' captured but
     # never audited; this pins the mapping mechanically
     assert set(ep._MANIFEST_PLAN_ROOTS) == {
-        "tbl", "merge", "compact", "evolve", "restat",
+        "tbl", "merge", "compact", "evolve", "restat", "manydirs",
     }
     import re as _re
 

@@ -109,6 +109,7 @@ _EAGER_PLANS = {
     "pipe_manifest_compact": _manifest_plans("compact"),
     "pipe_manifest_schema_evolve": _manifest_plans("evolve"),
     "pipe_manifest_restat_read": _manifest_plans("restat"),
+    "pipe_manifest_many_appends": _manifest_plans("manydirs"),
 }
 
 
