@@ -851,7 +851,13 @@ def test_manifest_model_based_random_ops(spark, tmp_path, seed):
     # alphabet covers all 8 commit types — append, delete, merge (both
     # routing paths, chosen at random), compact, cluster, full snapshot,
     # schema-evolving append, restat — at 3 seeds x 14 ops.
+    # GORDO_SPARK_RING_OPS lifts the per-seed op count for a
+    # nightly-style deep soak (ROUND15_NOTES #2) without inflating the
+    # default suite budget: GORDO_SPARK_RING_OPS=40 python -m pytest
+    # tests/test_manifest_table.py -k model_based.
     import random
+
+    n_ops = int(os.environ.get("GORDO_SPARK_RING_OPS", "14"))
 
     rnd = random.Random(seed)
     t = ManifestTable(str(tmp_path / f"tbl-{seed}"))
@@ -891,7 +897,7 @@ def test_manifest_model_based_random_ops(spark, tmp_path, seed):
     n_merges_applied = 0
     ops_seen = set()
     next_id = 1000
-    for step in range(14):
+    for step in range(n_ops):
         op = rnd.choice(
             [
                 "append",
@@ -1406,6 +1412,49 @@ def test_merge_route_via_join_matches_case_path(spark, tmp_path):
     # gap inserts are their own dirs: 2 bands rewritten + 2 gap dirs
     assert results["join"]["n_removed"] == 2
     assert results["join"]["n_added"] == 4
+
+
+def test_merge_route_join_auto_switch_above_threshold(spark, tmp_path):
+    # ROUND15_NOTES #1: the equivalence test above FORCES
+    # route_join_min=1; nothing covered the AUTO switch at the default
+    # threshold.  A ≥_ROUTE_JOIN_MIN_BANDS clustered layout merged with
+    # route_join_min=None must pick the bucketed broadcast interval
+    # join ON ITS OWN (BroadcastHashJoin in the commit plans, never the
+    # BNLJ census anti-pattern) and still land the merge exactly.
+    from gordo_components_spark.plans import manifest_table as mt
+
+    n_dirs = mt._ROUTE_JOIN_MIN_BANDS + 4
+    base = spark.range(2 * n_dirs).selectExpr(
+        "id", "id * 2 AS v", "CAST(id AS BIGINT) AS k"
+    )
+    t = ManifestTable(str(tmp_path / "tbl-auto"))
+    assert t.commit_clustered(base, "k", n_dirs=n_dirs) == 1
+    man = t.manifest(1)
+    assert len(man["dir_stats"]) >= mt._ROUTE_JOIN_MIN_BANDS  # premise
+    upd = spark.createDataFrame(
+        [
+            (3, 3, 333),                      # replace, low band
+            (2 * n_dirs - 1, 2 * n_dirs - 1, 999),  # replace, top band
+            (90000, 10**6, 1),                # insert above every band
+        ],
+        "id long, k long, v long",
+    )
+    mt.MANIFEST_COMMIT_PLANS.clear()
+    mt.arm_plan_capture(True)
+    try:
+        assert (
+            t.commit_merge(spark, upd, key_col="id", prune_col="k") == 2
+        )
+    finally:
+        mt.arm_plan_capture(False)
+    joined = "\n".join(mt.MANIFEST_COMMIT_PLANS)
+    assert "BroadcastHashJoin" in joined
+    assert "BroadcastNestedLoopJoin" not in joined
+    rows = {r.id: (r.k, r.v) for r in t.read(spark).collect()}
+    assert rows[3] == (3, 333)
+    assert rows[2 * n_dirs - 1] == (2 * n_dirs - 1, 999)
+    assert rows[90000] == (10**6, 1)
+    assert len(rows) == 2 * n_dirs + 1
 
 
 def test_nan_float_stats_guards(spark, tmp_path, clustered_tbl):
