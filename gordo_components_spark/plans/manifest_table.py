@@ -298,13 +298,23 @@ class ManifestTable:
             # parent dir of each row's file; flat dirs hold their part
             # files directly, so parent == the data dir.  input_file_name
             # yields file:///abs/path — strip the scheme and collapse the
-            # leading slashes to match os.path.abspath's form.
-            dircol = F.regexp_replace(
-                F.regexp_extract(
-                    F.input_file_name(), r"^(?:file:)?(/+.*)/[^/]+$", 1
-                ),
-                "^/+",
-                "/",
+            # leading slashes to match os.path.abspath's form.  The path
+            # is URI-percent-encoded (space → %20, % → %25; verified
+            # empirically: '+' and non-ASCII stay literal), so decode
+            # before comparing to abspath — protecting literal '+' as
+            # %2B first because url_decode is form-style ('+' → space).
+            dircol = F.url_decode(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_extract(
+                            F.input_file_name(), r"^(?:file:)?(/+.*)/[^/]+$", 1
+                        ),
+                        "^/+",
+                        "/",
+                    ),
+                    r"\+",
+                    "%2B",
+                )
             )
             out = (
                 df.withColumn("__dir", dircol)
@@ -353,11 +363,26 @@ class ManifestTable:
         rows — so the explicit broadcast is the sanctioned
         fixed-small-side shape.
 
-        Returns None when the band span can't be bucketed in long
-        arithmetic (span ≥ 2⁶²; unreachable for real clustering keys) —
-        the caller falls back to the CASE chain."""
+        Returns None — the caller falls back to the CASE chain, which
+        compares the ORIGINAL values and is exact for any orderable
+        type — in three cases (round-14 independent review): (a) any
+        interval bound is non-integral (a DOUBLE/DECIMAL clustering
+        key: ``int()`` truncation would shift bounds, silently routing
+        a gap value like 25.0 between bands (…,24.75) and (25.25,…)
+        INTO a band dir whose recorded stats then exclude a real row);
+        (b) the updates frame carries a data column named like one of
+        this path's temporaries (``withColumn``/``drop`` would clobber
+        it to NULL in every rewritten dir — the CASE path only touches
+        the already-reserved ``__src``); (c) the band span can't be
+        bucketed in long arithmetic (span ≥ 2⁶²)."""
         from pyspark.sql import functions as F
 
+        for mn, mx in ivals:
+            for v in (mn, mx):
+                if not isinstance(v, int) or isinstance(v, bool):
+                    return None
+        if any(c in upds.columns for c in ("__bkt", "__rbkt", "__rlo", "__rhi")):
+            return None
         n = len(ivals)
         glo, ghi = int(ivals[0][0]), int(ivals[-1][1])
         span = ghi - glo + 1

@@ -1457,6 +1457,86 @@ def test_merge_route_join_auto_switch_above_threshold(spark, tmp_path):
     assert len(rows) == 2 * n_dirs + 1
 
 
+def test_merge_double_key_falls_back_to_case_chain(spark, tmp_path):
+    # Round-14 independent review finding 1 (repro-confirmed): the
+    # bucketed interval routing int()-truncates bounds, so a DOUBLE
+    # clustering key misroutes a gap value (k=25.0 between bands
+    # (…,24.25) and (25.25,…)) INTO a band dir whose recorded stats
+    # then exclude a real row — read_pruned returned 0 rows for a row
+    # that exists.  Non-integral bounds must take the CASE chain, which
+    # compares the original values exactly.
+    t = ManifestTable(str(tmp_path / "dbl"))
+    base = spark.range(100).selectExpr(
+        "id", "id * 2 AS v", "CAST(id AS DOUBLE) + 0.25 AS k"
+    )
+    assert t.commit_clustered(base, "k", n_dirs=4) == 1
+    upd = spark.createDataFrame(
+        [(7, 7.25, 777.0), (9000, 25.0, 1.0)],  # replace + GAP insert
+        "id long, k double, v double",
+    ).selectExpr("id", "CAST(v AS LONG) AS v", "k")
+    # route_join_min=1 WOULD take the join path; the integral-bounds
+    # guard must reject it and land the gap insert in its own gap dir
+    assert (
+        t.commit_merge(spark, upd, key_col="id", prune_col="k",
+                       route_join_min=1)
+        == 2
+    )
+    rows = {r.id: (r.v, r.k) for r in t.read(spark).collect()}
+    assert rows[7] == (777, 7.25)
+    assert rows[9000] == (1, 25.0)
+    got = t.read_pruned(spark, "k", 25.0, 25.0)
+    assert [r.id for r in got.collect()] == [9000]  # was 0 rows pre-fix
+
+
+def test_merge_temp_column_name_falls_back(spark, tmp_path):
+    # Round-14 independent review finding 2: a data column named like a
+    # join-path temporary ('__bkt') was silently clobbered —
+    # withColumn replaced it, drop removed it, and allowMissingColumns
+    # refilled it with NULL in every rewritten dir.  The collision
+    # guard must fall back to the CASE chain, which only touches the
+    # already-reserved '__src'.
+    t = ManifestTable(str(tmp_path / "bkt"))
+    base = spark.range(50).selectExpr(
+        "id", "id AS k", "id * 11 AS __bkt"
+    )
+    assert t.commit_clustered(base, "k", n_dirs=4) == 1
+    upd = spark.createDataFrame(
+        [(3, 3, 333), (2000, 900, 5)], "id long, k long, __bkt long"
+    )
+    assert (
+        t.commit_merge(spark, upd, key_col="id", prune_col="k",
+                       route_join_min=1)
+        == 2
+    )
+    rows = {r.id: (r.k, r["__bkt"]) for r in t.read(spark).collect()}
+    assert rows[3] == (3, 333)        # update carried the column
+    assert rows[2000] == (900, 5)     # insert carried the column
+    assert rows[10] == (10, 110)      # untouched rows keep theirs
+
+
+def test_fast_scan_handles_uri_encodable_root(spark, tmp_path):
+    # Round-14 independent review finding 3: input_file_name() returns
+    # a percent-encoded URI path (space → %20, % → %25; '+' and
+    # non-ASCII stay literal — verified empirically), but the fast-scan
+    # dir-id lookup compared it to os.path.abspath — under a root with
+    # any encodable char every granular commit failed loud on the
+    # unmatched-dir guard.  The decoded comparison must route exactly.
+    t = ManifestTable(str(tmp_path / "tbl with sp%ace+plus"))
+    base = spark.range(100).selectExpr("id", "id * 2 AS v", "id AS k")
+    assert t.commit_clustered(base, "k", n_dirs=6) == 1
+    # granular delete drives _scan_dirs' tagged fast path
+    assert t.commit_delete(spark, "k BETWEEN 10 AND 12") == 2
+    rows = {r.id for r in t.read(spark).collect()}
+    assert rows == set(range(100)) - {10, 11, 12}
+    # and a merge (probe + rewrite both ride the fast path)
+    upd = spark.createDataFrame([(5, 5, 999)], "id long, k long, v long")
+    assert (
+        t.commit_merge(spark, upd, key_col="id", prune_col="k") == 3
+    )
+    got = {r.id: r.v for r in t.read(spark).collect()}
+    assert got[5] == 999 and len(got) == 97
+
+
 def test_nan_float_stats_guards(spark, tmp_path, clustered_tbl):
     # VERDICT r13 what's-wrong #4 / next-round #6.
     # (a) commit_restat refuses float columns outright: parquet footer
