@@ -839,8 +839,11 @@ def test_read_pruned_empty_range_returns_empty_exact_schema(spark, clustered_tbl
     assert got.columns == ["id", "v", "k"]
 
 
-@pytest.mark.parametrize("seed", [20260816, 1307, 41404])
-def test_manifest_model_based_random_ops(spark, tmp_path, seed):
+@pytest.mark.parametrize(
+    "seed,double_key",
+    [(20260816, False), (1307, False), (41404, False), (77, True)],
+)
+def test_manifest_model_based_random_ops(spark, tmp_path, seed, double_key):
     # Model-based ring (round 13; widened round 14 per VERDICT r13
     # what's-wrong #2): a seeded random sequence of commits runs against
     # an in-memory reference dict; after EVERY commit the table must
@@ -855,6 +858,15 @@ def test_manifest_model_based_random_ops(spark, tmp_path, seed):
     # nightly-style deep soak (ROUND15_NOTES #2) without inflating the
     # default suite budget: GORDO_SPARK_RING_OPS=40 python -m pytest
     # tests/test_manifest_table.py -k model_based.
+    #
+    # double_key (added after the round-14 review found DOUBLE-key
+    # misrouting in the bucketed interval join): one seed runs the
+    # whole alphabet with a DOUBLE clustering key (values at exact
+    # halves, so engine/model equality stays bitwise) — the join
+    # routing must refuse non-integral bounds even when the random
+    # route_join_min=1 asks for it, restat must refuse the float
+    # column, and float [min, max] stats must still prune deletes
+    # exactly.
     import random
 
     n_ops = int(os.environ.get("GORDO_SPARK_RING_OPS", "14"))
@@ -862,6 +874,10 @@ def test_manifest_model_based_random_ops(spark, tmp_path, seed):
     rnd = random.Random(seed)
     t = ManifestTable(str(tmp_path / f"tbl-{seed}"))
     evolved = False
+    ktype = "double" if double_key else "long"
+
+    def kval(n):
+        return n + 0.5 if double_key else n
 
     def df_of(rows):
         if evolved:
@@ -870,10 +886,10 @@ def test_manifest_model_based_random_ops(spark, tmp_path, seed):
                 for i, kv in sorted(rows.items())
             ]
             return spark.createDataFrame(
-                data, "id long, k long, v long, w long"
+                data, f"id long, k {ktype}, v long, w long"
             )
         data = [(i, kv[0], kv[1]) for i, kv in sorted(rows.items())]
-        return spark.createDataFrame(data, "id long, k long, v long")
+        return spark.createDataFrame(data, f"id long, k {ktype}, v long")
 
     def snap(rows):
         # model rows normalized to the CURRENT schema width
@@ -890,7 +906,7 @@ def test_manifest_model_based_random_ops(spark, tmp_path, seed):
             return {r.id: (r.k, r.v, r.w) for r in got.collect()}
         return {r.id: (r.k, r.v) for r in got.collect()}
 
-    model = {i: (i % 50, i * 2) for i in range(200)}
+    model = {i: (kval(i % 50), i * 2) for i in range(200)}
     t.commit_clustered(df_of(model), "k", n_dirs=6)
     history = {1: snap(model)}
     merge_ok = True  # every dir has disjoint-interval stats
@@ -913,7 +929,7 @@ def test_manifest_model_based_random_ops(spark, tmp_path, seed):
         ops_seen.add(op)
         if op == "append":
             newrows = {
-                next_id + j: (rnd.randrange(-20, 120), rnd.randrange(1000))
+                next_id + j: (kval(rnd.randrange(-20, 120)), rnd.randrange(1000))
                 for j in range(rnd.randrange(1, 20))
             }
             next_id += 100
@@ -937,7 +953,7 @@ def test_manifest_model_based_random_ops(spark, tmp_path, seed):
                 ) + ((rnd.randrange(9),) if evolved else ())
             for j in range(3):
                 ups[next_id + j] = (
-                    rnd.randrange(-20, 120),
+                    kval(rnd.randrange(-20, 120)),
                     rnd.randrange(1000),
                 ) + ((rnd.randrange(9),) if evolved else ())
             next_id += 100
@@ -979,7 +995,7 @@ def test_manifest_model_based_random_ops(spark, tmp_path, seed):
             evolved = True
             newrows = {
                 next_id + j: (
-                    rnd.randrange(-20, 120),
+                    kval(rnd.randrange(-20, 120)),
                     rnd.randrange(1000),
                     rnd.randrange(9),
                 )
@@ -993,7 +1009,12 @@ def test_manifest_model_based_random_ops(spark, tmp_path, seed):
             # pointer-only stats refresh: data identical, bounds exact;
             # merge_ok stays conservative (newly-statted append dirs may
             # legitimately overlap the bands — the merge's own
-            # disjointness check is the authority)
+            # disjointness check is the authority).  A FLOAT key must be
+            # refused outright (footer bounds exclude NaN rows).
+            if double_key:
+                with pytest.raises(ValueError):
+                    t.commit_restat(["k"])
+                continue
             t.commit_restat(["k"])
         cur = t.current_version()
         history[cur] = snap(model)
