@@ -415,9 +415,14 @@ class ManifestTable:
         )
         # clamp to the edge buckets so the unbounded outer gaps need only
         # one mapping row each; the residual range check still compares
-        # the UNCLAMPED value, so routing stays exact
+        # the UNCLAMPED value, so routing stays exact.  The identifier is
+        # backtick-quoted: interpolated raw, a legal name like 'k-v'
+        # parses as SUBTRACTION (input-domain review class) — wrong
+        # buckets then miss every mapping row and the loud left-join
+        # guard aborts a merge that the quoted form routes fine.
+        qcol = "`" + prune_col.replace("`", "``") + "`"
         bucket = F.expr(
-            f"(least(greatest(CAST({prune_col} AS BIGINT), {glo}L), {ghi}L)"
+            f"(least(greatest(CAST({qcol} AS BIGINT), {glo}L), {ghi}L)"
             f" - {glo}L) div {width}L"
         )
         out = (

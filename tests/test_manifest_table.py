@@ -1535,6 +1535,35 @@ def test_merge_temp_column_name_falls_back(spark, tmp_path):
     assert rows[10] == (10, 110)      # untouched rows keep theirs
 
 
+def test_merge_route_join_quotes_hyphenated_key(spark, tmp_path):
+    # Input-domain review class: the bucket expression interpolated the
+    # prune column raw into SQL, so a legal hyphenated name like 'k-v'
+    # parsed as SUBTRACTION of sibling columns k and v — wrong buckets
+    # missed every mapping row and the loud left-join guard aborted a
+    # merge the backtick-quoted form routes fine.
+    t = ManifestTable(str(tmp_path / "hyph"))
+    base = spark.range(60).selectExpr(
+        "id", "id AS k", "id * 2 AS v", "id AS `k-v`"
+    )
+    assert t.commit_clustered(base, "k-v", n_dirs=4) == 1
+    # rows chosen so the SUBTRACTION k−v lands a DIFFERENT bucket than
+    # the true `k-v` value (999−0 → top bucket vs true 3 → bucket 0;
+    # 0−50 → bucket 0 vs true 900 → above-gap): pre-fix both miss every
+    # mapping row and the left-join guard aborts the commit
+    upd = spark.createDataFrame(
+        [(3, 999, 0, 3), (900, 0, 50, 900)],
+        "id long, k long, v long, `k-v` long",
+    )
+    assert (
+        t.commit_merge(spark, upd, key_col="id", prune_col="k-v",
+                       route_join_min=1)
+        == 2
+    )
+    rows = {r.id: (r.k, r.v) for r in t.read(spark).collect()}
+    assert rows[3] == (999, 0) and rows[900] == (0, 50)
+    assert len(rows) == 61
+
+
 def test_fast_scan_handles_uri_encodable_root(spark, tmp_path):
     # Round-14 independent review finding 3: input_file_name() returns
     # a percent-encoded URI path (space → %20, % → %25; '+' and
