@@ -273,8 +273,14 @@ class ManifestTable:
                 if schema is not None
                 else reader.parquet(paths[0]).columns
             )
+            # CASEFOLDED comparison (round-14 second review pass,
+            # repro-confirmed): Spark resolves names case-insensitively
+            # by default, so a data column '__Src' would be replaced by
+            # withColumn('__src', …) exactly like the exact-case one —
+            # every reserved-name guard in this file folds first
+            lowered = {c.lower() for c in cols}
             for reserved in ("__src", "__dir"):
-                if reserved in cols:
+                if reserved in lowered:
                     # withColumn would silently REPLACE a data column of
                     # that name and partitionBy would then erase it from
                     # every rewritten dir
@@ -381,7 +387,10 @@ class ManifestTable:
             for v in (mn, mx):
                 if not isinstance(v, int) or isinstance(v, bool):
                     return None
-        if any(c in upds.columns for c in ("__bkt", "__rbkt", "__rlo", "__rhi")):
+        if any(
+            c.lower() in ("__bkt", "__rbkt", "__rlo", "__rhi")
+            for c in upds.columns
+        ):
             return None
         n = len(ivals)
         glo, ghi = int(ivals[0][0]), int(ivals[-1][1])
@@ -777,7 +786,7 @@ class ManifestTable:
         and non-null (JSON-able stats)."""
         from pyspark.sql import functions as F
 
-        if "__band" in df.columns:
+        if any(c.lower() == "__band" for c in df.columns):
             raise ValueError(
                 "commit_clustered: '__band' is a reserved column name"
             )
@@ -1244,7 +1253,7 @@ class ManifestTable:
                 .parquet(os.path.join(self.root, rels[0]))
                 .columns
             )
-            if "__src" in table_cols:
+            if any(c.lower() == "__src" for c in table_cols):
                 raise ValueError(
                     "commit_merge: '__src' is a reserved column name in "
                     "granular commits"

@@ -1535,6 +1535,47 @@ def test_merge_temp_column_name_falls_back(spark, tmp_path):
     assert rows[10] == (10, 110)      # untouched rows keep theirs
 
 
+def test_reserved_name_guards_are_case_insensitive(spark, tmp_path):
+    # Round-14 second review pass (repro-confirmed): Spark resolves
+    # column names case-insensitively by default, so '__Bkt' was
+    # replaced by withColumn('__bkt', …) exactly like the exact-case
+    # spelling — it slipped past every case-SENSITIVE reserved-name
+    # guard and merged rows came back with __Bkt = NULL.
+    t = ManifestTable(str(tmp_path / "case1"))
+    base = spark.range(50).selectExpr("id", "id AS k", "id * 11 AS __Bkt")
+    assert t.commit_clustered(base, "k", n_dirs=4) == 1
+    upd = spark.createDataFrame(
+        [(3, 3, 333)], "id long, k long, __Bkt long"
+    )
+    assert (
+        t.commit_merge(spark, upd, key_col="id", prune_col="k",
+                       route_join_min=1)
+        == 2
+    )
+    rows = {r.id: r["__Bkt"] for r in t.read(spark).collect()}
+    assert rows[3] == 333          # was NULL pre-fix
+    assert rows[10] == 110
+    # hard-reserved names refuse in any case variant
+    t2 = ManifestTable(str(tmp_path / "case2"))
+    bad = spark.range(5).selectExpr("id", "id AS k", "id AS __SRC")
+    assert t2.commit_clustered(bad, "k", n_dirs=2) == 1
+    with pytest.raises(ValueError, match="reserved"):
+        t2.commit_merge(
+            spark,
+            spark.createDataFrame([(1, 1, 9)], "id long, k long, __SRC long"),
+            key_col="id",
+            prune_col="k",
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        t2.commit_delete(spark, "k = 1")
+    with pytest.raises(ValueError, match="reserved"):
+        ManifestTable(str(tmp_path / "case3")).commit_clustered(
+            spark.range(5).selectExpr("id", "id AS k", "id AS __Band"),
+            "k",
+            n_dirs=2,
+        )
+
+
 def test_merge_route_join_quotes_hyphenated_key(spark, tmp_path):
     # Input-domain review class: the bucket expression interpolated the
     # prune column raw into SQL, so a legal hyphenated name like 'k-v'
