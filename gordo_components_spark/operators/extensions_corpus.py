@@ -1867,15 +1867,19 @@ def ext_dedup_canonical_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = persist_tracked(emb.select(F.col("vec_id").alias("src")))
     n_nodes = nodes.count()  # scalar driver boundary: one count, bounded
-    degrees = persist_tracked(
-        edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    )
+    degrees = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # loop-invariant hoist (r14, guide §2.4): ``ranks ⋈ degrees ⋈ edges``
+    # re-joined the constant degrees frame to the rank vector on every
+    # iteration — attaching deg to each edge ONCE outside the loop drops
+    # one join (and its exchange) per iteration from the 10-iteration
+    # chain.  Arithmetic is unchanged (same rank/deg per contribution),
+    # so the numpy power-iteration parity pin still holds bit-for-bit.
+    edges_deg = persist_tracked(edges.join(degrees, "src"))
     ranks = nodes.select("src", F.lit(1.0 / n_nodes).alias("rank"))
     teleport = (1.0 - _PR_DAMP) / n_nodes
     for i in range(_PR_ITERS):
         contribs = (
-            ranks.join(degrees, "src")
-            .join(edges, "src")
+            ranks.join(edges_deg, "src")
             .select(F.col("dst").alias("src"), (F.col("rank") / F.col("deg")).alias("c"))
         )
         summed = contribs.groupBy("src").agg(F.sum("c").alias("inflow"))

@@ -15,6 +15,7 @@ lives in tests/test_streaming.py.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import uuid
 
@@ -52,6 +53,81 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
+#: rows of stream input one state-store task should own before another
+#: task pays off.  A state task's FIXED cost per micro-batch (store
+#: init, checkpoint delta write + fsync, maintenance) is ~100-300 ms
+#: locally while per-row state upkeep is ~1-5 µs, so tasks below ~50k
+#: rows are overhead-bound — the streaming analog of AQE's
+#: advisoryPartitionSizeInBytes, which never applies to streams.
+_STREAM_ROWS_PER_TASK = 50_000
+
+
+@contextlib.contextmanager
+def _stream_shuffle_partitions(
+    spark: SparkSession,
+    est_rows: int | None = None,
+    python_stateful: bool = False,
+):
+    """Pin ``spark.sql.shuffle.partitions`` for the lifetime of ONE
+    streaming run to a scale-derived value (guide §2: partitioning must
+    be scale-adaptive, not a constant tuned for local mode or one
+    cluster).  Unlike batch, streaming gets NO AQE coalescing, and the
+    conf at first-micro-batch planning time fixes the state-store task
+    count for the checkpoint's lifetime — on a session left at the
+    200-partition default, every stateful face runs 200 state-store
+    tasks (and writes 200 checkpoint delta files) per micro-batch over
+    fixture-sized data: measured 168-215 s for stream_stateful_ewma on a
+    vanilla local[32] session vs ~9 s at 32 partitions.
+
+    ``est_rows`` (parquet-footer row count of the replay source — the
+    same zero-cost exact statistic the footer-adaptive joins use) sizes
+    DOWN from cluster parallelism when the whole run carries little
+    data: partitions = clamp(est_rows / _STREAM_ROWS_PER_TASK, 8,
+    defaultParallelism).  Large inputs therefore keep today's
+    defaultParallelism; fixture-sized runs stop paying ~cores× state
+    fixed costs (measured on stream_stream_join at 32 cores: 17.9-20.1 s
+    at 32 partitions vs 7.5-11.9 s at 8, same session, interleaved).
+    GORDO_STREAM_SHUFFLE_PARTITIONS overrides both for deployments
+    whose state-key cardinality wants a specific width.  Checkpoints
+    here are run-scoped (uuid / pid-token dirs), so no prior checkpoint
+    can disagree with the pin.  Restore in finally: the conf is
+    session-global and batch queries must keep seeing the session's own
+    setting.
+
+    ``python_stateful=True`` (the ``applyInPandasWithState`` faces keyed
+    by ~machine-cardinality) disables the est_rows DOWN-sizing and keeps
+    full parallelism: their cost is per-group PANDAS compute, and
+    coalescing serializes Python workers — the streaming twin of the
+    CLAUDE.md ``_spread`` invariant (measured on stream_cusum_genuine:
+    7.0-7.8 s at 32 partitions vs 13.4-14.2 s at 8, same session,
+    interleaved — the exact inverse of the JVM-stateful faces)."""
+    key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(key)
+    env = os.environ.get("GORDO_STREAM_SHUFFLE_PARTITIONS")
+    if env:
+        target = int(env)
+    else:
+        target = max(8, spark.sparkContext.defaultParallelism)
+        if est_rows is not None and not python_stateful:
+            sized = max(8, -(-est_rows // _STREAM_ROWS_PER_TASK))
+            target = min(target, sized)
+    spark.conf.set(key, str(target))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prior)
+
+
+def _events_rows(sf_dir: str) -> int | None:
+    """Exact replay-source row count from the events parquet footer."""
+    try:
+        from gordo_components_spark.caches import _parquet_rows
+
+        return _parquet_rows(sf_dir, "events")
+    except Exception:
+        return None
+
+
 def _replay_cache(spark: SparkSession, sf_dir: str, name: str, table: str, build):
     """Fingerprinted, atomically-installed replay cache — the discipline
     now lives in ``caches.materialized_cache`` (review r7: the scan legs
@@ -85,6 +161,8 @@ def _run_to_memory(
     query_name: str,
     output_mode: str = "append",
     latest_by: tuple[tuple[str, ...], str] | None = None,
+    est_rows: int | None = None,
+    python_stateful: bool = False,
 ) -> DataFrame:
     """Execute an availableNow streaming query into a memory sink and
     return the MATERIALIZED result (eager localCheckpoint), then drop
@@ -102,15 +180,18 @@ def _run_to_memory(
     spark = stream_df.sparkSession
     chk = f"/tmp/gordo_spark_stream/chk/{query_name}-{uuid.uuid4().hex}"
     try:
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", chk)
-            .start()
-        )
-        q.awaitTermination()
+        with _stream_shuffle_partitions(
+            spark, est_rows=est_rows, python_stateful=python_stateful
+        ):
+            q = (
+                stream_df.writeStream.format("memory")
+                .queryName(query_name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", chk)
+                .start()
+            )
+            q.awaitTermination()
         out = spark.table(query_name).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(chk, ignore_errors=True)  # run-scoped checkpoint
@@ -157,7 +238,7 @@ def run_streaming_tumbling_agg(
         .select("event_type", F.col("w.start").alias("window_start"), "n", "avg_value")
     )
     name = f"stream_agg_{uuid.uuid4().hex[:8]}"
-    return _run_to_memory(agg, name)
+    return _run_to_memory(agg, name, est_rows=_events_rows(sf_dir))
 
 
 def run_streaming_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,13 +320,14 @@ def run_streaming_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.createDataFrame([], SCORE_SCHEMA).write.mode("append").parquet(sink_dir)
 
-    q = (
-        stream.writeStream.foreachBatch(score_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", chk_dir)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle_partitions(spark, est_rows=_events_rows(sf_dir)):
+        q = (
+            stream.writeStream.foreachBatch(score_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", chk_dir)
+            .start()
+        )
+        q.awaitTermination()
     models.unpersist()  # sink is durable parquet; the cache has served its batches
     return spark.read.parquet(sink_dir)
 
@@ -309,15 +391,18 @@ def run_streaming_stateful_ewma(
 
     name = f"stream_ewma_{uuid.uuid4().hex[:8]}"
     chk = f"/tmp/gordo_spark_stream/chk/{name}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", chk)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle_partitions(
+        spark, est_rows=_events_rows(sf_dir), python_stateful=True
+    ):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        q.awaitTermination()
     shutil.rmtree(chk, ignore_errors=True)  # memory sink: checkpoint is run-scoped
     # update-mode memory sink holds one row per (key, batch); the final
     # state per machine is the last emitted row
@@ -345,7 +430,7 @@ def run_streaming_watermark_dedup(
         .select("event_id", "user_id", "ts", "event_type", "value")
     )
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    return _run_to_memory(deduped, name)
+    return _run_to_memory(deduped, name, est_rows=_events_rows(sf_dir))
 
 
 def run_streaming_stream_join(
@@ -395,7 +480,7 @@ def run_streaming_stream_join(
         F.col("p_user").alias("user_id"), "purchase_id", "click_id", "p_ts", "c_ts"
     )
     name = f"stream_join_{uuid.uuid4().hex[:8]}"
-    return _run_to_memory(joined, name)
+    return _run_to_memory(joined, name, est_rows=_events_rows(sf_dir))
 
 
 def run_streaming_enrich_dim(
@@ -436,7 +521,7 @@ def run_streaming_enrich_dim(
         .select("c_mktsegment", F.col("w.start").alias("window_start"), "n", "total_value")
     )
     name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
-    return _run_to_memory(enriched, name)
+    return _run_to_memory(enriched, name, est_rows=_events_rows(sf_dir))
 
 
 def run_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,13 +612,18 @@ def run_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFra
         ).parquet(sink_dir)
 
     spark.createDataFrame([], schema).write.mode("append").parquet(sink_dir)
-    q = (
-        deduped.writeStream.foreachBatch(probe_history)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", chk_dir)
-        .start()
-    )
-    q.awaitTermination()
+    from gordo_components_spark.caches import _parquet_rows
+
+    with _stream_shuffle_partitions(
+        spark, est_rows=_parquet_rows(sf_dir, "documents")
+    ):
+        q = (
+            deduped.writeStream.foreachBatch(probe_history)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", chk_dir)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(sink_dir)
 
 
@@ -577,7 +667,7 @@ def run_streaming_session_agg(
         )
     )
     name = f"stream_sess_{uuid.uuid4().hex[:8]}"
-    return _run_to_memory(agg, name)
+    return _run_to_memory(agg, name, est_rows=_events_rows(sf_dir))
 
 
 def _v100(v: float) -> int:
@@ -709,6 +799,8 @@ def run_streaming_cusum(
         name,
         output_mode="update",
         latest_by=(("user_id", "event_type"), "n_seen"),
+        est_rows=_events_rows(sf_dir),
+        python_stateful=True,
     )
 
 
@@ -806,7 +898,8 @@ def run_streaming_hampel(
     )
     name = f"stream_hampel_{uuid.uuid4().hex[:8]}"
     return _run_to_memory(
-        out, name, output_mode="update", latest_by=(("user_id",), "n_seen")
+        out, name, output_mode="update", latest_by=(("user_id",), "n_seen"),
+        est_rows=_events_rows(sf_dir), python_stateful=True,
     )
 
 
@@ -844,7 +937,7 @@ def run_streaming_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"stream_m4_{uuid.uuid4().hex[:8]}"
-    return _run_to_memory(agg, name)
+    return _run_to_memory(agg, name, est_rows=_events_rows(sf_dir))
 
 
 def run_streaming_twa(
@@ -918,7 +1011,9 @@ def run_streaming_twa(
     )
     name = f"stream_twa_{uuid.uuid4().hex[:8]}"
     return _run_to_memory(
-        out, name, output_mode="update", latest_by=(("user_id", "event_type"), "span_us")
+        out, name, output_mode="update",
+        latest_by=(("user_id", "event_type"), "span_us"),
+        est_rows=_events_rows(sf_dir), python_stateful=True,
     )
 
 
@@ -964,7 +1059,8 @@ def run_streaming_benford(
     )
     name = f"stream_benford_{uuid.uuid4().hex[:8]}"
     return _run_to_memory(
-        out, name, output_mode="update", latest_by=(("event_type",), "n")
+        out, name, output_mode="update", latest_by=(("event_type",), "n"),
+        est_rows=_events_rows(sf_dir),
     )
 
 
@@ -1041,6 +1137,7 @@ def run_streaming_bottomk_sample(
         name,
         output_mode="update",
         latest_by=(("event_type", "rk"), "n_seen"),
+        est_rows=_events_rows(sf_dir),
     ).select("event_type", "rk", "event_id", "hid")
 
 
@@ -1073,15 +1170,16 @@ def run_streaming_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(replay)
     )
     try:
-        q = (
-            stream.writeStream.foreachBatch(
-                lambda bdf, bid: t.commit_append(bdf, txn_id=f"replay-{bid}")
+        with _stream_shuffle_partitions(spark, est_rows=_events_rows(sf_dir)):
+            q = (
+                stream.writeStream.foreachBatch(
+                    lambda bdf, bid: t.commit_append(bdf, txn_id=f"replay-{bid}")
+                )
+                .trigger(availableNow=True)
+                .option("checkpointLocation", chk)
+                .start()
             )
-            .trigger(availableNow=True)
-            .option("checkpointLocation", chk)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
         out = (
             t.read(spark)
             .withColumn("table_version", F.lit(t.current_version()).cast("int"))
@@ -1128,7 +1226,9 @@ def run_streaming_countmin(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
     name = f"stream_cm_{uuid.uuid4().hex[:8]}"
-    return _run_to_memory(sketch, name, output_mode="complete")
+    return _run_to_memory(
+        sketch, name, output_mode="complete", est_rows=_events_rows(sf_dir)
+    )
 
 
 def run_streaming_heavy_hitters(
@@ -1205,7 +1305,9 @@ def run_streaming_heavy_hitters(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     name = f"stream_mg_{uuid.uuid4().hex[:8]}"
-    res = _run_to_memory(out, name, output_mode="update")
+    res = _run_to_memory(
+        out, name, output_mode="update", est_rows=_events_rows(sf_dir)
+    )
     # the FINAL sketch is exactly the last emission per tag (every yield
     # carries the full current sketch stamped with that batch's n_seen);
     # a per-(tag, user) latest filter would resurrect users evicted in
