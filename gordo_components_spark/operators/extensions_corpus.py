@@ -1183,10 +1183,22 @@ def ext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered, never a global sort."""
     docs = load_table(spark, sf_dir, "documents")
     q = spark.createDataFrame([(t,) for t in _BM25_QUERY], "token string")
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    # r14 (guide §2.3/§2.4): dl used to be a SECOND corpus-wide
+    # split(text) projection joined onto the scored stream by doc_id — a
+    # shuffle of one row per corpus document just to attach a value
+    # already known at tokenize time.  Carry dl through the tokenize
+    # projection and the groupBy(doc_id, token) instead (constant within
+    # a doc; min() is order-independent): one split pass, and the only
+    # remaining full-corpus touch is the 1-row (N, avgdl) aggregate.
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
     qtoks = toks.join(F.broadcast(q), "token", "left_semi")
-    tf = qtoks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    tf = qtoks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")
+    )
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (
@@ -1213,11 +1225,7 @@ def ext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         9,
     )
-    scored = (
-        tf.join(F.broadcast(idf), "token")
-        .join(dl, "doc_id")
-        .select("doc_id", part.alias("part"))
-    )
+    scored = tf.join(F.broadcast(idf), "token").select("doc_id", part.alias("part"))
     return (
         scored.groupBy("doc_id")
         .agg(F.round(F.sum("part"), 6).alias("score"))
@@ -2100,10 +2108,18 @@ def ext_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     q = spark.createDataFrame([(t,) for t in _BM25_QUERY], "token string")
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    # r14 (guide §2.3/§2.4): same dl-carry as ext_bm25_topk — the
+    # corpus-wide dl frame and its doc_id shuffle join are gone; dl
+    # rides the tokenize projection into the (doc, token) aggregate.
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
     qtoks = toks.join(F.broadcast(q), "token", "left_semi")
-    tf = qtoks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    tf = qtoks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")
+    )
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum(F.size(F.split("text", " "))) / F.count(F.lit(1))).alias("avgdl"),
@@ -2119,9 +2135,7 @@ def ext_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("idf"),
         "avgdl",
     )
-    parts = persist_tracked(
-        tf.join(F.broadcast(idf), "token").join(dl, "doc_id")
-    )
+    parts = persist_tracked(tf.join(F.broadcast(idf), "token"))
     part_a = F.round(
         F.col("idf")
         * (F.col("tf") * (_BM25_K1 + 1.0))
