@@ -2108,7 +2108,7 @@ def ext_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     q = spark.createDataFrame([(t,) for t in _BM25_QUERY], "token string")
-    # r14 (guide §2.3/§2.4): same dl-carry as ext_bm25_topk — the
+    # r14 (guide §2.3/§2.4): same dl-carry as ext_bm25_search — the
     # corpus-wide dl frame and its doc_id shuffle join are gone; dl
     # rides the tokenize projection into the (doc, token) aggregate.
     toks = docs.select(

@@ -1361,13 +1361,12 @@ def ext_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E6 extension (round 11) — upper-triangle covariance matrix of the
     embedding corpus, the distributed first half of PCA / whitening
     (``ext_embed_pca_project`` consumes it).  Each row contributes its
-    2080 upper-triangle product terms via a nested ``transform`` +
-    ``flatten`` (pure JVM lambda algebra, no Python, no join); the
-    groupBy keys are the FIXED 2080 (i, j) cells, so partial (map-side)
-    aggregation collapses every partition to <= 2080 rows before the one
-    tiny shuffle — the canonical "sufficient statistics" shape that
-    survives 100 TB (the shuffle is O(partitions x d^2), independent of
-    row count).
+    2080 upper-triangle product terms; an Arrow/numpy partition island
+    (r14, guide §4.2 — previously a JVM explode of 2080 structs per row)
+    folds every partition to one <= 2080-row partial-sum frame before
+    the one tiny shuffle — the canonical "sufficient statistics" shape
+    that survives 100 TB (the shuffle is O(partitions x d^2),
+    independent of row count).
 
     Exactness: every term is floor-shifted to an exact e9 integer
     (|x| < 1 so |x*y*1e9| < 1e9 per term; 2^53/1e9 ~ 9e6 rows headroom
@@ -1378,20 +1377,47 @@ def ext_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
     )
-    # Second moments: one slim (i, j, xy9) struct per upper-triangle cell.
+    # Second moments (r14, guide §4.2): the explode-2080-structs-per-row
+    # JVM shape allocated rows × d(d+1)/2 structs just to hash-aggregate
+    # them straight back down; a numpy partial-sum island folds each
+    # partition to ONE (i, j, partial) frame — same exact integers
+    # (per-term floor((v_i*v_j)*1e9+0.5) is the identical IEEE chain in
+    # float64, int64 partial sums are order-free), ~2080 rows per
+    # partition instead of 2080 per input row crossing the aggregate.
+    # repartition(n) before the island per the _spread convention (AQE
+    # would otherwise coalesce the Python stage); int64 headroom: each
+    # |term| <= 1e9, so a partition would need ~9e9 rows to overflow —
+    # the same bound the JVM bigint partial sum had.
+    n_part = spark.sparkContext.defaultParallelism
+
+    def _cov_partials(it):
+        import numpy as np
+        import pandas as pd
+
+        acc = np.zeros((_DIM, _DIM), dtype=np.int64)
+        seen = False
+        for pdf in it:
+            if not len(pdf):
+                continue
+            seen = True
+            v = np.array(pdf["v"].to_list(), dtype=np.float64)
+            for c0 in range(0, len(v), 256):
+                chunk = v[c0 : c0 + 256]
+                terms = np.floor(
+                    (chunk[:, :, None] * chunk[:, None, :]) * 1e9 + 0.5
+                ).astype(np.int64)
+                acc += terms.sum(axis=0)
+        if seen:
+            iu, ju = np.triu_indices(_DIM)
+            yield pd.DataFrame(
+                {"i": iu.astype("int32"), "j": ju.astype("int32"), "p": acc[iu, ju]}
+            )
+
     sxy = (
-        emb.select(
-            F.explode(
-                F.expr(
-                    f"""flatten(transform(sequence(0, {_DIM - 1}), i ->
-                          transform(sequence(i, {_DIM - 1}), j -> struct(
-                            i AS i, j AS j,
-                            CAST(floor(v[i] * v[j] * 1e9 + 0.5) AS BIGINT) AS xy9))))"""
-                )
-            ).alias("t")
-        )
-        .groupBy(F.col("t.i").cast("int").alias("i"), F.col("t.j").cast("int").alias("j"))
-        .agg(F.sum("t.xy9").cast("bigint").alias("sxy_e9"))
+        emb.repartition(n_part)
+        .mapInPandas(_cov_partials, "i int, j int, p long")
+        .groupBy("i", "j")
+        .agg(F.sum("p").cast("bigint").alias("sxy_e9"))
     )
     # First moments: 64-key aggregate (every row contributes to every cell,
     # so the per-(i, j) x9/y9 sums equal the per-dimension sums over ALL
