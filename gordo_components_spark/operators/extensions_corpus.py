@@ -400,40 +400,59 @@ _HH_CAPACITY = 2047  # per-partition Misra-Gries capacity (>= _HH_INV_PHI - 1)
 
 
 def _misra_gries_partition(batches, capacity: int):
-    """Per-partition Misra–Gries summary over a token stream, vectorized:
-    chunk value_counts merge into a dict; when the dict exceeds
-    ``capacity``, subtract the (capacity+1)-th largest residual from all
-    entries and drop the non-positives (the batched decrement step).
-    Each decrement round debits >= capacity+1 counters, so total
-    per-item undercount <= Np/(capacity+1) — any token with local count
-    above that bound survives.  Emits (token, est) survivor rows plus
-    one (NULL, Np) stream-length row so pass 2 gets N for free."""
+    """Per-partition Misra–Gries summary over a token stream, vectorized
+    per ARROW BATCH (r14, guide §4.2).  Tokenize: join every document in
+    the batch with single spaces and split once — ``" ".join(docs)
+    .split(" ")`` is exactly the concatenation of the per-document
+    ``split(" ")`` streams (a single-char separator can never merge or
+    split tokens across the boundary), so the token multiset is
+    identical to the old per-doc path.  Count: ONE ``value_counts``
+    over the flattened batch (C-speed hash count).  Merge: one aligned
+    Series add, then one batched decrement round when the union exceeds
+    ``capacity`` — debit the (capacity+1)-th largest residual
+    (``np.partition``, O(n)) from every entry and drop the
+    non-positives.  The guarantee survives the batching: in each round
+    the top capacity+1 entries all have residual >= debit, so every
+    round removes at least (capacity+1)*debit of inserted mass, hence
+    sum(debits) <= Np/(capacity+1) — any token with local count above
+    that bound still survives (same bound as per-insertion compaction;
+    only the false-positive set differs, and pass 2's exact recount
+    makes the output independent of that set).  Memory: carried state
+    is <= capacity entries; the per-batch transient is the batch's own
+    distinct-token count, which the value_counts structure materializes
+    anyway (the r5 bounded-state advisory concerned the carried
+    accumulator, which stays bounded).  Emits (token, est) survivor
+    rows plus one (NULL, Np) stream-length row so pass 2 gets N for
+    free."""
+    import numpy as np
     import pandas as pd
 
-    counts: dict[str, int] = {}
+    counts = pd.Series(dtype="int64")
     np_total = 0
 
-    def compact() -> None:
-        nonlocal counts
-        ordered = sorted(counts.values(), reverse=True)
-        debit = ordered[capacity]
-        counts = {t: c - debit for t, c in counts.items() if c > debit}
-
     for pdf in batches:
-        for toks in pdf["t"]:
-            np_total += len(toks)
-            vc = pd.Series(toks).value_counts()
-            for tok, c in vc.items():
-                counts[tok] = counts.get(tok, 0) + int(c)
-                # compact INSIDE the merge (advisory r5): checking only
-                # after a whole document's counts are merged lets one
-                # pathological doc inflate the dict to capacity + its
-                # distinct-token count — the memory bound must hold
-                # per-insertion, not per-document
-                if len(counts) > capacity:
-                    compact()
+        col = pdf["text"]
+        if not len(col):
+            continue
+        flat = " ".join(col).split(" ")
+        np_total += len(flat)
+        vc = pd.Series(flat, dtype=object).value_counts()
+        merged = counts.add(vc, fill_value=0) if len(counts) else vc
+        if len(merged) > capacity:
+            vals = merged.to_numpy()
+            # (capacity+1)-th largest = ascending rank len-capacity-1
+            debit = np.partition(vals, len(vals) - capacity - 1)[
+                len(vals) - capacity - 1
+            ]
+            merged = merged[merged > debit] - debit
+        # aligned add goes through float64; counts stay well under 2^53
+        # per partition so the cast back is exact
+        counts = merged.astype("int64")
     out = pd.DataFrame(
-        {"token": list(counts.keys()) + [None], "est": list(counts.values()) + [np_total]}
+        {
+            "token": list(counts.index) + [None],
+            "est": list(counts.to_numpy()) + [np_total],
+        }
     )
     yield out.astype({"est": "int64"})
 
@@ -473,7 +492,11 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy."""
     docs = load_table(spark, sf_dir, "documents")
     n = spark.sparkContext.defaultParallelism
-    toks = docs.select(F.split("text", " ").alias("t")).repartition(n)
+    # shuffle RAW text into the island (r14, guide §2.3): the repartition
+    # used to carry pre-split token ARRAYS (offsets + per-token framing);
+    # the island now splits the batch itself, so the exchange ships the
+    # strictly smaller text payload
+    toks = docs.select("text").repartition(n)
     summaries = toks.mapInPandas(
         lambda it: _misra_gries_partition(it, _HH_CAPACITY), "token string, est long"
     )

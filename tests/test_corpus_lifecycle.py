@@ -27,7 +27,9 @@ def test_misra_gries_guarantee_under_decrements():
     stream = []
     for rep in range(40):
         stream.append(["hot_a", "hot_b"] * 3 + [f"noise_{rep}_{j}" for j in range(10)])
-    docs = pd.DataFrame({"t": stream})
+    # the island takes raw text and splits per batch (r14); joining each
+    # doc's tokens with single spaces reproduces the same token stream
+    docs = pd.DataFrame({"text": [" ".join(t) for t in stream]})
     batches = [docs.iloc[i : i + 5] for i in range(0, len(docs), 5)]
     (out,) = list(_misra_gries_partition(iter(batches), capacity=7))
 
@@ -36,6 +38,9 @@ def test_misra_gries_guarantee_under_decrements():
     assert n_total == sum(len(t) for t in stream)
 
     survivors = dict(zip(out["token"], out["est"]))
+    # r14 vectorized merge: the carried summary must stay within capacity
+    # after every batch (the emitted frame is survivors + 1 NULL row)
+    assert len(out) - 1 <= 7, "summary exceeded its capacity bound"
     true_counts = {"hot_a": 120, "hot_b": 120}
     bound = n_total / (7 + 1)
     for tok, c in true_counts.items():
