@@ -21,7 +21,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gordo_components_spark.registry import register
-from gordo_components_spark.sources.tables import load_table
+from gordo_components_spark.sources.tables import load_table, spread_scan
 
 # ---------------------------------------------------------------------------
 # incremental dedup: new batch vs persisted historical digest index
@@ -1873,7 +1873,10 @@ def ext_dedup_canonical_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("nrm"),
     )
-    a, b = e.alias("a"), e.alias("b")
+    # r14: spread the probe side — the cosine fold evaluates in the probe
+    # scan's stage (build side broadcasts) and a small single-file scan
+    # is ONE split; see ext_dedup_embed_cos / spread_scan
+    a, b = spread_scan(e).alias("a"), e.alias("b")
     pairs = (
         a.join(
             b,
@@ -1908,20 +1911,31 @@ def ext_dedup_canonical_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges_deg = persist_tracked(edges.join(degrees, "src"))
     ranks = nodes.select("src", F.lit(1.0 / n_nodes).alias("rank"))
     teleport = (1.0 - _PR_DAMP) / n_nodes
+    # r14 isolated-node hoist (guide §2.4): the graph is symmetrized, so
+    # every node with an edge has >= 1 IN-edge — the per-iteration
+    # ``nodes LEFT JOIN summed`` only ever re-attached ISOLATED nodes,
+    # whose rank is the fixed point teleport + damp·0.0 from iteration 1
+    # on.  Loop over the connected set only (the groupBy's keys are
+    # exactly that set, inflow never NULL there) and union the isolated
+    # nodes back ONCE with the identical expression over a 0.0 inflow —
+    # ten corpus-wide joins become one anti-join, same doubles bit-for-bit.
     for i in range(_PR_ITERS):
         contribs = (
             ranks.join(edges_deg, "src")
             .select(F.col("dst").alias("src"), (F.col("rank") / F.col("deg")).alias("c"))
         )
         summed = contribs.groupBy("src").agg(F.sum("c").alias("inflow"))
-        ranks = nodes.join(summed, "src", "left").select(
+        ranks = summed.select(
             "src",
-            (F.lit(teleport) + F.lit(_PR_DAMP) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias(
-                "rank"
-            ),
+            (F.lit(teleport) + F.lit(_PR_DAMP) * F.col("inflow")).alias("rank"),
         )
         if (i + 1) % 4 == 0:
             ranks = ranks.localCheckpoint(eager=False)  # lineage cut
+    isolated = nodes.join(degrees.select("src"), "src", "left_anti").select(
+        "src",
+        (F.lit(teleport) + F.lit(_PR_DAMP) * F.lit(0.0)).alias("rank"),
+    )
+    ranks = ranks.unionAll(isolated)
     return ranks.select(
         F.col("src").alias("vec_id"), F.round(F.col("rank") * n_nodes, 6).alias("rank_x_n")
     )

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from gordo_components_spark.caches import persist_tracked
 from gordo_components_spark.operators.relational import _fshift, _fshift_col
 from gordo_components_spark.registry import register
-from gordo_components_spark.sources.tables import load_table
+from gordo_components_spark.sources.tables import load_table, spread_scan
 
 
 @register(
@@ -497,7 +497,12 @@ def ext_dedup_embed_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("nrm"),
     )
-    a, b = e.alias("a"), e.alias("b")
+    # r14: the per-pair dot evaluates in the PROBE side's scan stage (the
+    # label join broadcasts the build side), and a single small parquet
+    # file is ONE split — spread_scan keeps the O(pairs · dim) fold
+    # parallel without changing a single row (no-op once the scan has
+    # >= parallelism splits at real scale)
+    a, b = spread_scan(e).alias("a"), e.alias("b")
     pairs = a.join(
         b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
     ).select(

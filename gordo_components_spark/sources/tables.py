@@ -137,6 +137,25 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     return tuple(load_table(spark, sf_dir, n) for n in names)
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out to the session's parallelism before CPU-heavy
+    per-row work: a small single-file parquet table reads as ONE input
+    split, which silently serializes expensive per-row expressions
+    (interpreted higher-order-function dot products) inside the scan's
+    own stage — a broadcast join keeps everything downstream in that
+    stage too, so nothing else re-parallelizes it.  Conditional on the
+    PHYSICAL split count so it stays scale-adaptive rather than a
+    local[32] constant: at production scale the corpus scan already has
+    >= parallelism splits and the repartition (a corpus-wide exchange
+    nothing upstream needs) must not fire.  Row-identical: repartition
+    only moves rows, and callers feed order-insensitive consumers."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def _as_utc(ts: str | datetime) -> datetime:
     """Normalize a bound to an aware-UTC datetime.  Naive inputs are BY
     CONTRACT UTC wall-clock (the fixtures are UTC); offset-bearing
