@@ -531,8 +531,16 @@ def _substring_spans(spark: SparkSession, sf_dir: str):
         f"transform(sequence(0, size(t) - {_SUBSTR_K}),"
         f" i -> substr(md5(concat_ws(' ', slice(t, i + 1, {_SUBSTR_K}))), 1, 16))"
     )
+    # r14: the per-gram md5 fold evaluates in the scan stage while the
+    # persist materializes, and a single-file documents scan is ONE
+    # split — spread before shingling so the digest math parallelizes
+    # (no-op once the corpus scan has >= parallelism splits; see
+    # sources.tables.spread_scan).  ``toks`` itself stays unspread: its
+    # consumers do their real work post-exchange.
     spans = persist_tracked(
-        toks.where(F.size("t") >= _SUBSTR_K)
+        spread_scan(docs)
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .where(F.size("t") >= _SUBSTR_K)
         .select("doc_id", F.posexplode(grams).alias("pos", "g"))
     )
     return toks, spans
