@@ -146,7 +146,14 @@ def materialized_cache(sf_dir: str, scratch_root: str, name: str, table: str, bu
                     return out
         except (OSError, ValueError):
             pass
-    tmp = f"{out}.tmp-{os.getpid()}"
+    # pid + thread token: concurrent cold builds from two PROCESSES were
+    # already safe (distinct pids), but two THREADS of one process (the
+    # r15 concurrent streaming legs) would share a pid-only tmp dir and
+    # interleave their writes — the thread ident separates them, and the
+    # atomic replace below still elects exactly one winner.
+    import threading
+
+    tmp = f"{out}.tmp-{os.getpid()}-t{threading.get_ident()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(os.path.dirname(tmp), exist_ok=True)
     build(tmp)

@@ -159,6 +159,35 @@ def _trained_rows(
     return _TRAIN_CACHE[key]
 
 
+def island_rows_cached(
+    spark: SparkSession, sf_dir: str, tag: str, params: str, build
+) -> list:
+    """O39 model-cache discipline for the OTHER per-machine training
+    islands (r14 verdict item 5: ``ml_lifecycle`` re-ran the recurrent
+    and AR fits its standalone faces had already paid — two fits per
+    process for identical model cards).  Same fingerprint contract as
+    ``_trained_rows``: keyed on (sf_dir, parquet-footer row count,
+    source stat, island tag, hyperparams), process-local only — every
+    new process (each bench/oracle invocation) retrains from the parquet
+    inputs at least once; a regenerated fixture under the same basename
+    retrains.  ``build()`` returns the island DataFrame; collected rows
+    (the per-machine model cards) are what a registry stores."""
+    import json
+
+    from gordo_components_spark.caches import _parquet_rows, source_stat
+
+    key = (
+        tag,
+        sf_dir,
+        _parquet_rows(sf_dir, "events"),
+        json.dumps(source_stat(sf_dir, "events")),
+        params,
+    )
+    if key not in _TRAIN_CACHE:
+        _TRAIN_CACHE[key] = build().collect()
+    return _TRAIN_CACHE[key]
+
+
 def trained_models(
     spark: SparkSession, sf_dir: str, duration: str = "60 minutes", definition: dict | None = None
 ) -> DataFrame:

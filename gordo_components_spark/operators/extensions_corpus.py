@@ -430,24 +430,33 @@ def _misra_gries_partition(batches, capacity: int):
     counts = pd.Series(dtype="int64")
     np_total = 0
 
+    # bound the tokenize transient to ~256 docs at a time (r14 verdict
+    # item 6): one Arrow batch is up to 10k rows, and joining/splitting
+    # ALL of them materializes every token in the batch as one Python
+    # list (~1-2 GB per worker with 100 KB docs).  Chunking keeps the
+    # identical token multiset and the identical MG bound — the
+    # Σdebits <= Np/(capacity+1) argument is per decrement ROUND and
+    # never depended on rounds aligning with Arrow batches; pass 2's
+    # exact recount makes the OUTPUT independent of the candidate set.
+    _CHUNK_DOCS = 256
     for pdf in batches:
         col = pdf["text"]
-        if not len(col):
-            continue
-        flat = " ".join(col).split(" ")
-        np_total += len(flat)
-        vc = pd.Series(flat, dtype=object).value_counts()
-        merged = counts.add(vc, fill_value=0) if len(counts) else vc
-        if len(merged) > capacity:
-            vals = merged.to_numpy()
-            # (capacity+1)-th largest = ascending rank len-capacity-1
-            debit = np.partition(vals, len(vals) - capacity - 1)[
-                len(vals) - capacity - 1
-            ]
-            merged = merged[merged > debit] - debit
-        # aligned add goes through float64; counts stay well under 2^53
-        # per partition so the cast back is exact
-        counts = merged.astype("int64")
+        for lo in range(0, len(col), _CHUNK_DOCS):
+            chunk = col.iloc[lo : lo + _CHUNK_DOCS]
+            flat = " ".join(chunk).split(" ")
+            np_total += len(flat)
+            vc = pd.Series(flat, dtype=object).value_counts()
+            merged = counts.add(vc, fill_value=0) if len(counts) else vc
+            if len(merged) > capacity:
+                vals = merged.to_numpy()
+                # (capacity+1)-th largest = ascending rank len-capacity-1
+                debit = np.partition(vals, len(vals) - capacity - 1)[
+                    len(vals) - capacity - 1
+                ]
+                merged = merged[merged > debit] - debit
+            # aligned add goes through float64; counts stay well under
+            # 2^53 per partition so the cast back is exact
+            counts = merged.astype("int64")
     out = pd.DataFrame(
         {
             "token": list(counts.index) + [None],

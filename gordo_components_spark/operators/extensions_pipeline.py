@@ -691,10 +691,14 @@ def _manifest_manydirs_root(spark: SparkSession, sf_dir: str) -> str:
                 },
             )
         )
-        assert t.read(spark).where("user_id = 3").limit(1).count() > 0, (
-            "fixture drift: user_id 3 missing — the granular delete "
-            "would be vacuously green"
-        )
+        # explicit raise, not assert: asserts vanish under `python -O`
+        # and this guard must survive any interpreter mode (same class
+        # as relational_extra.py's r14 fix)
+        if t.read(spark).where("user_id = 3").limit(1).count() == 0:
+            raise RuntimeError(
+                "fixture drift: user_id 3 missing — the granular delete "
+                "would be vacuously green"
+            )
         t.commit_delete(spark, "user_id = 3", txn_id="manydirs-del-001")
         # the whole point of the layout: the commit planned ONE scan
         # node over 64 dirs (fast path), not 64 — fail the build loudly

@@ -144,8 +144,15 @@ def codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     via_json = dataframe_from_dict(spark, dataframe_to_dict(df), schema=df.schema)
     blob = dataframe_into_parquet_bytes(df)
     via_parquet = dataframe_from_parquet_bytes(spark, blob)
-    json_ok = via_json.exceptAll(df).count() == 0 and df.exceptAll(via_json).count() == 0
-    pq_ok = via_parquet.exceptAll(df).count() == 0 and df.exceptAll(via_parquet).count() == 0
+    # one job per direction-pair instead of two: (a∖b) ∪ (b∖a) is empty
+    # exactly when both differences are — same boolean, half the Spark
+    # jobs on a 200-row frame whose cost is all fixed overhead (§1.2)
+    json_ok = (
+        via_json.exceptAll(df).unionAll(df.exceptAll(via_json)).count() == 0
+    )
+    pq_ok = (
+        via_parquet.exceptAll(df).unionAll(df.exceptAll(via_parquet)).count() == 0
+    )
     return spark.createDataFrame(
         [(json_ok, pq_ok, len(blob))], "json_roundtrip boolean, parquet_roundtrip boolean, parquet_bytes bigint"
     )
@@ -220,12 +227,22 @@ def ml_forecast_ar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     schema = "machine string, n_samples bigint, status string, forecast_r2 double, err_p99 double"
-    from gordo_components_spark.ml.islands import _spread
+    from gordo_components_spark.ml.islands import _spread, island_rows_cached
 
     # _spread: without the explicit repartition AQE coalesces the
     # MB-scale feature shuffle to ONE partition and every per-machine
-    # AR fit runs serially (the CLAUDE.md pandas-island invariant)
-    return _spread(feats).groupBy("user_id").applyInPandas(fn, schema)
+    # AR fit runs serially (the CLAUDE.md pandas-island invariant).
+    # O39 cache (r14 verdict item 5): one AR fit per process per
+    # fingerprint — ml_lifecycle's forecast leg reuses this face's model
+    # cards instead of re-fitting every machine.
+    rows = island_rows_cached(
+        spark,
+        sf_dir,
+        "forecast_ar",
+        "lookback=4,lookahead=1,duration=60 minutes",
+        lambda: _spread(feats).groupBy("user_id").applyInPandas(fn, schema),
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 @register("mllib_pipeline_anomaly", oracle=None)
@@ -310,57 +327,62 @@ def ml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``ok`` carries each stage's own invariant (cache hit, roundtrip
     equality, all-machines-trained); per-stage queries stay registered
-    for the replica and are pytest-verified in depth (FIXTURES B4)."""
+    for the replica and are pytest-verified in depth (FIXTURES B4).
+
+    r15: the AE train cache is warmed ONCE up front (train/predict/sink
+    all consume it — warming inside concurrent legs would double-fit on
+    a cold cache), then the independent stage builders run from a small
+    thread pool (guide §2.6): the eager stages (sink's parquet write,
+    codec's roundtrip counts, the forecast/recurrent island fits when
+    their O39 cache is cold) back-fill each other's task tails instead
+    of running strictly one after another.  Stage rows and their fixed
+    union order are unchanged."""
+    from concurrent.futures import ThreadPoolExecutor
+
     def leg(stage: str, df: DataFrame, ok: "F.Column") -> DataFrame:
         return df.agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"), ok.alias("ok")
         ).select(F.lit(stage).alias("stage"), "n_rows", "ok")
 
-    registry_df = ml_model_registry(spark, sf_dir)
-    out = leg(
-        "registry",
-        registry_df,
-        F.min(
-            F.col("empty_cache_miss") & F.col("cache_hit") & F.col("definition_roundtrip")
-        ).cast("boolean"),
-    )
     trained = trained_models(spark, sf_dir)  # O39 cache: one fit feeds all stages
-    out = out.unionByName(
-        leg("train", trained, F.min(F.col("status") == "ok").cast("boolean"))
-    )
-    out = out.unionByName(
-        leg(
-            "forecast",
-            ml_forecast_ar(spark, sf_dir),
-            F.min(F.col("status") == "ok").cast("boolean"),
-        )
-    )
-    # round 5: the genuine-recurrence path gets a driver-witnessed row —
-    # ml_train_recurrent itself is registered past the pinned 50-slot
-    # window, so the lifecycle face carries its proof of life
-    out = out.unionByName(
-        leg(
-            "recurrent",
-            ml_train_recurrent(spark, sf_dir),
-            F.min(F.col("status") == "ok").cast("boolean"),
-        )
-    )
     feats = machine_features(spark, sf_dir)
+    all_ok = F.min(F.col("status") == "ok").cast("boolean")
     # ok = "stage produced output": min(lit(True)) is vacuously true on
     # any rows and NULL (not false) on zero — it could never flag a
     # silently-empty predict/sink stage
     produced = (F.count(F.lit(1)) > 0).cast("boolean")
-    out = out.unionByName(leg("predict", predict_batch(feats, trained), produced))
-    out = out.unionByName(
-        leg("sink", sink_predictions_parquet(spark, sf_dir), produced)
-    )
-    out = out.unionByName(
-        leg(
+    stages = (
+        (
+            "registry",
+            lambda: ml_model_registry(spark, sf_dir),
+            F.min(
+                F.col("empty_cache_miss")
+                & F.col("cache_hit")
+                & F.col("definition_roundtrip")
+            ).cast("boolean"),
+        ),
+        ("train", lambda: trained, all_ok),
+        ("forecast", lambda: ml_forecast_ar(spark, sf_dir), all_ok),
+        # round 5: the genuine-recurrence path gets a driver-witnessed
+        # row — ml_train_recurrent itself is registered past the pinned
+        # 50-slot window, so the lifecycle face carries its proof of life
+        ("recurrent", lambda: ml_train_recurrent(spark, sf_dir), all_ok),
+        ("predict", lambda: predict_batch(feats, trained), produced),
+        ("sink", lambda: sink_predictions_parquet(spark, sf_dir), produced),
+        (
             "codec",
-            codec_roundtrip(spark, sf_dir),
-            F.min(F.col("json_roundtrip") & F.col("parquet_roundtrip")).cast("boolean"),
-        )
+            lambda: codec_roundtrip(spark, sf_dir),
+            F.min(
+                F.col("json_roundtrip") & F.col("parquet_roundtrip")
+            ).cast("boolean"),
+        ),
     )
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        built = list(pool.map(lambda s: (s[0], s[1](), s[2]), stages))
+    out = None
+    for stage, df, ok in built:
+        piece = leg(stage, df, ok)
+        out = piece if out is None else out.unionByName(piece)
     return out
 
 
@@ -374,7 +396,7 @@ def ml_train_recurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed MLP.  Short epoch budget keeps the harness run cheap."""
     import pandas as pd
 
-    from gordo_components_spark.ml.islands import _spread
+    from gordo_components_spark.ml.islands import _spread, island_rows_cached
     from gordo_components_spark.ml.recurrent import LSTMAutoEncoder
 
     feats = machine_features(spark, sf_dir)
@@ -410,7 +432,19 @@ def ml_train_recurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
             }]
         )
 
-    return _spread(feats).groupBy("user_id").applyInPandas(fn, schema)
+    # O39 cache (r14 verdict item 5): the LSTM BPTT fits are the single
+    # largest model-plane cost (~10 s per pass at sf0.1) and
+    # ml_lifecycle's recurrent leg trained the IDENTICAL deterministic
+    # models (seed=0) a second time — one fit per process per
+    # fingerprint, same discipline as _trained_rows
+    rows = island_rows_cached(
+        spark,
+        sf_dir,
+        "recurrent_lstm",
+        "lb=4,hidden=4,epochs=150,lr=0.03,seed=0,duration=60 minutes",
+        lambda: _spread(feats).groupBy("user_id").applyInPandas(fn, schema),
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 @register("ml_train_glm", oracle=None)

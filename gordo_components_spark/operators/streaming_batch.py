@@ -198,8 +198,24 @@ def stream_genuine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Batch↔stream parity for every stage is asserted in
     tests/test_streaming.py; the per-stage queries stay registered for
     the replica.  Summaries aggregate inside the plan (no driver-side
-    collect of stage outputs)."""
+    collect of stage outputs).
+
+    The five stages are INDEPENDENT streaming queries, so they run
+    concurrently from a small thread pool (guide §2.6: actions are only
+    sequential because driver code calls them sequentially; each query's
+    micro-batch tail back-fills executors the others free).  Each leg
+    runs on its OWN ``spark.newSession()`` — same SparkContext, separate
+    SQLConf — so the per-run ``_stream_shuffle_partitions`` pin (a
+    session-global conf) cannot race between legs that want different
+    widths (the pandas-stateful EWMA keeps full parallelism, the
+    JVM-stateful legs size down).  The replay dir is pre-warmed once in
+    the calling thread so the cold-cache build is not raced five ways.
+    Results are identical: each leg's one summary row is computed
+    exactly as before, and the union keeps the fixed stage order."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from gordo_components_spark.streaming.micro_batch import (
+        _replay_dir,
         run_streaming_enrich_dim,
         run_streaming_scoring,
         run_streaming_stateful_ewma,
@@ -212,11 +228,25 @@ def stream_genuine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(stage).alias("stage"), F.col("n_rows").cast("long").alias("n_rows")
         )
 
-    out = leg("watermark_agg", run_streaming_tumbling_agg(spark, sf_dir))
-    out = out.unionByName(leg("foreachbatch", run_streaming_scoring(spark, sf_dir)))
-    out = out.unionByName(leg("watermark_dedup", run_streaming_watermark_dedup(spark, sf_dir)))
-    out = out.unionByName(leg("stateful_ewma", run_streaming_stateful_ewma(spark, sf_dir)))
-    out = out.unionByName(leg("enrich_dim", run_streaming_enrich_dim(spark, sf_dir)))
+    _replay_dir(spark, sf_dir)  # warm the shared replay cache once
+    stages = (
+        ("watermark_agg", run_streaming_tumbling_agg),
+        ("foreachbatch", run_streaming_scoring),
+        ("watermark_dedup", run_streaming_watermark_dedup),
+        ("stateful_ewma", run_streaming_stateful_ewma),
+        ("enrich_dim", run_streaming_enrich_dim),
+    )
+
+    def run_one(item):
+        stage, fn = item
+        return stage, fn(spark.newSession(), sf_dir)
+
+    with ThreadPoolExecutor(max_workers=len(stages)) as pool:
+        results = dict(pool.map(run_one, stages))
+    out = None
+    for stage, _fn in stages:
+        piece = leg(stage, results[stage])
+        out = piece if out is None else out.unionByName(piece)
     return out
 
 

@@ -148,7 +148,17 @@ def spread_scan(df: DataFrame) -> DataFrame:
     local[32] constant: at production scale the corpus scan already has
     >= parallelism splits and the repartition (a corpus-wide exchange
     nothing upstream needs) must not fire.  Row-identical: repartition
-    only moves rows, and callers feed order-insensitive consumers."""
+    only moves rows, and callers feed order-insensitive consumers.
+
+    CONTRACT (r14 advisory): the input must be SCAN-ADJACENT — a bare
+    ``load_table`` projection/filter with no shuffle below it.  For any
+    post-shuffle input ``df.rdd.getNumPartitions()`` equals
+    ``spark.sql.shuffle.partitions`` (it measures shuffle width, not
+    scan splits), so the helper would silently no-op on tiny skewed
+    frames; and each call compiles the plan to an RDD on the driver,
+    which is cheap for a scan but not free on a hot construction path.
+    The no-op and firing branches are both pinned in
+    tests/test_plan_properties.py."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

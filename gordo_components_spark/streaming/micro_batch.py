@@ -118,6 +118,33 @@ def _stream_shuffle_partitions(
         spark.conf.set(key, prior)
 
 
+def _group_rows(pdfs):
+    """Concatenate one group's Arrow chunks into a single pandas frame,
+    skipping the ``pd.concat`` copy in the (dominant) single-chunk case —
+    measured ~60 µs per group, and the stateful faces pay it once per
+    group per micro-batch (guide §4.2: the per-group Python constant IS
+    the scale term at real group cardinality)."""
+    import pandas as pd
+
+    chunks = list(pdfs)
+    if not chunks:
+        return pd.DataFrame()
+    if len(chunks) == 1:
+        return chunks[0]
+    return pd.concat(chunks)
+
+
+def _ts_event_order(rows):
+    """Exact (ts, event_id) sort permutation via ``np.lexsort`` — the
+    composite key is globally unique (event_id is), so this is the
+    identical permutation ``rows.sort_values(["ts", "event_id"])``
+    produces, at ~7 µs per group instead of ~400 µs (measured on
+    10-row groups; the faces run it once per group per micro-batch)."""
+    import numpy as np
+
+    return np.lexsort((rows["event_id"].values, rows["ts"].values))
+
+
 def _events_rows(sf_dir: str) -> int | None:
     """Exact replay-source row count from the events parquet footer."""
     try:
@@ -367,11 +394,15 @@ def run_streaming_stateful_ewma(
         # while LOOKING sorted.  (Cross-BATCH order still follows file
         # arrival, as in any real stream — the EWMA contract is
         # arrival-order within the watermark, exact time-order within a
-        # batch.)
-        chunks = list(pdfs)
-        rows = pd.concat(chunks) if chunks else pd.DataFrame()
+        # batch.)  r15: the full-frame ``sort_values("ts")`` copy is
+        # replaced by the IDENTICAL argsort permutation (pandas nargsort
+        # on a no-null datetime column is values.argsort(kind=
+        # "quicksort")) applied to just the value column — same float64
+        # fold order, ~400 µs less per group per batch.
+        rows = _group_rows(pdfs)
         if len(rows):
-            for v in rows.sort_values("ts")["value"]:
+            order = rows["ts"].values.argsort(kind="quicksort")
+            for v in rows["value"].values[order]:
                 ewma = v if ewma is None else alpha * v + (1 - alpha) * ewma
                 n += 1
                 total += v
@@ -757,12 +788,13 @@ def run_streaming_cusum(
             s, n_seen, n_alerts = state.get
         else:
             s, n_seen, n_alerts = 0, 0, 0
-        chunks = list(pdfs)
-        rows = pd.concat(chunks) if chunks else pd.DataFrame()
+        rows = _group_rows(pdfs)
         if len(rows) and bn:
-            rows = rows.sort_values(["ts", "event_id"])
+            # identical fold order via the lexsort permutation (unique
+            # composite key) — no full-frame sorted copy per group
+            vals = rows["value"].values[_ts_event_order(rows)]
             thr = bn * _CUSUM_H100
-            for v in rows["value"]:
+            for v in vals:
                 d = bn * (_v100(v) - _CUSUM_K100) - bs1
                 s = max(0, s + d)
                 n_seen += 1
@@ -852,11 +884,9 @@ def run_streaming_hampel(
             hv, hd, n_seen, n_flagged = [], [], 0, 0
         last_med = None
         last_dev = None
-        chunks = list(pdfs)
-        rows = pd.concat(chunks) if chunks else pd.DataFrame()
+        rows = _group_rows(pdfs)
         if len(rows):
-            rows = rows.sort_values(["ts", "event_id"])
-            for v in rows["value"]:
+            for v in rows["value"].values[_ts_event_order(rows)]:
                 v100 = _v100(v)
                 med200 = _med2(sorted(hv + [v100]))
                 dev200 = abs(2 * v100 - med200)
@@ -969,21 +999,39 @@ def run_streaming_twa(
     stream = reader.parquet(src)
 
     def update(key, pdfs, state: GroupState):
+        import numpy as np
+
         if state.exists:
             last_us, last_v, num, span = state.get
         else:
             last_us, last_v, num, span = None, None, 0, 0
-        chunks = list(pdfs)
-        rows = pd.concat(chunks) if chunks else pd.DataFrame()
+        rows = _group_rows(pdfs)
         if len(rows):
-            rows = rows.sort_values(["ts", "event_id"])
-            us_arr = rows["ts"].values.astype("datetime64[us]").astype("int64")
-            for us, v in zip(us_arr, rows["value"]):
-                v100 = _v100(v)
-                if last_us is not None:
-                    num += (last_v + v100) * (us - last_us)
-                    span += us - last_us
-                last_us, last_v = int(us), v100
+            order = _ts_event_order(rows)
+            us_arr = (
+                rows["ts"].values[order].astype("datetime64[us]").astype("int64")
+            )
+            # per-element _v100 (the repr-exact half-up contract) over the
+            # identically-ordered values; the trapezoid fold itself
+            # vectorizes EXACTLY — every term (v_prev + v)·Δµs is the same
+            # int64 product the sequential loop added (integer sums are
+            # order-free; the docstring's |num| < 2⁶³ invariant bounds the
+            # partials the same way it bounded the running total)
+            v100 = np.fromiter(
+                (_v100(v) for v in rows["value"].values[order]),
+                dtype="int64",
+                count=len(rows),
+            )
+            if last_us is not None:
+                us_ext = np.concatenate(([last_us], us_arr))
+                v_ext = np.concatenate(([last_v], v100))
+            else:
+                us_ext, v_ext = us_arr, v100
+            if len(us_ext) >= 2:
+                dus = np.diff(us_ext)
+                num += int(np.sum((v_ext[:-1] + v_ext[1:]) * dus))
+                span += int(us_ext[-1] - us_ext[0])
+            last_us, last_v = int(us_arr[-1]), int(v100[-1])
         state.update((last_us, last_v, int(num), int(span)))
         yield pd.DataFrame(
             [

@@ -109,6 +109,62 @@ def test_ngram_jaccard_probe_spread(spark, sf_dir):
     assert "Join" not in plan  # no pair self-join of any kind
 
 
+def test_embed_cos_probe_spread_build_unspread(spark, sf_dir):
+    # r14 spread_scan guard (r14 advisory): the O(pairs·dim) cosine fold
+    # evaluates in the BHJ probe stage, so a RoundRobin exchange must sit
+    # between the 1-split embeddings scan and the fold, and the broadcast
+    # build side must be the UNSPREAD leg — if AQE ever builds the spread
+    # side instead, the fold re-serializes onto the single scan split and
+    # the 2.47 s regression silently returns.
+    plan = plan_of(spark, "ext_dedup_embed_cos", sf_dir)
+    assert "RoundRobinPartitioning" in plan and "REPARTITION_BY_NUM" in plan
+    assert "BroadcastHashJoin Inner BuildRight" in plan
+    # tree shape: probe branch (:-) carries the round-robin Exchange,
+    # build branch (+-) is the BroadcastExchange
+    assert ":- Exchange" in plan and "+- BroadcastExchange" in plan
+
+
+def test_canonical_rank_pair_probe_spread(spark, sf_dir):
+    # same guard for the PageRank edge build's label-blocked pair join
+    plan = plan_of(spark, "ext_dedup_canonical_rank", sf_dir)
+    assert "RoundRobinPartitioning" in plan and "REPARTITION_BY_NUM" in plan
+
+
+def test_substring_span_build_spread(spark, sf_dir):
+    # the per-gram md5 shingling must run behind the round-robin spread,
+    # not inside the 1-split documents scan stage
+    for name in ("ext_dedup_substring", "ext_dedup_substring_cut"):
+        plan = plan_of(spark, name, sf_dir)
+        assert "RoundRobinPartitioning" in plan, name
+        assert "REPARTITION_BY_NUM" in plan, name
+
+
+def test_spread_scan_branches(spark, sf_dir):
+    # the adaptive branch must be exercised with the branch FORCED both
+    # ways (the repo's r8 footer-adaptive rule; r14 advisory item 2):
+    # a scan with fewer physical splits than defaultParallelism gains
+    # exactly one round-robin exchange; an input already at or above
+    # parallelism returns the IDENTICAL plan (no added exchange).
+    from gordo_components_spark.sources.tables import load_table, spread_scan
+
+    def fmt(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    # firing branch: embeddings is a single small parquet file => 1 split
+    # well under local[32] parallelism
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    spread = spread_scan(emb)
+    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert "RoundRobinPartitioning" in fmt(spread)
+    # no-op branch: an input already at >= defaultParallelism partitions
+    # comes back unchanged — same object, zero added Exchange
+    wide = emb.repartition(spark.sparkContext.defaultParallelism)
+    assert spread_scan(wide) is wide
+
+
 def test_tpch_additions_hash_only(spark, sf_dir):
     # Q4's EXISTS (equi + range residual) and Q14/Q19's broadcast part
     # joins must never degrade to cartesian/nested-loop products

@@ -1,8 +1,8 @@
 """Capture ``explain("formatted")`` for registry queries to text files.
 
-Round-14 optimization deliverable: ``plans/r14/<query>_<label>.txt`` holds
+Optimization-round deliverable: ``plans/$PLANS_ROUND/<query>_<label>.txt`` holds
 the formatted physical plan for every query examined, so plan claims in
-OPTIMIZATION_r14.md can be checked without running Spark.
+OPTIMIZATION_r<N>.md can be checked without running Spark.
 
 Usage:
     python tools/explain_capture.py <label> [names...]   # default: bench set
@@ -29,7 +29,7 @@ def main() -> None:
     registry = load_all()
     if not names:
         names = sorted(n for n, s in registry.items() if "bench" in s.tags)
-    out_dir = os.path.join(HERE, "plans", "r14")
+    out_dir = os.path.join(HERE, "plans", os.environ.get("PLANS_ROUND", "r15"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("gordo-spark-explain")
     for name in names:
