@@ -27,6 +27,29 @@ HEADLINE_TAG = "bench"
 # comparability bridge those promotions carried was retired in round 13
 # per the r6/r9 convention: BENCH_r12 and BENCH_r13 share the full
 # 26-query membership, so the headline totals compare directly.
+#
+# Round-15 promotions (r14 verdict item 2): the headline set was
+# overhead-bound at sf0.1 (8 cores beat 32; every PERF scaling ratio
+# ≈ 1) and contained NONE of the registry's real tail — the queries the
+# optimization rounds actually move.  Six tail anchors joined:
+# stream_genuine / stream_cusum_genuine / stream_twa_genuine (the
+# genuine-streaming block, 4 of the top-6 tail seconds),
+# pipe_bpe_merges (iterative corpus rebuild), ml_lifecycle (model
+# plane end-to-end), ext_dedup_canonical_rank (graph-iteration family).
+# Additions-only: every r14 query keeps its name, and the one-round
+# `subtotal_r14_set` bridge below makes the old 26-query total directly
+# comparable until BENCH_r16 shares the full membership.
+_R14_SET = (
+    "agg_countmin_estimate", "agg_groupby_sum", "agg_resample_mean",
+    "agg_seasonal_profile", "agg_time_weighted_avg", "ext_cosine_topk",
+    "ext_dedup_minhash", "ext_dedup_ngram_jaccard", "ext_eval_retrieval",
+    "ext_media_phash_neardup", "ext_tfidf_similar", "flagship_anomaly",
+    "join_align_inner", "join_broadcast_dim", "join_equi_inner",
+    "join_interval_overlap", "ml_drift_ks", "ml_predict_batch",
+    "pipe_manifest_upsert", "scan_bucketed_join", "stream_tumbling_agg",
+    "tpch_q10", "tpch_q3", "tpch_q5", "window_cusum_alerts",
+    "window_rolling_avg",
+)
 
 
 def _prior_round_mins() -> dict[str, float]:
@@ -227,6 +250,12 @@ def main() -> None:
                 # pre-Spark); load1_end includes the bench's own tail
                 "load1": round(load1_start, 2),
                 "load1_end": round(os.getloadavg()[0], 2),
+                # one-round comparability bridge for the r15 tail
+                # promotions: the sum over the unchanged r14 26-query
+                # membership, directly comparable to BENCH_r14's value
+                "subtotal_r14_set": round(
+                    sum(times[n] for n in _R14_SET if n in times), 4
+                ),
                 # registry heavy tail (top-10 slowest from the newest
                 # committed full-registry replica) — see _registry_tail
                 "tail_sf01_top10": _registry_tail(),

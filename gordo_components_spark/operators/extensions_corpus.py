@@ -1848,7 +1848,7 @@ _PR_ITERS = 10
 _PR_DAMP = 0.85
 
 
-@register("ext_dedup_canonical_rank")
+@register("ext_dedup_canonical_rank", tags=("bench",))
 def ext_dedup_canonical_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-document selection over the near-duplicate graph:
     PageRank on the similarity edges (label-blocked cosine pairs,

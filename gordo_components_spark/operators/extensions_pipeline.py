@@ -2026,7 +2026,7 @@ def _bpe_fold_sql(t: str = "t", lhs: str = "lhs", rhs: str = "rhs") -> str:
     )
 
 
-@register("pipe_bpe_merges", oracle=_BPE_ORACLE)
+@register("pipe_bpe_merges", oracle=_BPE_ORACLE, tags=("bench",))
 def pipe_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-vocabulary induction — BPE's training loop run as
     corpus-scale dataframe algebra: per iteration, count every adjacent

@@ -261,7 +261,15 @@ def mllib_pipeline_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         score_residuals,
     )
 
-    feats = machine_features(spark, sf_dir)
+    from gordo_components_spark.caches import persist_tracked
+
+    # persist the feature frame across the pipeline fit (guide §5): the
+    # MinMaxScaler fit, the PCA fit, and the final scoring each trigger
+    # their own action, and without the cache every one re-runs the
+    # events scan + hourly aggregate from scratch (measured 2.43 →
+    # 1.95 s interleaved at sf0.1; at scale it is N-stages× fewer
+    # corpus scans).  Materialization is paid inside this query.
+    feats = persist_tracked(machine_features(spark, sf_dir))
     model, _ = fit_and_score(feats)
     path = os.path.join(tempfile.mkdtemp(prefix="gordo_mllib_"), "pipeline_model")
     loaded = save_load_roundtrip(model, path)
@@ -309,7 +317,7 @@ def ml_model_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ml_lifecycle", oracle=None)
+@register("ml_lifecycle", oracle=None, tags=("bench",))
 def ml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consolidated model-plane end-to-end face (rows-only): every stage
     of the reference's build→serve lifecycle contributes one summary row —

@@ -160,7 +160,7 @@ def stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_stateful_ewma(spark, sf_dir)
 
 
-@register("stream_cusum_genuine", oracle=None)
+@register("stream_cusum_genuine", oracle=None, tags=("bench",))
 def stream_cusum_genuine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CUSUM change-point detection (rows-only): the serving
     face of ``window_cusum_alerts`` — per-(machine, tag) accumulated
@@ -183,7 +183,7 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_watermark_dedup(spark, sf_dir)
 
 
-@register("stream_genuine", oracle=None)
+@register("stream_genuine", oracle=None, tags=("bench",))
 def stream_genuine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consolidated genuine-Structured-Streaming face (rows-only): each
     stage runs a REAL streaming query (file-replay source, availableNow
@@ -314,7 +314,7 @@ def stream_m4_genuine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_m4(spark, sf_dir)
 
 
-@register("stream_twa_genuine", oracle=None)
+@register("stream_twa_genuine", oracle=None, tags=("bench",))
 def stream_twa_genuine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming time-weighted average (rows-only): the serving face of
     ``agg_time_weighted_avg`` — per-(machine, tag) trapezoid integral
