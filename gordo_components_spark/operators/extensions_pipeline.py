@@ -1389,7 +1389,15 @@ def pipe_curation_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = _curated_docs(spark, sf_dir)
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     out = f"/tmp/gordo_spark_curated/{sf_tag}"
-    kept.write.mode("overwrite").partitionBy("split").parquet(out)
+    # REBALANCE by the partition column before the partitioned write
+    # (guide §6, same fix as the prediction sink): otherwise every
+    # upstream task writes a sliver into each split dir (~cores × 3
+    # tiny files); AQE's rebalance coalesces small values and splits
+    # oversized ones at the advisory size, so the training-job layout
+    # comes out right-sized at any SF.  Row set unchanged.
+    kept.hint("rebalance", "split").write.mode("overwrite").partitionBy(
+        "split"
+    ).parquet(out)
     back = spark.read.parquet(out)
     return (
         back.groupBy("split")

@@ -108,6 +108,15 @@ def sink_predictions_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = machine_features(spark, sf_dir)
     scored = score_models(feats, trained_blob_map(spark, sf_dir))
     written = scored.withColumn("is_anomaly", F.col("is_anomaly").cast("string"))
+    # REBALANCE by the partition column before the partitioned write
+    # (guide §6): without it every one of the ~cores upstream tasks
+    # writes a sliver into each partition dir (64 tiny files at sf0.1 —
+    # the small-files anti-pattern, and thousands of KB files at real
+    # scale).  AQE's rebalance is scale-adaptive: it coalesces small
+    # partition values AND splits oversized ones at the advisory size,
+    # so files come out right-sized at any SF (measured 64 → 2 files,
+    # 2.45 → 1.96 s interleaved at sf0.1).  Row set unchanged.
+    written = written.hint("rebalance", "is_anomaly")
     written.write.mode("overwrite").partitionBy("is_anomaly").parquet(out)
     # schema-pinned re-read: a zero-row partitioned write leaves only
     # _SUCCESS, and schema INFERENCE would then crash the whole query
